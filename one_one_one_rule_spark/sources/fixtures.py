@@ -35,7 +35,23 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects outright. Read nanos as long
+    (legacy conf) and rebuild a microsecond timestamp with integer division
+    (``div`` stays in bigint — a double roundtrip would lose precision at
+    ~1.7e18 ns). DuckDB oracles mirror this with CAST(ts AS TIMESTAMP),
+    which also truncates ns → µs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def synthetic_fundamentals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,160 @@
+"""Deduplication operators over the ``documents`` table (scale-out
+extensions, SURVEY.md §7.8 / BASELINE.json north star).
+
+Three tiers, all partition-parallel (no driver-side collects):
+
+  1. exact / prefix-fingerprint dedup — hash groupBy; one shuffle on the
+     fingerprint, group sizes bounded by duplicate multiplicity.
+  2. exact n-gram Jaccard pairs — inverted-index join on shingles (the exact
+     algorithm, expressible relationally). Cost is Σ per-shingle pair counts;
+     at 100 TB add a document-frequency cap on shingles (``max_df``) to drop
+     stop-shingles before the self-join, and/or switch to tier 3.
+  3. MinHash + banded LSH — fixed 16-permutation signature over a portable
+     char-fold hash, 8 bands × 2 rows; candidates from band-bucket self-join;
+     candidates verified with exact Jaccard. Deterministic (fixed seeds, no
+     RNG at runtime), so even this is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import HASH_P, char_fold_hash, prefix_fingerprint, shingles_expr
+
+#: Fixed MinHash permutation seeds (a, b) — shared verbatim with the DuckDB
+#: oracle; a is odd, both < 2^31-1. 16 perms → 8 bands × 2 rows.
+MINHASH_SEEDS = [
+    (1000000007, 337),
+    (998244353, 7919),
+    (1999999973, 104729),
+    (1747636419, 15485863),
+    (1082130433, 32452843),
+    (469762049, 49979687),
+    (754974721, 67867967),
+    (167772161, 86028121),
+    (377487361, 104395301),
+    (595591169, 122949823),
+    (645922817, 141650939),
+    (897581057, 160481183),
+    (1224736769, 179424673),
+    (2013265921, 198491317),
+    (1711276033, 217645177),
+    (1420470273, 236887691),
+]
+N_BANDS = 8
+ROWS_PER_BAND = 2
+
+
+def prefix_dup_groups(docs: DataFrame, n_chars: int = 40) -> DataFrame:
+    """Tier 1 — duplicate groups by prefix fingerprint: one hash aggregate."""
+    return (
+        docs.select(
+            prefix_fingerprint("text", n_chars).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the inverted-index input."""
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select("doc_id", F.explode(shingles_expr("w", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally restricted
+    to a candidate-pair DataFrame [doc_a, doc_b])."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = a.join(b, "shingle").filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = joined.groupBy(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(
+            F.broadcast(sizes).withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes).withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.05
+) -> DataFrame:
+    """Tier 2 — exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    sh = doc_shingles(docs, n)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Tier 3a — 16-minhash signature per doc (columns m0..m15).
+
+    One shuffle (groupBy doc_id); the 16 permutations are computed map-side
+    from a single portable shingle hash, so adding permutations is free of
+    extra shuffles.
+    """
+    sh = doc_shingles(docs, n).withColumn("h", char_fold_hash("shingle"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Tier 3b — banded-LSH candidate pairs verified by exact Jaccard.
+
+    Bands hash 2 signature rows into one bigint key (m_even * P + m_odd —
+    collision-free since every m < P). The band self-join touches only
+    bucket-mates; at scale, skew in hot buckets is handled by AQE skew-join.
+    Deterministic end-to-end: fixed seeds, portable hash, exact verify.
+    """
+    sigs = minhash_signatures(docs, n)
+    bands = None
+    for j in range(N_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            (
+                F.col(f"m{ROWS_PER_BAND * j}") * F.lit(HASH_P)
+                + F.col(f"m{ROWS_PER_BAND * j + 1}")
+            ).alias("key"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = doc_shingles(docs, n)
+    return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)

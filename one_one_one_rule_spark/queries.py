@@ -544,3 +544,230 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             int_avg(k).alias("avg_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+from .functions import text as T  # noqa: E402
+from .functions.vectors import (  # noqa: E402
+    dot_chain_sql,
+    norm_chain_sql,
+)
+from .operators import dedup as D  # noqa: E402
+from .operators.similarity import EMBED_DIM, brute_force_topk  # noqa: E402
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+_ES_SQL = ", ".join(f"'{w}'" for w in T.ES_MARKERS)
+
+_DOCS_TOKEN_CTE = f"""
+toks AS (
+  SELECT doc_id, text, lang, source,
+         string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS BIGINT) AS en_hits,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_ES_SQL}))) AS BIGINT) AS es_hits
+  FROM documents
+)
+"""
+
+
+@register(
+    "docs_token_stats",
+    f"""
+WITH {_DOCS_TOKEN_CTE.strip()}
+SELECT doc_id,
+       n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(en_hits AS DOUBLE) / n_tokens AS stop_ratio,
+       least(1.0e0, n_tokens / 100.0e0)
+         * (1.0e0 - 0.5e0 * (CAST(en_hits AS DOUBLE) / n_tokens)) AS quality_score,
+       md5(text) AS fingerprint
+FROM toks
+""",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting, stopword/quality scoring, md5
+    fingerprinting — per-document, all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("w", T.tokens("text")).withColumn(
+        "n_tokens", T.token_count(F.col("w"))
+    )
+    stop_ratio = T.hits(F.col("w"), T.EN_STOPWORDS).cast("double") / F.col(
+        "n_tokens"
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        T.distinct_token_count(F.col("w")).alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.col("n_tokens")
+        ).alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        T.quality_score(F.col("n_tokens"), stop_ratio).alias("quality_score"),
+        T.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "docs_lang_id",
+    f"""
+WITH {_DOCS_TOKEN_CTE.strip()},
+pred AS (
+  SELECT lang,
+         CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+              WHEN es_hits > 0 THEN 'es'
+              ELSE 'und' END AS predicted_lang
+  FROM toks
+)
+SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, predicted_lang
+""",
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token evidence) vs labeled lang —
+    confusion-matrix counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("w", T.tokens("text"))
+    return (
+        d.select("lang", T.predicted_lang(F.col("w")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "docs_dedup_prefix",
+    """
+SELECT md5(substr(text, 1, 40)) AS fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def docs_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by prefix fingerprint (keep-first = min doc_id); the
+    hash-groupBy tier of the dedup stack."""
+    return D.prefix_dup_groups(load_table(spark, sf_dir, "documents"), 40)
+
+
+_SHINGLE_CTES = """
+dtoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(len(w) - 2),
+                     i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM dtoks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "docs_jaccard_pairs",
+    f"""
+WITH {_SHINGLE_CTES.strip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.05e0
+""",
+)
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join tier)."""
+    return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), 3, 0.05)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {T.HASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(D.MINHASH_SEEDS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, m{2 * j} * {T.HASH_P} + m{2 * j + 1} AS key FROM sigs"
+        for j in range(D.N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLE_CTES.strip()},
+hashed AS (
+  SELECT doc_id, {T.char_fold_hash_sql("shingle")} AS h FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3e0
+"""
+
+
+@register("docs_minhash_lsh_pairs", _minhash_sql())
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + banded LSH (8×2) near-dup pairs, exact-Jaccard
+    verified. Deterministic portable hashing makes even the LSH candidates
+    oracle-checkable."""
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 3, 0.3)
+
+
+def _ann_sql() -> str:
+    dot = dot_chain_sql("e.embedding", "q.q_emb", EMBED_DIM)
+    ne = norm_chain_sql("e.embedding", EMBED_DIM)
+    nq = norm_chain_sql("q.q_emb", EMBED_DIM)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         CASE WHEN {ne} > 0 AND {nq} > 0
+              THEN ({dot}) / ({ne} * {nq}) END AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) t
+WHERE rn <= 5
+"""
+
+
+@register("ann_cosine_topk", _ann_sql())
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors {0..4}: broadcast query
+    set, explicit-chain double arithmetic (bit-identical across engines)."""
+    return brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
+    )

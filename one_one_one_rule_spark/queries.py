@@ -771,3 +771,37 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload columns; decode stubbed, see
+# operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+from .operators.multimodal import synthesize_media  # noqa: E402
+
+
+@register(
+    "media_kind_stats",
+    """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*) AS avg_bytes,
+       CAST(MAX(16 + doc_id % 32) AS BIGINT) AS max_width
+FROM documents
+GROUP BY 1
+""",
+)
+def media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: synthesize media rows (binary
+    payload + typed metadata struct) and aggregate byte/meta stats."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+        (
+            F.sum(F.octet_length("payload")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bytes"),
+        F.max(F.col("meta.width")).cast("bigint").alias("max_width"),
+    )

@@ -1,0 +1,93 @@
+"""Structured Streaming surface over the events table.
+
+The reference is batch-only (SURVEY.md §2.9) — its dated-file/latest-file
+convention is the batch shadow of a stream. This module provides the
+streaming formulation: file-source reads, watermarked event-time windows,
+and streaming dedup. Batch and streaming share the same aggregate
+expressions, so results converge (verified in tests with availableNow).
+
+Scale notes: state is bounded by the watermark (late data beyond it is
+dropped); the shuffle key is (window, event_type) — low cardinality, so AQE
+coalescing keeps state partitions dense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events (schema must be declared for streams)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(path)
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming form of the batch
+    events_hourly_rollup query (same aggregates)."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "sum_k",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup by event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_available_now(
+    stream_df: DataFrame, table_name: str, output_mode: str = "append"
+) -> None:
+    """Drain the stream's current input with availableNow into an in-memory
+    table (test/dev helper; production sinks are parquet/kafka writers).
+
+    Use output_mode='complete' for aggregations — with append, windows still
+    inside the watermark at end-of-input would never be emitted.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,116 @@
+"""Streaming and multimodal surface tests.
+
+Streaming: availableNow drain of the file-source stream must converge to the
+batch aggregate over the same input. Multimodal: mapInPandas feature
+extraction is deterministic, batch-shaped, and schema-stable.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from one_one_one_rule_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synthesize_media,
+)
+from one_one_one_rule_spark.sources.fixtures import load_table
+from one_one_one_rule_spark.streaming.events import (
+    dedup_stream,
+    hourly_rollup_stream,
+    run_available_now,
+    stream_events,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # File-source streams want a directory; copy the single parquet file in.
+    d = tmp_path_factory.mktemp("events_stream")
+    batch = load_table(spark, sf_dir, "events")
+    batch.write.mode("overwrite").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def test_streaming_rollup_converges_to_batch(spark, sf_dir, events_dir):
+    stream = stream_events(spark, events_dir)
+    assert stream.isStreaming
+    run_available_now(
+        hourly_rollup_stream(stream), "rollup_stream", output_mode="complete"
+    )
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.total_value, r.sum_k)
+        for r in spark.sql("SELECT * FROM rollup_stream").collect()
+    }
+
+    batch = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    expected = {
+        (r.hour, r.event_type): (r.n_events, r.total_value, r.sum_k)
+        for r in batch.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    run_available_now(dedup_stream(stream), "dedup_stream")
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) c FROM dedup_stream").collect()[
+        0
+    ].c
+    total = spark.sql("SELECT COUNT(*) c FROM dedup_stream").collect()[0].c
+    assert n == total  # no duplicate event_ids survive
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = synthesize_media(docs)
+    feats = extract_features(media, dim=8)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 50
+    r0 = rows[min(rows)]
+    assert len(r0.feature) == 8
+    assert r0.backend in ("stub", "pillow")
+    assert all(0.0 <= v <= 1.0 for v in r0.feature)
+    # deterministic across runs
+    rows2 = {r.media_id: r for r in extract_features(media, dim=8).collect()}
+    assert rows2[min(rows)].feature == r0.feature
+    # n_bytes agrees with the JVM-side octet_length
+    exp = {
+        r.media_id: r.n
+        for r in media.select(
+            "media_id", F.octet_length("payload").alias("n")
+        ).collect()
+    }
+    assert all(rows[m].n_bytes == exp[m] for m in rows)
+
+
+def test_frame_sampling_rowcounts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = synthesize_media(docs)
+    frames = frame_sample(media, every_n=4)
+    per = frames.groupBy("media_id").count().collect()
+    meta = {
+        r.media_id: r.nf
+        for r in media.filter(F.col("kind") == "video")
+        .select("media_id", F.col("meta.n_frames").alias("nf"))
+        .collect()
+    }
+    assert {r.media_id for r in per} == set(meta)
+    for r in per:
+        expected = (meta[r.media_id] + 3) // 4  # ceil(n_frames / every_n)
+        assert r["count"] == expected

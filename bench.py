@@ -54,8 +54,22 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM / parquet footer cache with a trivial action.
+    # Warm up the JVM, parquet footer cache, and — critically — Catalyst
+    # planning + whole-stage-codegen compilation for every headline plan, by
+    # running each query once at the smallest scale factor. Plans are
+    # identical across SFs, so the codegen cache is hot when timing starts;
+    # otherwise the first complex query is billed ~5s of one-time JIT cost.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

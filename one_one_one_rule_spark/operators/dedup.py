@@ -69,17 +69,14 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally restricted
-    to a candidate-pair DataFrame [doc_a, doc_b])."""
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing ≥1 shingle."""
     a = sh.alias("a")
     b = sh.alias("b")
     joined = a.join(b, "shingle").filter(F.col("a.doc_id") < F.col("b.doc_id"))
     inter = joined.groupBy(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     ).agg(F.count(F.lit(1)).alias("c"))
-    if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"])
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return (
         inter.join(
@@ -130,22 +127,28 @@ def minhash_lsh_pairs(
     """Tier 3b — banded-LSH candidate pairs verified by exact Jaccard.
 
     Bands hash 2 signature rows into one bigint key (m_even * P + m_odd —
-    collision-free since every m < P). The band self-join touches only
+    collision-free since every m < P), emitted in ONE pass over the
+    signatures via posexplode (not an N_BANDS-way union, which would plan
+    the shingle pipeline once per band). The band self-join touches only
     bucket-mates; at scale, skew in hot buckets is handled by AQE skew-join.
+
+    Verification joins the (small) candidate-pair set against per-doc
+    shingle-SET arrays and counts the overlap with ``array_intersect`` —
+    cost O(|candidates| × shingles/doc), NOT the full inverted-index
+    self-join over every co-shingle pair (which LSH exists to avoid).
     Deterministic end-to-end: fixed seeds, portable hash, exact verify.
     """
     sigs = minhash_signatures(docs, n)
-    bands = None
-    for j in range(N_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(j).alias("band"),
-            (
-                F.col(f"m{ROWS_PER_BAND * j}") * F.lit(HASH_P)
-                + F.col(f"m{ROWS_PER_BAND * j + 1}")
-            ).alias("key"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    keys = F.array(
+        *[
+            F.col(f"m{ROWS_PER_BAND * j}") * F.lit(HASH_P)
+            + F.col(f"m{ROWS_PER_BAND * j + 1}")
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(keys).alias("band", "key")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -156,5 +159,23 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = doc_shingles(docs, n)
-    return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
+    sets = doc_shingles(docs, n).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    return (
+        cand.join(
+            sets.alias("sa"), cand["doc_a"] == F.col("sa.doc_id")
+        )
+        .join(sets.alias("sb"), cand["doc_b"] == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - inter)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

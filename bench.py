@@ -37,7 +37,10 @@ HEADLINE = [
     "docs_token_stats",
     "docs_jaccard_pairs",
     "docs_minhash_lsh_pairs",
+    "docs_simhash_pairs",
     "ann_cosine_topk",
+    "embeddings_neardup_lsh",
+    "ann_ivf_topk",
 ]
 
 

@@ -46,3 +46,41 @@ def norm_chain_sql(a: str, dim: int) -> str:
         for i in range(dim)
     )
     return f"sqrt({terms})"
+
+
+def srp_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic signed-random-projection hyperplanes.
+
+    Small integer coefficients from a fixed multiplicative-hash formula —
+    generated identically wherever called (no RNG state), so the Spark plan
+    and the DuckDB oracle SQL embed the exact same literals.
+    """
+    return [
+        [
+            ((j * dim + i) * 2654435761 + 12345) % 19 - 9
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def plane_dot_terms(emb: str, plane: list[int]) -> str:
+    """Σ emb[i]*coef as an explicit left-associated chain (0-based arrays).
+
+    Coefficients are exact small integers and the addition order is fixed,
+    so the sign of the projection is bit-identical across engines.
+    """
+    return " + ".join(
+        f"CAST({emb}[{i}] AS DOUBLE) * {c}.0"
+        for i, c in enumerate(plane)
+        if c != 0
+    )
+
+
+def plane_dot_terms_sql(emb: str, plane: list[int]) -> str:
+    """DuckDB mirror (1-based list indexing), same term order."""
+    return " + ".join(
+        f"CAST({emb}[{i + 1}] AS DOUBLE) * {c}.0"
+        for i, c in enumerate(plane)
+        if c != 0
+    )

@@ -13,6 +13,9 @@ Three tiers, all partition-parallel (no driver-side collects):
      char-fold hash, 8 bands × 2 rows; candidates from band-bucket self-join;
      candidates verified with exact Jaccard. Deterministic (fixed seeds, no
      RNG at runtime), so even this is oracle-checkable in DuckDB.
+  4. SimHash — 16-bit signed-bit-vote fingerprint over distinct-token
+     hashes; Hamming-ball pairing via 4×4-bit pigeonhole blocking (any pair
+     within Hamming distance ≤ 3 shares at least one exact 4-bit band).
 """
 
 from __future__ import annotations
@@ -178,4 +181,74 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 28  # 16 bits is too coarse: random docs collide at ham<=3
+SIMHASH_BAND_BITS = 7
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+
+
+def simhash(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Tier 4a — 28-bit SimHash per document over word n-gram shingles.
+
+    Features are distinct n-gram shingles (near-unique per doc — unigram
+    features are useless here: common-vocabulary tokens dominate the votes
+    and every pair of docs collides). Bit i of the fingerprint is 1 when
+    the signed vote sum over shingles (+1 if the shingle hash has bit i
+    set, else -1) is >= 0 (tie -> 1, deterministic). One explode + one
+    hash aggregate — map-side-combinable, no joins.
+    """
+    toks = doc_shingles(docs, n).withColumn("h", char_fold_hash("shingle"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Tier 4b — near-dup pairs within Hamming distance ``max_hamming``.
+
+    Pigeonhole blocking: a 28-bit fingerprint split into 4 bands of 7 bits —
+    two fingerprints within Hamming distance 3 must agree exactly on >= 1
+    band, so the band-bucket self-join finds ALL such pairs (this tier is
+    exact, unlike probabilistic MinHash-LSH). Candidates are verified with
+    ``bit_count(xor)``. Shuffle volume: 4 rows/doc + bucket-join output.
+    """
+    fps = simhash(docs)
+    keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b).bitwiseAND(
+                F.lit((1 << SIMHASH_BAND_BITS) - 1)
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = fps.select(
+        "doc_id", "simhash", F.posexplode(keys).alias("band", "key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
     )

@@ -94,3 +94,122 @@ def ann_topk_scalable(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "cosine", "rn")
     )
+
+
+# --- SRP-LSH (signed random projections) -----------------------------------
+
+from ..functions.vectors import plane_dot_terms, srp_planes  # noqa: E402
+
+SRP_PLANES = 16
+SRP_BAND_BITS = 4
+SRP_BANDS = SRP_PLANES // SRP_BAND_BITS
+NEARDUP_COSINE = 0.4
+
+IVF_PLANES = 4  # 16 cells
+
+
+def srp_signature(vectors: DataFrame, n_planes: int, dim: int = EMBED_DIM) -> DataFrame:
+    """Per-vector sign-bit signature over fixed deterministic hyperplanes.
+
+    bit j = 1 iff dot(embedding, plane_j) >= 0. Map-only (no shuffle); the
+    hyperplane coefficients are compile-time literals shared with the
+    DuckDB oracle, so signatures are bit-identical across engines.
+    """
+    planes = srp_planes(n_planes, dim)
+    sig = None
+    for j, plane in enumerate(planes):
+        bit = F.when(
+            F.expr(plane_dot_terms("embedding", plane)) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return vectors.withColumn("srp_sig", sig.cast("bigint"))
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, SRP-LSH bucketed (the scale path).
+
+    Candidates = pairs agreeing on >= 1 of 4 four-bit sign bands —
+    selectivity ~(1/16)/band over random pairs, recall -> 1.0 as
+    cosine -> 1 where near-dups live (~0.54 at the tail threshold 0.4).
+    Candidate pairs are DISTINCT'd before verification so the exact
+    explicit-chain cosine runs once per pair, not once per matching band,
+    and the band join itself carries only (vec_id, band, key) — the wide
+    embedding arrays are joined back just for the verify step. At 100 TB
+    only this bucketed shape survives; the exact variant of the same
+    predicate is the all-pairs cross join.
+    """
+    sigs = srp_signature(vectors, SRP_PLANES, dim).select("vec_id", "srp_sig")
+    keys = F.array(
+        *[
+            F.shiftright(F.col("srp_sig"), SRP_BAND_BITS * b).bitwiseAND(
+                F.lit((1 << SRP_BAND_BITS) - 1)
+            )
+            for b in range(SRP_BANDS)
+        ]
+    )
+    bands = sigs.select("vec_id", F.posexplode(keys).alias("band", "key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    emb = vectors.select("vec_id", "embedding")
+    dot = dot_chain_spark("ea.embedding", "eb.embedding", dim)
+    na = norm_chain_spark("ea.embedding", dim)
+    nb = norm_chain_spark("eb.embedding", dim)
+    return (
+        cand.join(emb.alias("ea"), cand["vec_a"] == F.col("ea.vec_id"))
+        .join(emb.alias("eb"), cand["vec_b"] == F.col("eb.vec_id"))
+        .select("vec_a", "vec_b", (dot / (na * nb)).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize vectors into sign-bit cells
+    (here 4 planes -> 16 cells), then search ONLY the query's own cell.
+
+    The inverted-file structure is the cell-partitioned table itself: at
+    scale, write the vector table partitioned/bucketed by ``cell`` and the
+    per-query scan prunes to 1/2^planes of the data (probe more cells for
+    higher recall). Exact per-cell scoring, deterministic tiebreak.
+    """
+    cells = srp_signature(vectors, IVF_PLANES, dim).withColumnRenamed(
+        "srp_sig", "cell"
+    )
+    q = cells.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        "cell",
+    )
+    pairs = cells.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    dot = dot_chain_spark("embedding", "q_emb", dim)
+    nv = norm_chain_spark("embedding", dim)
+    nq = norm_chain_spark("q_emb", dim)
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        F.when((nv > 0) & (nq > 0), dot / (nv * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine", "rn")
+    )

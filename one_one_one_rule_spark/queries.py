@@ -555,8 +555,15 @@ from .functions.vectors import (  # noqa: E402
     dot_chain_sql,
     norm_chain_sql,
 )
+from .functions.vectors import plane_dot_terms_sql, srp_planes  # noqa: E402
 from .operators import dedup as D  # noqa: E402
-from .operators.similarity import EMBED_DIM, brute_force_topk  # noqa: E402
+from .operators.similarity import (  # noqa: E402
+    EMBED_DIM,
+    ann_topk_scalable,
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+)
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
 _ES_SQL = ", ".join(f"'{w}'" for w in T.ES_MARKERS)
@@ -771,6 +778,141 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
     )
+
+
+@register("ann_cosine_topk_scalable", _ann_sql())
+def ann_cosine_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ann_cosine_topk via the 100 TB-shaped plan: an
+    Arrow-batched per-partition partial top-k (mapInPandas) ahead of the
+    global rank, so the shuffle carries <= partitions*queries*k rows."""
+    return ann_topk_scalable(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(D.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(D.SIMHASH_BITS)
+    )
+    mask = (1 << D.SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH {_SHINGLE_CTES.strip()},
+hashed AS (
+  SELECT doc_id, {T.char_fold_hash_sql("shingle")} AS h FROM sh
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS simhash FROM votes),
+bands AS (
+  SELECT doc_id, simhash, t.b AS band,
+         (simhash >> ({D.SIMHASH_BAND_BITS} * t.b)) & {mask} AS key
+  FROM fp, range({D.SIMHASH_BANDS}) t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("docs_simhash_pairs", _simhash_sql())
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 28-bit shingle-feature fingerprint,
+    exact Hamming<=3 retrieval via 4x7-bit pigeonhole band blocking."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), 3)
+
+
+def _srp_sig_sql(n_planes: int, emb: str) -> str:
+    """SRP signature as a SQL expression over column ``emb`` (DuckDB)."""
+    planes = srp_planes(n_planes, EMBED_DIM)
+    return " + ".join(
+        f"CASE WHEN {plane_dot_terms_sql(emb, p)} >= 0 THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+
+
+def _neardup_sql() -> str:
+    from .operators.similarity import (
+        NEARDUP_COSINE,
+        SRP_BAND_BITS,
+        SRP_BANDS,
+        SRP_PLANES,
+    )
+
+    mask = (1 << SRP_BAND_BITS) - 1
+    dot = dot_chain_sql("a.embedding", "b.embedding", EMBED_DIM)
+    na = norm_chain_sql("a.embedding", EMBED_DIM)
+    nb = norm_chain_sql("b.embedding", EMBED_DIM)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_srp_sig_sql(SRP_PLANES, "embedding")} AS srp_sig
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, embedding, t.b AS band,
+         (srp_sig >> ({SRP_BAND_BITS} * t.b)) & {mask} AS key
+  FROM sigs, range({SRP_BANDS}) t(b)
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({dot}) / (({na}) * ({nb})) AS cosine
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+WHERE ({dot}) / (({na}) * ({nb})) >= {NEARDUP_COSINE}e0
+"""
+
+
+@register("embeddings_neardup_lsh", _neardup_sql())
+def embeddings_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH sign-band blocking —
+    the bucketed scale path that avoids the O(n^2) cross join."""
+    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ivf_sql() -> str:
+    from .operators.similarity import IVF_PLANES
+
+    dot = dot_chain_sql("e.embedding", "q.q_emb", EMBED_DIM)
+    ne = norm_chain_sql("e.embedding", EMBED_DIM)
+    nq = norm_chain_sql("q.q_emb", EMBED_DIM)
+    return f"""
+WITH cells AS (
+  SELECT vec_id, embedding, {_srp_sig_sql(IVF_PLANES, "embedding")} AS cell
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS q_emb, cell
+  FROM cells WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         CASE WHEN {ne} > 0 AND {nq} > 0
+              THEN ({dot}) / ({ne} * {nq}) END AS cosine
+  FROM cells e JOIN q ON e.cell = q.cell
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) t
+WHERE rn <= 5
+"""
+
+
+@register("ann_ivf_topk", _ivf_sql())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse sign-bit cells (16), search only the query's
+    cell — the partition-pruned inverted-file scale path."""
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
 
 
 # ---------------------------------------------------------------------------

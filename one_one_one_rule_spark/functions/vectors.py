@@ -84,3 +84,28 @@ def plane_dot_terms_sql(emb: str, plane: list[int]) -> str:
         for i, c in enumerate(plane)
         if c != 0
     )
+
+
+def plane_dot_fold(emb: str, plane: list[int]) -> str:
+    """Σ emb[i]*coef as a zip_with + aggregate fold (Spark SQL expr string).
+
+    Bit-identical to the explicit chain: the fold runs ((0.0+t0)+t1)+...,
+    the same left-associated order, and 0.0+t0 == t0 in IEEE-754. The AST
+    is ~4x smaller than the chain, which matters when 16 planes × 64 terms
+    would otherwise dominate Catalyst analysis time.
+    """
+    arr = "array(" + ",".join(f"{c}.0D" for c in plane) + ")"
+    return (
+        f"aggregate(zip_with({emb}, {arr}, (x, q) -> CAST(x AS DOUBLE) * q),"
+        f" 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def plane_dot_fold_sql(emb: str, plane: list[int]) -> str:
+    """DuckDB mirror of :func:`plane_dot_fold` — list_reduce with a
+    prepended 0.0 accumulator, same multiply-then-left-fold order."""
+    arr = "[" + ",".join(f"{c}.0" for c in plane) + "]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range({len(plane)}),"
+        f" i -> CAST({emb}[i+1] AS DOUBLE) * ({arr}[i+1]))), (a,b) -> a+b)"
+    )

@@ -555,7 +555,7 @@ from .functions.vectors import (  # noqa: E402
     dot_chain_sql,
     norm_chain_sql,
 )
-from .functions.vectors import plane_dot_terms_sql, srp_planes  # noqa: E402
+from .functions.vectors import plane_dot_fold_sql, srp_planes  # noqa: E402
 from .operators import dedup as D  # noqa: E402
 from .operators.similarity import (  # noqa: E402
     EMBED_DIM,
@@ -832,10 +832,11 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _srp_sig_sql(n_planes: int, emb: str) -> str:
-    """SRP signature as a SQL expression over column ``emb`` (DuckDB)."""
+    """SRP signature as a SQL expression over column ``emb`` (DuckDB),
+    fold form — mirrors plane_dot_fold term-for-term."""
     planes = srp_planes(n_planes, EMBED_DIM)
     return " + ".join(
-        f"CASE WHEN {plane_dot_terms_sql(emb, p)} >= 0 THEN {1 << j} ELSE 0 END"
+        f"CASE WHEN {plane_dot_fold_sql(emb, p)} >= 0 THEN {1 << j} ELSE 0 END"
         for j, p in enumerate(planes)
     )
 
@@ -849,24 +850,35 @@ def _neardup_sql() -> str:
     )
 
     mask = (1 << SRP_BAND_BITS) - 1
-    dot = dot_chain_sql("a.embedding", "b.embedding", EMBED_DIM)
-    na = norm_chain_sql("a.embedding", EMBED_DIM)
-    nb = norm_chain_sql("b.embedding", EMBED_DIM)
+    dot = " + ".join(
+        f"ea.e[{i + 1}] * eb.e[{i + 1}]" for i in range(EMBED_DIM)
+    )
     return f"""
 WITH sigs AS (
-  SELECT vec_id, embedding, {_srp_sig_sql(SRP_PLANES, "embedding")} AS srp_sig
+  SELECT vec_id, {_srp_sig_sql(SRP_PLANES, "embedding")} AS srp_sig
   FROM embeddings
 ),
 bands AS (
-  SELECT vec_id, embedding, t.b AS band,
+  SELECT vec_id, t.b AS band,
          (srp_sig >> ({SRP_BAND_BITS} * t.b)) & {mask} AS key
   FROM sigs, range({SRP_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / ({norm_chain_sql("embedding", EMBED_DIM)})) AS e
+  FROM embeddings
 )
-SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ({dot}) / (({na}) * ({nb})) AS cosine
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-WHERE ({dot}) / (({na}) * ({nb})) >= {NEARDUP_COSINE}e0
+SELECT vec_a, vec_b, ({dot}) AS cosine
+FROM cand
+JOIN normed ea ON vec_a = ea.vec_id
+JOIN normed eb ON vec_b = eb.vec_id
+WHERE ({dot}) >= {NEARDUP_COSINE}e0
 """
 
 

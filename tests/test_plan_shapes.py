@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correctness tests say the answers match; these say the PLANS are the ones
+that survive a 1000-executor scan: filters reach the parquet scan, column
+pruning holds, dimension joins broadcast, and nothing quadratic (cartesian
+product, row-at-a-time Python eval) sneaks into an operator path.
+"""
+
+import pytest
+
+from one_one_one_rule_spark.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 needed columns — never the full table
+    read = plan.split("ReadSchema:")[1]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    plan = plan_of(spark, "q5_region_nation_revenue", sf_dir)
+    # every join along the lineitem spine is a broadcast hash join — the
+    # fact table is shuffled exactly once (the final group-by exchange).
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_valuation_attach_is_broadcast_not_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "valuation_full", sf_dir)
+    # sector-median attach (J1) must broadcast the #sectors-row aggregate;
+    # the overall-median attach (J2) is a 1-row broadcast nested loop.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no Python in the operator path: reference's 7 row-at-a-time passes
+    # compile to native expressions (SURVEY §2.10)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_running_sum_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "events_running_sum", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    semi = plan_of(spark, "q4_late_shipment_orders", sf_dir)
+    assert "LeftSemi" in semi
+    anti = plan_of(spark, "customers_without_orders", sf_dir)
+    assert "LeftAnti" in anti
+    assert "CartesianProduct" not in semi + anti
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "docs_jaccard_pairs",
+        "docs_minhash_lsh_pairs",
+        "docs_simhash_pairs",
+        "embeddings_neardup_lsh",
+        "ann_ivf_topk",
+    ],
+)
+def test_pair_generators_never_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    # candidate generation is always an equi-join on band/bucket keys
+    assert "Join" in plan
+
+
+def test_ann_topk_pushes_query_filter_to_scan(spark, sf_dir):
+    plan = plan_of(spark, "ann_cosine_topk", sf_dir)
+    assert "PushedFilters: [In(vec_id" in plan or "In(vec_id," in plan

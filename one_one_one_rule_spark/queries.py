@@ -1123,3 +1123,160 @@ def media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_bytes"),
         F.max(F.col("meta.width")).cast("bigint").alias("max_width"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization, winnowing fingerprints, streaming gate
+# ---------------------------------------------------------------------------
+
+#: ASCII-only alternation — identical semantics in Java regex and RE2.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "docs_bpe_token_stats",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_other
+FROM documents
+""",
+)
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (alpha runs / digit runs / single
+    non-alnum marks — the pre-tokenizer split shape used by BPE vocab
+    builders), all JVM-side regexp_extract_all."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n(pat: str) -> F.Column:
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        n(BPE_PATTERN).alias("n_bpe_tokens"),
+        n("[A-Za-z]+").alias("n_alpha_runs"),
+        n("[0-9]+").alias("n_digit_runs"),
+        n("[^A-Za-z0-9 ]").alias("n_other"),
+    )
+
+
+_WINNOW_W = 4  # window size over the k-gram hash sequence
+
+
+@register(
+    "docs_winnow_fingerprints",
+    f"""
+WITH dtoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sha AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE CAST([] AS VARCHAR[]) END AS sh
+  FROM dtoks
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {T.char_fold_hash_sql("s")}) AS h
+  FROM sha
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {_WINNOW_W}
+              THEN list_distinct(list_transform(range(len(h) - {_WINNOW_W} + 1),
+                   i -> list_min(h[i+1:i+{_WINNOW_W}])))
+              ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp
+FROM wins
+""",
+)
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling char-fold hash over 3-gram
+    shingles, window-min selection, w=4): the plagiarism/near-dup
+    fingerprinting scheme — selection is position-robust, so shared
+    passages yield shared fingerprints. Per-doc summary (count/min/max)
+    keeps the oracle comparison compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _WINNOW_W
+    d = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", T.shingles_expr("toks", 3).alias("sh"))
+    h = (
+        f"transform(sh, s -> aggregate(transform(split(s, ''),"
+        f" x -> cast(ascii(x) as bigint)), 0L, (a,b) -> (a*131+b) % {T.HASH_P}))"
+    )
+    fps = (
+        f"CASE WHEN size({h}) >= {w} THEN array_distinct("
+        f"transform(sequence(0, size({h}) - {w}),"
+        f" i -> array_min(slice({h}, i+1, {w}))))"
+        f" ELSE array() END"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"cast(size({fps}) as bigint)").alias("n_fingerprints"),
+        F.expr(f"array_min({fps})").alias("min_fp"),
+        F.expr(f"array_max({fps})").alias("max_fp"),
+    )
+
+
+@register(
+    "events_stream_hourly_rollup",
+    ORACLES["events_hourly_rollup"],
+)
+def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup computed through Structured Streaming — file-source
+    readStream, availableNow trigger, complete-mode memory sink — and
+    checked against the SAME DuckDB oracle as the batch query. Batch and
+    streaming share aggregate semantics; this is the convergence gate."""
+    import uuid
+
+    from .streaming.events import stream_events
+
+    name = "stream_gate_" + uuid.uuid4().hex[:12]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    # file stream sources take a directory; glob-filter to the events
+    # table. The fixture stores ts as TIMESTAMP(NANOS) → read as long
+    # (matches load_events) and rebuild microsecond timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    rolled = (
+        stream.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            decimal_sum(F.col("value")).alias("total_value"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            int_avg(k).alias("avg_k"),
+        )
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

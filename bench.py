@@ -38,9 +38,16 @@ HEADLINE = [
     "docs_jaccard_pairs",
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",
+    "docs_bpe_token_stats",
+    "docs_winnow_fingerprints",
     "ann_cosine_topk",
     "embeddings_neardup_lsh",
     "ann_ivf_topk",
+    "events_sessionization",
+    "events_asof_purchase_click",
+    "events_rollup_type_day",
+    "q4_late_shipment_orders",
+    "top_orders_per_customer_salted",
 ]
 
 

@@ -1207,24 +1207,35 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the oracle comparison compact."""
     docs = load_table(spark, sf_dir, "documents")
     w = _WINNOW_W
-    d = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    ).select("doc_id", T.shingles_expr("toks", 3).alias("sh"))
-    h = (
-        f"transform(sh, s -> aggregate(transform(split(s, ''),"
-        f" x -> cast(ascii(x) as bigint)), 0L, (a,b) -> (a*131+b) % {T.HASH_P}))"
-    )
-    fps = (
-        f"CASE WHEN size({h}) >= {w} THEN array_distinct("
-        f"transform(sequence(0, size({h}) - {w}),"
-        f" i -> array_min(slice({h}, i+1, {w}))))"
-        f" ELSE array() END"
+    # staged columns: h and fps are each evaluated ONCE per row — inlining
+    # them textually would recompute the hash array per reference (9x).
+    # CollapseProject keeps multi-referenced non-cheap aliases staged.
+    d = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", T.shingles_expr("toks", 3).alias("sh"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sh, s -> aggregate(transform(split(s, ''),"
+                f" x -> cast(ascii(x) as bigint)), 0L,"
+                f" (a,b) -> (a*131+b) % {T.HASH_P}))"
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(h) >= {w} THEN array_distinct("
+                f"transform(sequence(0, size(h) - {w}),"
+                f" i -> array_min(slice(h, i+1, {w}))))"
+                f" ELSE array() END"
+            ).alias("fps"),
+        )
     )
     return d.select(
         "doc_id",
-        F.expr(f"cast(size({fps}) as bigint)").alias("n_fingerprints"),
-        F.expr(f"array_min({fps})").alias("min_fp"),
-        F.expr(f"array_max({fps})").alias("max_fp"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
 
 
@@ -1280,3 +1291,71 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant shapes and grouping sets
+# ---------------------------------------------------------------------------
+
+from .operators.skew import salted_topk_per_key  # noqa: E402
+
+
+@register(
+    "top_orders_per_customer_salted",
+    ORACLES["top_orders_per_customer"],
+)
+def top_orders_per_customer_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as top_orders_per_customer via the hot-key-proof
+    two-phase rank (operators/skew.py): per-partition top-k first, so the
+    per-key shuffle is bounded by k x #partitions, not the key's row
+    count. Checked against the same oracle as the naive window."""
+    o = load_table(spark, sf_dir, "orders")
+    return salted_topk_per_key(
+        o,
+        "o_custkey",
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+@register(
+    "events_rollup_type_day",
+    """
+WITH e AS (
+  SELECT event_type,
+         strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+         value
+  FROM events
+)
+SELECT event_type, day,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(day) AS BIGINT) AS g_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM e
+GROUP BY ROLLUP(event_type, day)
+""",
+)
+def events_rollup_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (type, day) with grouping indicators — the
+    multi-granularity aggregate shape (§2.5 general surface; Spark computes
+    all grouping sets in one shuffle by expanding rows map-side)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "value",
+    )
+    return (
+        e.rollup("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("bigint").alias("g_type"),
+            F.grouping("day").cast("bigint").alias("g_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            decimal_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "event_type", "day", "g_type", "g_day", "n_events", "total_value"
+        )
+    )

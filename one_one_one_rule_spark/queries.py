@@ -1359,3 +1359,29 @@ def events_rollup_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day", "g_type", "g_day", "n_events", "total_value"
         )
     )
+
+
+@register(
+    "top_balance_customer_per_nation",
+    """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal = (
+  SELECT max(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+""",
+)
+def top_balance_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the spark.sql surface (inline
+    parquet tables) — Catalyst decorrelates it into an aggregate + join;
+    the oracle runs the identical SQL text in DuckDB."""
+    return spark.sql(f"""
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM parquet.`{sf_dir}/customer.parquet` c
+JOIN parquet.`{sf_dir}/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal = (
+  SELECT max(c2.c_acctbal) FROM parquet.`{sf_dir}/customer.parquet` c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+""")

@@ -70,5 +70,6 @@ def plan_metrics(df) -> dict[str, int]:
         + plan.count("Exchange rangepartitioning"),
         "broadcasts": plan.count("BroadcastExchange"),
         "scans": plan.count("FileScan"),
-        "python_evals": plan.count("EvalPython"),
+        "python_evals": plan.count("EvalPython")
+        + plan.count("InPandas"),  # MapInPandas / FlatMapGroupsInPandas
     }

@@ -91,3 +91,55 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+USER_COUNT_STATE_SCHEMA = "n bigint"
+USER_COUNT_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running event count + exact-decimal value total, state carried across
+    micro-batches. Emits the updated running totals for each user seen in a
+    batch — the arbitrary-state escape hatch for operators the built-in
+    windowed aggregates can't express (per-key counters, custom sessions,
+    CEP-ish logic). State is one row per user: bounded, partitioned by the
+    grouping key, skew-safe for realistic user cardinalities.
+
+    The value total is accumulated in integer micro-units (value is
+    2-decimal fixed point) so the running sum is exact and batch-split
+    invariant — float accumulation across arbitrary micro-batch boundaries
+    would drift.
+    """
+    import pandas as pd  # local: executors import lazily
+
+    def update(key, pdfs, state):
+        n = 0
+        micros = 0
+        if state.exists:
+            n, micros = state.get
+        for pdf in pdfs:
+            n += int(len(pdf))
+            # round per ROW before summing: identical to the batch form
+            # sum(round(value*100)) whatever the micro-batch splits are
+            micros += int(
+                pdf["value"].mul(100).round().astype("int64").sum()
+            )
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [micros / 100.0],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_COUNT_OUTPUT_SCHEMA,
+        stateStructType="n bigint, micros bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -114,3 +114,53 @@ def test_frame_sampling_rowcounts(spark, sf_dir):
     for r in per:
         expected = (meta[r.media_id] + 3) // 4  # ceil(n_frames / every_n)
         assert r["count"] == expected
+
+
+def test_stateful_user_counts_converges_to_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running totals, drained with availableNow,
+    converge to the batch groupBy aggregate: for every user the LAST
+    emitted update (max n_events) equals the batch count and exact total."""
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.sources.fixtures import load_events
+    from one_one_one_rule_spark.streaming.events import (
+        stateful_user_counts,
+        stream_events,
+    )
+
+    # stage the fixture as a stream-source directory with proper timestamps
+    src_dir = str(tmp_path / "events_stream")
+    load_events(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
+
+    name = "stateful_counts_tbl"
+    q = (
+        stateful_user_counts(stream_events(spark, src_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0
+            ).alias("total_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert got == want

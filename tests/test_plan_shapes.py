@@ -78,3 +78,43 @@ def test_pair_generators_never_cartesian(spark, sf_dir, name):
 def test_ann_topk_pushes_query_filter_to_scan(spark, sf_dir):
     plan = plan_of(spark, "ann_cosine_topk", sf_dir)
     assert "PushedFilters: [In(vec_id" in plan or "In(vec_id," in plan
+
+
+def test_q6_all_predicates_pushed_no_group_shuffle(spark, sf_dir):
+    # default scan-metadata rendering truncates the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = plan_of(spark, "q6_revenue_delta", sf_dir)
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    # all four conjuncts reach the parquet reader
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ]:
+        assert frag in plan, frag
+    # global agg: single-partition exchange only, no hash-partitioned shuffle
+    assert "Exchange hashpartitioning" not in plan
+    # pruned to the 4 referenced columns
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q14_q19_part_side_broadcasts(spark, sf_dir):
+    for name in ["q14_promo_revenue_pct", "q19_disjunctive_revenue"]:
+        plan = plan_of(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q18_semi_join_broadcasts_qualifying_set(spark, sf_dir):
+    plan = plan_of(spark, "q18_large_volume_orders", sf_dir)
+    assert "LeftSemi" in plan
+    # the HAVING-gated orderkey set broadcasts — lineitem is not shuffled
+    # a second time for the semi join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

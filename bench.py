@@ -48,6 +48,13 @@ HEADLINE = [
     "events_rollup_type_day",
     "q4_late_shipment_orders",
     "top_orders_per_customer_salted",
+    "q6_revenue_delta",
+    "q10_returned_item_customers",
+    "q14_promo_revenue_pct",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "events_lead_lag",
+    "events_value_quantiles",
 ]
 
 

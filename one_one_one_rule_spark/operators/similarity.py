@@ -137,37 +137,49 @@ def cosine_neardup_pairs(
     Candidates = pairs agreeing on >= 1 of 4 four-bit sign bands —
     selectivity ~(1/16)/band over random pairs, recall -> 1.0 as
     cosine -> 1 where near-dups live (~0.54 at the tail threshold 0.4).
-    Candidate pairs are DISTINCT'd before verification so the exact
-    explicit-chain cosine runs once per pair, not once per matching band,
-    and the band join itself carries only (vec_id, band, key) — the wide
-    embedding arrays are joined back just for the verify step. At 100 TB
-    only this bucketed shape survives; the exact variant of the same
-    predicate is the all-pairs cross join.
+    A pair matching several bands is verified ONCE: instead of a
+    DISTINCT (a full shuffle of the candidate stream), a pair is kept
+    only on its minimal matching band — an expression-level filter over
+    the two signatures, so candidate generation, dedup, and verify all
+    run pipelined in one stage with zero exchanges (everything joins
+    broadcast at this cardinality). The wide embedding arrays are joined
+    back just for the verify step. At 100 TB only this bucketed shape
+    survives; the exact variant of the same predicate is the all-pairs
+    cross join, and the band join switches to shuffle-hash on (band, key)
+    with the same min-band dedup still shuffle-free.
     """
     sigs = srp_signature(vectors, SRP_PLANES, dim).select("vec_id", "srp_sig")
+    mask = (1 << SRP_BAND_BITS) - 1
     keys = F.array(
         *[
             F.shiftright(F.col("srp_sig"), SRP_BAND_BITS * b).bitwiseAND(
-                F.lit((1 << SRP_BAND_BITS) - 1)
+                F.lit(mask)
             )
             for b in range(SRP_BANDS)
         ]
     )
-    bands = sigs.select("vec_id", F.posexplode(keys).alias("band", "key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
+    # repartition BEFORE the explode: the whole candidate+verify pipeline
+    # below is exchange-free, so its parallelism is fixed here (the scan
+    # side of a single parquet file would otherwise run as one task).
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    bands = (
+        sigs.repartition(par)
+        .select("vec_id", "srp_sig", F.posexplode(keys).alias("band", "key"))
     )
-    # AQE byte-coalesces the post-distinct pair stream into a handful of
-    # partitions (pairs are 16 bytes), which would serialize the verify
-    # stage; explicit repartition pins its parallelism.
-    cand = cand.repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    ba = bands.toDF("vec_a", "sig_a", "band", "key")
+    bb = bands.toDF("vec_b", "sig_b", "band", "key")
+    # min-band dedup: no band before the joined one also matches
+    no_earlier_match = F.expr(
+        f"band = 0 OR forall(sequence(0, band - 1), bb -> "
+        f"(shiftright(sig_a, {SRP_BAND_BITS} * bb) & {mask}) != "
+        f"(shiftright(sig_b, {SRP_BAND_BITS} * bb) & {mask}))"
+    )
+    cand = (
+        ba.join(F.broadcast(bb), ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(no_earlier_match)
+        .select("vec_a", "vec_b")
+    )
     # Pre-normalize once per vector (O(n·dim)) so the per-pair verify is a
     # single dim-term dot product — halves the per-candidate flops vs
     # dot/(|a|·|b|) and drops the sqrt. Same element order in the oracle →

@@ -225,6 +225,88 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a near-dup
+    pair graph, via iterative min-label propagation.
+
+    Near-dup PAIRS aren't actionable for dedup until they're grouped into
+    clusters with one canonical survivor each — this is that step. Returns
+    ``(doc_id, cluster_id, cluster_size, is_canonical)`` for every doc that
+    appears in a pair; ``cluster_id`` is the component's minimum doc_id and
+    also the elected canonical doc (keep-first, matching the reference's
+    keep-first dedup D1 at transform_valuation.py:113).
+
+    Spark-first iterative algorithm: each round joins labels to the
+    symmetric edge list, takes the min neighbor label per node, and
+    coalesces with the node's own label — label arrays stay distributed;
+    the driver sees only the 1-row convergence count per round.
+    ``localCheckpoint`` truncates the growing lineage each round (without
+    it, round k re-plans rounds 1..k-1). Converges in O(component
+    diameter) rounds; near-dup components are dense (clique-ish), so
+    real corpora converge in 2-4. Raises after ``max_iter`` rounds rather
+    than returning a half-propagated labeling.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("minv"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.col("minv")).alias("lbl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("v"), "lbl"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(
+                neigh.select(F.col("u").alias("doc_id"), "nlbl"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds"
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
 SIMHASH_BITS = 28  # 16 bits is too coarse: random docs collide at ham<=3
 SIMHASH_BAND_BITS = 7
 SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS

@@ -719,7 +719,10 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), 3, 0.05)
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain ending in ``mh_pairs`` (the verified near-dup
+    pairs) — used by the pair query and, as the edge set, by the
+    duplicate-cluster oracle."""
     mins = ",\n         ".join(
         f"MIN(({a} * h + {b}) % {T.HASH_P}) AS m{i}"
         for i, (a, b) in enumerate(D.MINHASH_SEEDS)
@@ -729,7 +732,7 @@ def _minhash_sql() -> str:
         for j in range(D.N_BANDS)
     )
     return f"""
-WITH {_shingle_hash_ctes().strip()},
+{_shingle_hash_ctes().strip()},
 sigs AS (
   SELECT doc_id,
          {mins}
@@ -747,13 +750,21 @@ inter AS (
   FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
   JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3e0
+),
+mh_pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3e0
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_ctes().strip()}
+SELECT doc_a, doc_b, jaccard FROM mh_pairs
 """
 
 
@@ -763,6 +774,42 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-set Jaccard (the resemblance MinHash estimates). Deterministic
     portable hashing makes even the LSH candidates oracle-checkable."""
     return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 3, 0.3)
+
+
+@register(
+    "docs_dedup_clusters",
+    f"""
+WITH RECURSIVE {_minhash_ctes().strip()},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  UNION
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+),
+sz AS (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY cluster_id)
+SELECT doc_id, lab.cluster_id,
+       CAST(n AS BIGINT) AS cluster_size,
+       doc_id = lab.cluster_id AS is_canonical
+FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id
+""",
+)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution over the MinHash-LSH near-dup graph:
+    connected components by iterative min-label propagation
+    (operators/dedup.py:dup_clusters), electing the min doc_id as the
+    canonical survivor. The oracle computes the same components with a
+    recursive reachability CTE — the iterative Spark algorithm is gated on
+    exact cluster assignments, not just row counts."""
+    return D.dup_clusters(
+        D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 3, 0.3)
+    )
 
 
 def _ann_sql() -> str:

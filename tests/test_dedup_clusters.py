@@ -1,0 +1,46 @@
+"""dup_clusters (connected components / canonical election) semantics on
+hand-built graphs — the oracle-parity test covers the real corpus; these pin
+the algorithm's edge cases: multi-hop chains (worst case for min-label
+propagation), disjoint components, and canonical flags."""
+
+from pyspark.sql import functions as F
+
+from one_one_one_rule_spark.operators.dedup import dup_clusters
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+
+
+def test_chain_and_clique_components(spark):
+    # chain 1-2-3-4-5 (diameter 4: needs >1 propagation round),
+    # clique {10,11,12}, isolated pair {20,21}
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        (10, 11), (11, 12), (10, 12),
+        (20, 21),
+    ]
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dup_clusters(_pairs(spark, edges)).collect()
+    }
+    assert got == {
+        1: (1, 5, True), 2: (1, 5, False), 3: (1, 5, False),
+        4: (1, 5, False), 5: (1, 5, False),
+        10: (10, 3, True), 11: (10, 3, False), 12: (10, 3, False),
+        20: (20, 2, True), 21: (20, 2, False),
+    }
+
+
+def test_reversed_chain_converges(spark):
+    # labels must flow AGAINST edge orientation too (symmetric closure):
+    # min id at the chain's far end
+    edges = [(5, 4), (4, 3), (3, 2), (2, 1)]
+    res = dup_clusters(_pairs(spark, edges))
+    assert res.filter(F.col("cluster_id") != 1).count() == 0
+    assert res.count() == 5
+
+
+def test_empty_pairs(spark):
+    res = dup_clusters(_pairs(spark, []))
+    assert res.count() == 0

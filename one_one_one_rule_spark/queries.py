@@ -1759,6 +1759,58 @@ def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_purchase_click_join",
+    """
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+),
+c AS (SELECT event_id AS click_id, ts AS click_ts, user_id FROM e WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id FROM e WHERE event_type = 'purchase')
+SELECT p.purchase_id, c.click_id, p.user_id,
+       strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+  AND c.click_ts <= p.purchase_ts
+""",
+)
+def events_stream_purchase_click_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream interval join run THROUGH the streaming engine
+    (streaming/events.py:purchase_click_join_stream): purchases joined to
+    same-user clicks within the preceding hour, watermarks bounding state
+    on both sides, drained with availableNow and hash-checked against the
+    batch interval-join SQL."""
+    import uuid
+
+    from .streaming.events import purchase_click_join_stream
+
+    name = "ssjoin_gate_" + uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        purchase_click_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "events_lead_lag",
     """
 WITH e AS (

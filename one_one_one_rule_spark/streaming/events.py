@@ -93,6 +93,48 @@ def run_available_now(
     q.awaitTermination()
 
 
+def purchase_click_join_stream(
+    events: DataFrame,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase paired with
+    every click by the same user in the preceding ``horizon_minutes``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store retains only ``watermark + horizon`` of
+    each side per key — the requirement for an unbounded-stream join to run
+    forever. Inner-join matches emit as soon as both rows arrive (the
+    watermark only drives state eviction), so an availableNow drain yields
+    exactly the batch interval join — gated against that batch SQL oracle.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("click_user"),
+    ).withWatermark("click_ts", watermark)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "user_id",
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("click_user"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
 USER_COUNT_STATE_SCHEMA = "n bigint"
 USER_COUNT_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 

@@ -2463,3 +2463,84 @@ def customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("bal_pct_rank"),
         F.cume_dist().over(w).alias("bal_cume_dist"),
     )
+
+
+@register(
+    "events_stream_static_enrich",
+    """
+SELECT event_id, user_id, event_type, value, c_mktsegment, c_nationkey
+FROM events JOIN customer ON user_id = c_custkey
+""",
+)
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment run THROUGH the streaming engine
+    (streaming/events.py:enrich_stream): the events stream joined to the
+    static customer dimension (broadcast, stateless per micro-batch),
+    drained with availableNow and hash-checked against the batch join."""
+    import uuid
+
+    from .streaming.events import enrich_stream
+
+    name = "enrich_gate_" + uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "events_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup (streaming/events.py:
+    dedup_within_watermark_stream): dropDuplicatesWithinWatermark on a
+    subset key, output projected to the key so the surviving-row race
+    never reaches the result — emitted set ≡ SELECT DISTINCT, and the
+    state store stays bounded at scale (evicted as the watermark passes)."""
+    import uuid
+
+    from .streaming.events import dedup_within_watermark_stream
+
+    name = "dedup_gate_" + uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        dedup_within_watermark_stream(stream, ("user_id", "event_type"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -74,6 +74,48 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_within_watermark_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming subset-key dedup with state bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` evicts each key's state once the
+    watermark passes it — unlike plain ``dropDuplicates`` on a subset key,
+    whose state grows with key cardinality forever. The output is projected
+    to the key columns only, so WHICH duplicate row survived (a race at
+    scale) never leaks into the result: the emitted set is exactly the
+    distinct keys, gated against ``SELECT DISTINCT``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static dimension-enrichment join.
+
+    Stream-static inner joins are STATELESS — each micro-batch joins
+    against the current static table snapshot, nothing is buffered — so
+    this is the canonical unbounded-scale pattern for attaching dimension
+    attributes (user profile, document source metadata) to an event
+    stream. The static side is broadcast; the stream side never shuffles.
+    """
+    return events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "c_mktsegment",
+        "c_nationkey",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, output_mode: str = "append"
 ) -> None:

@@ -251,3 +251,129 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "cosine", "rn")
     )
+
+
+# --- IVF with learned (k-means) centroids ----------------------------------
+
+
+def _cell_scores(centroids: list[list[float]]):
+    """Per-centroid argmax scores: 2·(v·c) − |c|² ≡ −‖v−c‖² + |v|² — the
+    |v|² term is constant per row, so the argmax matches nearest-L2.
+    Centroid literals are embedded in the plan (JVM-side zip_with/aggregate
+    fold — no Python in the hot path)."""
+    emb = F.col("embedding").cast("array<double>")
+    scores = []
+    for c in centroids:
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(emb, cvec, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        c2 = sum(x * x for x in c)
+        scores.append(2.0 * dot - F.lit(c2))
+    return scores
+
+
+def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid cell per vector; first-max tiebreak (lowest cell)."""
+    arr = F.array(*_cell_scores(centroids))
+    cell = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return vectors.withColumn("cell", cell)
+
+
+def kmeans_centroids(
+    vectors: DataFrame, k: int = 8, iters: int = 3, dim: int = EMBED_DIM
+) -> list[list[float]]:
+    """Deterministic Lloyd's iterations for IVF coarse quantization.
+
+    Init = the k lowest-vec_id embeddings (no RNG). Each iteration is one
+    distributed pass: nearest-cell assignment (map-only, centroid literals
+    in the plan) then per-(cell, dimension) means via posexplode + exact-
+    decimal averaging — partial aggregation reduces the shuffle to
+    ≤ partitions × k × dim rows, and decimal summation makes the centroids
+    identical under any partitioning. Only k × dim aggregated doubles ever
+    reach the driver per iteration (same contract as MLlib's KMeans), so
+    the loop runs unchanged against a 100 TB vector table."""
+    init = vectors.orderBy("vec_id").limit(k).select("embedding").collect()
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    from ..functions.numeric import decimal_avg
+
+    for _ in range(iters):
+        assigned = assign_cells(vectors, centroids)
+        stats = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "pos", "x"
+                ),
+            )
+            .groupBy("cell", "pos")
+            .agg(decimal_avg(F.col("x")).alias("m"))
+            .collect()
+        )
+        means = {(r.cell, r.pos): r.m for r in stats}
+        centroids = [
+            [means.get((c, i), centroids[c][i]) for i in range(dim)]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_kmeans_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """ANN top-k through a learned IVF index: k-means coarse quantizer,
+    nprobe-cell candidate pruning, exact cosine re-rank of candidates only.
+
+    The scan side touches each vector once to tag its cell; each query
+    explodes into its nprobe nearest cells and joins candidates on the
+    cell key (query side broadcast). Approximate by construction — recall
+    vs the exact brute force is bounded in tests/test_ann_kmeans.py, not
+    hash-gated."""
+    centroids = kmeans_centroids(vectors, n_cells, iters, dim)
+    assigned = assign_cells(vectors, centroids).select(
+        "vec_id", F.col("embedding").alias("v_emb"), "cell"
+    )
+    scored_cells = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(j).alias("j"))
+            for j, s in enumerate(_cell_scores(centroids))
+        ]
+    )
+    probe = F.transform(
+        F.slice(F.reverse(F.array_sort(scored_cells)), 1, nprobe),
+        lambda x: x["j"],
+    )
+    queries = (
+        vectors.filter(F.col("vec_id").isin(query_ids))
+        .withColumn("probe_cell", F.explode(probe))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            "probe_cell",
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(queries), assigned.cell == queries.probe_cell
+    ).filter(F.col("vec_id") != F.col("qid"))
+    dot = dot_chain_spark("v_emb", "q_emb", dim)
+    nv = norm_chain_spark("v_emb", dim)
+    nq = norm_chain_spark("q_emb", dim)
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.when((nv > 0) & (nq > 0), dot / (nv * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine", "rn")
+    )

@@ -2544,3 +2544,40 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register("ann_ivf_kmeans_topk")  # approximate by design: no SQL oracle
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 through a learned IVF index (operators/similarity.py:
+    ivf_kmeans_topk): deterministic k-means coarse quantizer (exact-decimal
+    centroid updates, no RNG), nprobe-cell pruning, exact cosine re-rank of
+    candidates only. Approximate by construction, so no SQL oracle — the
+    driver records rows-only; recall ≥ 0.8 vs the exact brute force is
+    asserted in tests/test_ann_kmeans.py."""
+    from .operators.similarity import ivf_kmeans_topk
+
+    return ivf_kmeans_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        [0, 1, 2, 3, 4],
+        k=5,
+        n_cells=8,
+        nprobe=2,
+    )
+
+
+@register("events_sketch_profile")  # estimates are engine-specific: no oracle
+def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the constant-memory profiling pass a 100 TB
+    corpus gets instead of exact distincts: HyperLogLog++ distinct users
+    (register-max merge: order-independent, mergeable across any
+    partitioning) and approximate value percentiles per event type,
+    alongside the exact row count. Estimates are engine-specific by design
+    → rows-only driver check; tests/test_sketches.py bounds the HLL
+    estimate within rsd-derived error of the exact distinct count and the
+    approximate median inside the exact p25..p75 envelope."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+    )

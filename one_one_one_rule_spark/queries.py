@@ -2581,3 +2581,79 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
     )
+
+
+def _curation_sql() -> str:
+    """End-to-end curation oracle: quality stages as plain CTEs, near-dup
+    stage as the minhash CTE chain over all docs with the PAIR set filtered
+    to survivors (pairwise generation+verification ⇒ identical to running
+    LSH on the survivor subset), components via recursive reachability."""
+    from .plans.curation import DEFAULT_MIN_QUALITY, DEFAULT_MIN_TOKENS
+
+    return f"""
+WITH RECURSIVE
+ctoks AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS en_hits
+  FROM documents
+),
+cscored AS (
+  SELECT doc_id, text, n_tokens,
+         least(1.0e0, n_tokens / 100.0e0)
+           * (1.0e0 - 0.5e0 * (CAST(en_hits AS DOUBLE) / n_tokens)) AS q
+  FROM ctoks
+),
+cs1 AS (
+  SELECT doc_id, text,
+         CASE WHEN n_tokens < {DEFAULT_MIN_TOKENS} THEN 'too_short'
+              WHEN q < {DEFAULT_MIN_QUALITY}e0 THEN 'low_quality' END AS r1
+  FROM cscored
+),
+csurv1 AS (SELECT doc_id, text FROM cs1 WHERE r1 IS NULL),
+cpf AS (SELECT doc_id, md5(substr(text, 1, 400)) AS fp FROM csurv1),
+ckeep AS (SELECT fp, MIN(doc_id) AS keeper FROM cpf GROUP BY fp),
+cs2 AS (SELECT cpf.doc_id, keeper FROM cpf JOIN ckeep ON cpf.fp = ckeep.fp),
+csurv2 AS (SELECT doc_id FROM cs2 WHERE doc_id = keeper),
+{_minhash_ctes().strip()},
+cedges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  JOIN csurv2 a ON doc_a = a.doc_id
+  JOIN csurv2 b ON doc_b = b.doc_id
+),
+cedges AS (SELECT u, v FROM cedges0 UNION SELECT v, u FROM cedges0),
+creach(u, v) AS (
+  SELECT u, v FROM cedges
+  UNION
+  SELECT r.u, e.v FROM creach r JOIN cedges e ON r.v = e.u
+),
+clab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM creach GROUP BY u),
+cfinal AS (
+  SELECT cs1.doc_id,
+         CASE WHEN r1 IS NOT NULL THEN r1
+              WHEN cs2.doc_id IS NOT NULL AND cs2.doc_id <> cs2.keeper
+                   THEN 'exact_dup'
+              WHEN clab.doc_id IS NOT NULL AND clab.cluster_id <> cs1.doc_id
+                   THEN 'near_dup' END AS drop_reason
+  FROM cs1
+  LEFT JOIN cs2 ON cs1.doc_id = cs2.doc_id
+  LEFT JOIN clab ON cs1.doc_id = clab.doc_id
+)
+SELECT doc_id, drop_reason IS NULL AS kept, drop_reason FROM cfinal
+"""
+
+
+@register("docs_curation", _curation_sql())
+def docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (plans/curation.py): too_short →
+    low_quality → exact_dup (long-prefix fingerprint, keep-first) → near_dup
+    (MinHash-LSH clusters, canonical survives), each stage running only on
+    the previous stage's survivors. The whole chain — including LSH
+    candidate generation, Jaccard verification, and connected-component
+    cluster election — is hash-gated against a single recursive-CTE
+    oracle."""
+    from .plans.curation import curate_documents
+
+    return curate_documents(load_table(spark, sf_dir, "documents"))

@@ -55,6 +55,14 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "events_lead_lag",
     "events_value_quantiles",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q21_waiting_suppliers",
+    "ann_ivf_kmeans_topk",
+    "docs_top_ngrams",
+    "events_daily_gapfill",
+    "docs_curation",
 ]
 
 

@@ -283,41 +283,48 @@ def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def kmeans_centroids(
-    vectors: DataFrame, k: int = 8, iters: int = 3, dim: int = EMBED_DIM
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = EMBED_DIM,
+    max_sample: int = 4096,
 ) -> list[list[float]]:
-    """Deterministic Lloyd's iterations for IVF coarse quantization.
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer, trained
+    on a bounded modular sample — the standard IVF build: SAMPLED train,
+    DISTRIBUTED assign.
 
-    Init = the k lowest-vec_id embeddings (no RNG). Each iteration is one
-    distributed pass: nearest-cell assignment (map-only, centroid literals
-    in the plan) then per-(cell, dimension) means via posexplode + exact-
-    decimal averaging — partial aggregation reduces the shuffle to
-    ≤ partitions × k × dim rows, and decimal summation makes the centroids
-    identical under any partitioning. Only k × dim aggregated doubles ever
-    reach the driver per iteration (same contract as MLlib's KMeans), so
-    the loop runs unchanged against a 100 TB vector table."""
-    init = vectors.orderBy("vec_id").limit(k).select("embedding").collect()
-    centroids = [[float(x) for x in r.embedding] for r in init]
-    from ..functions.numeric import decimal_avg
+    Sampling is `vec_id % m == 0` with m = ceil(n / max_sample): data-
+    independent, no RNG, so the same table always yields the same sample
+    regardless of partitioning. The sample (≤ max_sample × dim doubles,
+    ~2 MB) is collected once and iterated driver-side in numpy — at any
+    table size the distributed work is ONE count and ONE filtered
+    column-pruned scan, never per-iteration cluster jobs; assignment of
+    the full table (assign_cells) stays distributed with the trained
+    centroids as plan literals. Init = the k lowest-vec_id sampled
+    embeddings; argmin ties take the lowest cell; numpy reductions are
+    fixed-order → centroids are bit-identical across runs."""
+    import numpy as np
 
+    n = vectors.count()
+    m = max(1, -(-n // max_sample))
+    rows = (
+        vectors.filter((F.col("vec_id") % m) == 0)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    X = np.array(
+        [[float(v) for v in r.embedding] for r in rows], dtype=np.float64
+    )
+    C = X[:k].copy()
     for _ in range(iters):
-        assigned = assign_cells(vectors, centroids)
-        stats = (
-            assigned.select(
-                "cell",
-                F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                    "pos", "x"
-                ),
-            )
-            .groupBy("cell", "pos")
-            .agg(decimal_avg(F.col("x")).alias("m"))
-            .collect()
-        )
-        means = {(r.cell, r.pos): r.m for r in stats}
-        centroids = [
-            [means.get((c, i), centroids[c][i]) for i in range(dim)]
-            for c in range(len(centroids))
-        ]
-    return centroids
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return [[float(x) for x in row] for row in C]
 
 
 def ivf_kmeans_topk(

@@ -2657,3 +2657,119 @@ def docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.curation import curate_documents
 
     return curate_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_top_ngrams",
+    f"""
+WITH {_SHINGLE_CTES.strip()}
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM sh
+GROUP BY shingle
+ORDER BY doc_freq DESC, shingle
+LIMIT 20
+""",
+)
+def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram document frequencies (explode / lateral-view
+    surface): per-doc DISTINCT 3-gram shingles exploded and counted, top 20
+    with a full deterministic sort (doc_freq DESC, shingle ASC) so the
+    LIMIT cutoff is stable. The explode is map-side; one count shuffle;
+    at scale the final top-k is a partial top-k merge (takeOrdered), never
+    a full global sort spill."""
+    sh = D.doc_shingles(load_table(spark, sf_dir, "documents"), 3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_daily_type_pivot",
+    f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       {", ".join(f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+""",
+)
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: daily event counts spread into one column per event
+    type. The pivot values are DECLARED (no extra distinct-scan pass to
+    discover them — the plan is a single grouped aggregate with conditional
+    counts, same shape as the oracle's FILTER clauses)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    out = (
+        e.groupBy(day.alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)).cast("bigint"))
+    )
+    return out.na.fill(0, _EVENT_TYPES)
+
+
+@register(
+    "events_daily_gapfill",
+    """
+WITH span AS (
+  SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+),
+types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day, types.event_type,
+       COALESCE(n, 0) AS n_events
+FROM spine CROSS JOIN types
+LEFT JOIN actual ON actual.day = spine.day
+                AND actual.event_type = types.event_type
+""",
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series (date-spine surface): a generated day spine
+    (F.sequence over the observed min..max span, from a 1-row aggregate)
+    cross-joined with the distinct type set, left-joined to actual counts
+    with zero fill. The spine is tiny (days × types) and broadcast; the
+    fact side aggregates before joining, so the join never sees raw
+    events."""
+    e = load_table(spark, sf_dir, "events")
+    span = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    actual = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("aday"),
+        F.col("event_type").alias("atype"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        F.broadcast(spine)
+        .crossJoin(F.broadcast(types))
+        .join(
+            actual,
+            (F.col("day") == F.col("aday"))
+            & (F.col("event_type") == F.col("atype")),
+            "left",
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )

@@ -2897,3 +2897,58 @@ def events_sliding_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sliding_1h_value"
         ),
     )
+
+
+@register(
+    "docs_hash_sample",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 100 < 10
+""",
+)
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (the reproducible corpus-subsample
+    every training run needs — TABLESAMPLE/rand() are seed- and
+    partitioning-dependent, a multiplicative-hash residue is not). ~10%
+    keep rate, exact same membership on any engine, any partitioning, any
+    day — and the predicate pushes down to the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter((F.col("doc_id") * 2654435761) % 100 < 10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    """
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 9973, doc_id
+         ) AS rn
+  FROM documents
+) t
+WHERE rn <= 20
+""",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: a fixed-size quota per stratum (language),
+    drawn in deterministic pseudo-random order (multiplicative-hash rank
+    with doc_id tiebreak — no RNG, engine-portable). One shuffle on the
+    stratum key; at scale with hot strata this takes the same two-phase
+    salted form as top-k (operators/skew.py)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        ((F.col("doc_id") * 2654435761) % 9973).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "n_chars")
+    )

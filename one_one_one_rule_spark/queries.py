@@ -2952,3 +2952,45 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register("media_feature_knn")  # Pandas-UDF features: rows-only gate
+def media_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal retrieval: binary payloads → Arrow-batched
+    feature extraction (operators/multimodal.py:extract_features, decode
+    stubbed / plumbing real) → brute-force cosine top-3 per query medium
+    over the extracted dim-8 features. The expensive half (feature
+    extraction) is a map-only mapInPandas pass; scoring broadcasts the
+    5-row query side, so the plan is scan → Arrow batch → broadcast join →
+    per-query top-k — the exact shape of an image-dedup or caption-match
+    pass at 100 TB. Features come from a Python batch (numpy reduction
+    order), so the gate is rows-only; determinism across runs is asserted
+    in tests/test_streaming_multimodal.py."""
+    from pyspark.sql import Window
+
+    from .operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, dim=8).select("media_id", "feature")
+    q = feats.filter(F.col("media_id") < 5).select(
+        F.col("media_id").alias("qid"), F.col("feature").alias("q_feat")
+    )
+    pairs = feats.crossJoin(F.broadcast(q)).filter(
+        F.col("media_id") != F.col("qid")
+    )
+    dot = F.expr(
+        " + ".join(f"feature[{i}] * q_feat[{i}]" for i in range(8))
+    )
+    nv = F.sqrt(F.expr(" + ".join(f"feature[{i}] * feature[{i}]" for i in range(8))))
+    nq = F.sqrt(F.expr(" + ".join(f"q_feat[{i}] * q_feat[{i}]" for i in range(8))))
+    scored = pairs.select(
+        "qid",
+        "media_id",
+        F.when((nv > 0) & (nq > 0), dot / (nv * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("media_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "media_id", "cosine", "rn")
+    )

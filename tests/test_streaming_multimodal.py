@@ -164,3 +164,14 @@ def test_stateful_user_counts_converges_to_batch(spark, sf_dir, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
     assert got == want
+
+
+def test_media_feature_knn_deterministic(spark, sf_dir):
+    from one_one_one_rule_spark.queries import QUERIES
+
+    a = [tuple(r) for r in QUERIES["media_feature_knn"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["media_feature_knn"](spark, sf_dir).collect()]
+    assert sorted(a) == sorted(b)
+    assert len(a) == 5 * 3
+    qids = {t[0] for t in a}
+    assert qids == {0, 1, 2, 3, 4}

@@ -2994,3 +2994,59 @@ def media_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "media_id", "cosine", "rn")
     )
+
+
+@register(
+    "events_incremental_rollup",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 1e2
+         AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-merge aggregation: the daily rollup computed as two
+    independent partial aggregates (an 'already ingested' half and a 'new
+    arrivals' half, split mid-month) merged by key — counts add, exact
+    integer micro-unit sums add — and hash-gated against the single-pass
+    batch GROUP BY over everything. This is the mergeability contract that
+    makes incremental ingestion sound at scale: state(t+1) = merge(
+    state(t), agg(delta)) with no re-read of history. The merge itself is
+    a full-outer join on the (low-cardinality) group key with coalesce-to-
+    zero on each side."""
+    e = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 100).cast("bigint")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    split = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def part(df):
+        return df.groupBy(day.alias("day"), "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(micros).alias("s"),
+        )
+
+    old = part(e.filter(split)).withColumnsRenamed(
+        {"n": "n_old", "s": "s_old"}
+    )
+    new = part(e.filter(~split)).withColumnsRenamed(
+        {"n": "n_new", "s": "s_new"}
+    )
+    merged = old.join(new, ["day", "event_type"], "full_outer")
+    return merged.select(
+        "day",
+        "event_type",
+        (
+            F.coalesce(F.col("n_old"), F.lit(0))
+            + F.coalesce(F.col("n_new"), F.lit(0))
+        ).alias("n_events"),
+        (
+            (
+                F.coalesce(F.col("s_old"), F.lit(0))
+                + F.coalesce(F.col("s_new"), F.lit(0))
+            ).cast("double")
+            / 100
+        ).alias("total_value"),
+    )

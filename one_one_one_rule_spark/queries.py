@@ -3050,3 +3050,61 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("total_value"),
     )
+
+
+@register(
+    "order_priority_multiset_ops",
+    """
+SELECT custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM (
+  SELECT o_custkey AS custkey FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  EXCEPT ALL
+  SELECT o_custkey AS custkey FROM orders
+  WHERE o_orderstatus = 'F'
+) t
+GROUP BY custkey
+""",
+)
+def order_priority_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (§2.8): EXCEPT ALL — bag difference keeps
+    multiplicity (each 'F' order cancels ONE high-priority order of the
+    same customer), which DISTINCT-based EXCEPT destroys. Result folded to
+    (key, multiplicity) so the gate pins the bag counts exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    high = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("custkey"))
+    fstat = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        high.exceptAll(fstat)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("multiplicity"))
+    )
+
+
+@register(
+    "valuation_checks_unpivot",
+    oracles.with_valued(
+        """
+SELECT ticker, 'peg_pass' AS check_name, peg_pass AS verdict FROM valued
+UNION ALL
+SELECT ticker, 'pe_vs_sector_pass', pe_vs_sector_pass FROM valued
+UNION ALL
+SELECT ticker, 'margin_of_safety_pass', margin_of_safety_pass FROM valued
+"""
+    ),
+)
+def valuation_checks_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): the three tri-state screen verdicts melted
+    to (ticker, check_name, verdict) rows — the shape dashboards and
+    per-check aggregations want. Spark's native unpivot/melt (no
+    row-multiplying join; one pass, 3× rows out)."""
+    return _valued(spark, sf_dir).unpivot(
+        "ticker",
+        ["peg_pass", "pe_vs_sector_pass", "margin_of_safety_pass"],
+        "check_name",
+        "verdict",
+    )

@@ -23,47 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from one_one_one_rule_spark.queries import QUERIES  # noqa: E402
 from one_one_one_rule_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "valuation_full",
-    "fundamentals_cleanse",
-    "sector_medians",
-    "valuation_screen_stats",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "top_orders_per_customer",
-    "events_running_sum",
-    "events_hourly_rollup",
-    "docs_token_stats",
-    "docs_jaccard_pairs",
-    "docs_minhash_lsh_pairs",
-    "docs_simhash_pairs",
-    "docs_bpe_token_stats",
-    "docs_winnow_fingerprints",
-    "ann_cosine_topk",
-    "embeddings_neardup_lsh",
-    "ann_ivf_topk",
-    "events_sessionization",
-    "events_asof_purchase_click",
-    "events_rollup_type_day",
-    "q4_late_shipment_orders",
-    "top_orders_per_customer_salted",
-    "q6_revenue_delta",
-    "q10_returned_item_customers",
-    "q14_promo_revenue_pct",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "events_lead_lag",
-    "events_value_quantiles",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q13_order_count_distribution",
-    "q21_waiting_suppliers",
-    "ann_ivf_kmeans_topk",
-    "docs_top_ngrams",
-    "events_daily_gapfill",
-    "docs_curation",
-]
+# Bench the FULL query registry (registration order) so a perf regression
+# in any operator is visible per round, not just the original headline set.
+HEADLINE = list(QUERIES)
 
 
 def main() -> None:

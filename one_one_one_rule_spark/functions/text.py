@@ -37,7 +37,6 @@ def distinct_token_count(toks: Column) -> Column:
 
 def hits(toks: Column, words: tuple[str, ...]) -> Column:
     """Count of tokens in a fixed word list (JVM-side higher-order filter)."""
-    lst = ", ".join(f"'{w}'" for w in words)
     return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("bigint")
 
 

@@ -49,7 +49,10 @@ def asof_join_backward(
             + ">"
         ),
     )
-    r_tag = right.select(
+    # A NULL-ts right row would sort before every left row (asc = nulls
+    # first) and leak its payload as "preceding" data to the whole key —
+    # a NULL timestamp can never satisfy right.ts <= left.ts, so drop it.
+    r_tag = right.filter(F.col(ts).isNotNull()).select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_asof_side"),

@@ -7,8 +7,10 @@ Three tiers, all partition-parallel (no driver-side collects):
      fingerprint, group sizes bounded by duplicate multiplicity.
   2. exact n-gram Jaccard pairs — inverted-index join on shingles (the exact
      algorithm, expressible relationally). Cost is Σ per-shingle pair counts;
-     at 100 TB add a document-frequency cap on shingles (``max_df``) to drop
-     stop-shingles before the self-join, and/or switch to tier 3.
+     the ``max_df`` document-frequency cap drops stop-shingles before the
+     self-join (the fan-out bound that makes this tier survivable at scale —
+     one boilerplate shingle shared by 1M docs would otherwise emit 5·10¹¹
+     pairs); for true 100 TB corpora switch to tier 3.
   3. MinHash + banded LSH — fixed 16-permutation signature over a portable
      char-fold hash, 8 bands × 2 rows; candidates from band-bucket self-join;
      candidates verified with exact Jaccard. Deterministic (fixed seeds, no
@@ -125,11 +127,42 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.05
+def stop_shingle_filter(
+    sh: DataFrame, max_df: int, col: str = "shingle"
 ) -> DataFrame:
-    """Tier 2 — exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    """Drop stop-shingles (document frequency > ``max_df``) from the
+    inverted index before any self-join.
+
+    The df aggregate is map-side combinable; the HOT set (df > cap) is by
+    construction tiny — a handful of boilerplate shingles — so it
+    broadcasts and the cap is a broadcast left-anti join, never a shuffle
+    of the kept shingles. Bounds per-shingle join fan-out to
+    ``max_df``(``max_df``-1)/2 pairs."""
+    hot = (
+        sh.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select(col)
+    )
+    return sh.join(F.broadcast(hot), col, "left_anti")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Tier 2 — exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    ``max_df`` caps per-shingle document frequency BEFORE the self-join:
+    Jaccard is computed over the capped feature sets (sizes included), a
+    well-defined "stop-shingle-filtered resemblance" the DuckDB oracle
+    reproduces exactly. ``max_df=None`` restores the uncapped exact tier
+    (small corpora only — fan-out is quadratic in per-shingle df)."""
     sh = doc_shingles(docs, n)
+    if max_df is not None:
+        sh = stop_shingle_filter(sh, max_df)
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -172,12 +205,18 @@ def minhash_lsh_pairs(
     Plan shape: the per-doc hash-set relation (one explode+hash pass, one
     shuffle) feeds BOTH the band branch — signatures derived map-side via
     ``transform`` + ``array_min`` per permutation (min over the set == min
-    over the multiset) — and the verify branch. Logically single-pass; at
-    100 TB, persist/checkpoint the hash-set relation so the physical plan
-    shares it too (self-join branches otherwise re-derive it).
+    over the multiset) — and the verify branch. The relation is
+    ``localCheckpoint``-ed (eager) so the PHYSICAL plan shares it too:
+    without it each self-join branch re-derives the whole explode+hash+agg
+    pipeline from the parquet scan (3 scans → 1). The checkpointed rows
+    are one array of longs per doc — the compact representation, bounded
+    by corpus token count, spillable to disk.
     """
-    sets = _shingle_hash_multiset(docs, n).groupBy("doc_id").agg(
-        F.collect_set("h").alias("s")
+    sets = (
+        _shingle_hash_multiset(docs, n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+        .localCheckpoint(eager=True)
     )
     mins = [
         F.array_min(

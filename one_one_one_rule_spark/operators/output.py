@@ -44,10 +44,17 @@ def write_single_csv(df: DataFrame, path: str) -> str:
     large results should use the partitioned parquet sink instead.
     """
     tmp = path + ".__tmp__"
-    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
-    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
-    shutil.move(part, path)
-    shutil.rmtree(tmp)
+    try:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+        parts = glob.glob(os.path.join(tmp, "part-*.csv"))
+        if not parts:
+            raise RuntimeError(
+                f"CSV sink produced no part-*.csv under {tmp!r} — "
+                "check writer options (e.g. compression) and task logs"
+            )
+        shutil.move(parts[0], path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

@@ -316,6 +316,15 @@ def kmeans_centroids(
     X = np.array(
         [[float(v) for v in r.embedding] for r in rows], dtype=np.float64
     )
+    # Quantizer size contract: downstream assign_cells promises exactly k
+    # cells. Fewer sampled rows than k would silently shrink the cell
+    # space (C = X[:k]) and an empty table would crash — fail loudly.
+    if len(X) < k:
+        raise ValueError(
+            f"kmeans_centroids: need >= k={k} sampled vectors to train the "
+            f"quantizer, got {len(X)} (table too small or over-sampled m); "
+            "lower k or raise max_sample"
+        )
     C = X[:k].copy()
     for _ in range(iters):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)

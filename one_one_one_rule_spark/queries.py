@@ -124,6 +124,64 @@ def fundamentals_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fundamentals_fetch",
+    """
+WITH t AS (
+  SELECT s_suppkey AS n,
+         'T' || CAST(s_suppkey AS VARCHAR) AS ticker
+  FROM supplier
+)
+SELECT
+  ticker,
+  CASE WHEN n % 11 = 0 THEN 'Long ' || CAST(n AS VARCHAR)
+       ELSE 'Info ' || CAST(n AS VARCHAR) END AS company,
+  CASE WHEN n % 17 = 0 THEN 'Unknown'
+       ELSE 'SEC' || CAST(n % 7 AS VARCHAR) END AS sector,
+  CASE WHEN n % 3 = 0 THEN CAST(n AS DOUBLE) / 10.0e0 + 0.25e0
+       ELSE CAST(n AS DOUBLE) / 10.0e0 END AS price,
+  CASE WHEN n % 4 = 0 THEN CAST(n AS DOUBLE) * 2000000.0e0
+       ELSE CAST(n AS DOUBLE) * 1000000.0e0 END AS market_cap,
+  CASE WHEN n % 2 = 0 THEN 'USD' ELSE '' END AS currency,
+  CASE WHEN n % 5 = 0 THEN NULL
+       ELSE CAST(n % 40 AS DOUBLE) + 0.5e0 END AS trailing_pe,
+  CASE WHEN n % 6 = 0 THEN NULL
+       ELSE CAST(n % 35 AS DOUBLE) + 1.5e0 END AS forward_pe,
+  CAST(n % 21 AS DOUBLE) - 4.0e0 AS trailing_eps,
+  (CAST(n % 15 AS DOUBLE) - 3.0e0) * 1.2e0 AS forward_eps,
+  CASE WHEN n % 9 = 0 THEN NULL
+       WHEN n % 4 = 0 THEN 0.15e0
+       WHEN n % 4 = 1 THEN 15.0e0
+       WHEN n % 4 = 2 THEN 0.0e0
+       ELSE -0.05e0 END AS earnings_growth,
+  CASE WHEN n % 8 = 0 THEN 1.2e0
+       WHEN n % 8 = 1 THEN -0.5e0
+       ELSE NULL END AS peg_ratio,
+  (CAST(n % 25 AS DOUBLE) - 5.0e0) * 2.0e0 AS book_value_per_share,
+  CASE WHEN n % 10 = 0 THEN 50.0e0 ELSE NULL END AS target_mean_price
+FROM t
+""",
+)
+def fundamentals_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/F2 gate — the distributed ``mapInPandas`` fetch path run
+    end-to-end with the deterministic injected fetcher (the live yfinance
+    call swapped for arithmetic the oracle reproduces; every per-field
+    coalesce chain exercised). Reference: transform_valuation.py:42-96."""
+    from .sources.yfinance_source import (
+        fetch_fundamentals_distributed,
+        fixture_fetch,
+    )
+
+    tickers = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("T"), F.col("s_suppkey").cast("string")).alias(
+            "symbol"
+        )
+    )
+    return fetch_fundamentals_distributed(
+        tickers, fetch_fn=fixture_fetch, parallelism=8
+    )
+
+
+@register(
     "sector_medians",
     oracles.with_cleansed(
         """
@@ -697,26 +755,43 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id)
 """
 
 
+#: Stop-shingle document-frequency cap for the exact Jaccard tier. 5 is low
+#: enough to actually drop shingles at the sf0.01 correctness gate (max df
+#: there is 7) so the capped path is what gets hash-checked, and it is the
+#: scale guard: per-shingle self-join fan-out is bounded at 10 pairs.
+JACCARD_MAX_DF = 5
+
 @register(
     "docs_jaccard_pairs",
     f"""
 WITH {_SHINGLE_CTES.strip()},
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {JACCARD_MAX_DF}
+),
+capped AS (
+  SELECT sh.* FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+csizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
        CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
 FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
+JOIN csizes sa ON doc_a = sa.doc_id
+JOIN csizes sb ON doc_b = sb.doc_id
 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.05e0
 """,
 )
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index join tier)."""
-    return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), 3, 0.05)
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join tier) with
+    the df-capped stop-shingle filter — Jaccard over the capped feature
+    sets, identical cap in the oracle."""
+    return D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 3, 0.05, max_df=JACCARD_MAX_DF
+    )
 
 
 def _minhash_ctes() -> str:
@@ -3028,10 +3103,14 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(micros).alias("s"),
         )
 
+    # NULL-complete split: a NULL ts makes both `split` and `~split` NULL,
+    # which would silently drop the row from both halves while the
+    # single-pass oracle still emits a NULL-day group. Route NULL ts into
+    # the "new arrivals" half so every row lands in exactly one partial.
     old = part(e.filter(split)).withColumnsRenamed(
         {"n": "n_old", "s": "s_old"}
     )
-    new = part(e.filter(~split)).withColumnsRenamed(
+    new = part(e.filter(F.coalesce(~split, F.lit(True)))).withColumnsRenamed(
         {"n": "n_new", "s": "s_new"}
     )
     merged = old.join(new, ["day", "event_type"], "full_outer")

@@ -16,6 +16,94 @@ from collections.abc import Callable
 logger = logging.getLogger("one_one_one_rule_spark")
 
 
+#: Google Sheets MIME type (load_drive.py:18).
+SHEET_MIME = "application/vnd.google-apps.spreadsheet"
+FOLDER_MIME = "application/vnd.google-apps.folder"
+
+
+def escape_drive_query(text: str) -> str:
+    """F18 — escape single quotes for Drive search query strings
+    (load_drive.py:21-23)."""
+    return text.replace("'", "\\'")
+
+
+def build_find_file_query(name: str, folder_id: str | None = None) -> str:
+    """S9 — the find-existing-file-by-name Drive query
+    (load_drive.py:82-88), assertable offline."""
+    query = f"name='{escape_drive_query(name)}' and trashed=false"
+    if folder_id:
+        query += f" and '{folder_id}' in parents"
+    return query
+
+
+def build_find_folder_query(name: str, parent_id: str | None = None) -> str:
+    """S9 — the find-folder-by-name Drive query (load_drive.py:108-117)."""
+    query = (
+        f"mimeType='{FOLDER_MIME}'"
+        f" and name='{escape_drive_query(name)}' and trashed=false"
+    )
+    if parent_id:
+        query += f" and '{parent_id}' in parents"
+    return query
+
+
+def plan_drive_upload(
+    file_name: str,
+    existing: dict[str, tuple[str, str]] | None = None,
+    folder_id: str | None = None,
+    file_id: str | None = None,
+    mime_type: str = "text/csv",
+    convert_to_sheets: bool = True,
+    auth_mode: str = "service_account",
+) -> dict:
+    """S8 dry-run — reproduce upload_file's create-vs-update decision
+    (load_drive.py:185-274) without a Drive client.
+
+    ``existing`` models the remote state the find query would return:
+    ``{file_name: (file_id, mime_type)}``. Returns the decision record —
+    the find query issued, the branch taken, and the request metadata —
+    so branch parity with the reference is testable offline. Branch order
+    mirrors the reference exactly: explicit file_id wins; else find by
+    name; an existing non-Sheet file is NOT updated when
+    ``convert_to_sheets`` (Drive cannot convert in-place — fall through to
+    create, load_drive.py:219-235); creating with a service account
+    requires ``folder_id`` (0 storage quota, load_drive.py:250-256).
+    """
+    existing = existing or {}
+    query = None if file_id else build_find_file_query(file_name, folder_id)
+    if not file_id and file_name in existing:
+        file_id, _ = existing[file_name]
+    if file_id and convert_to_sheets:
+        # files().get(fileId) — unknown id (the get raises) or a non-Sheet
+        # mime both fall through to create (load_drive.py:219-235).
+        mimes = {fid: mime for fid, mime in existing.values()}
+        if mimes.get(file_id) != SHEET_MIME:
+            file_id = None  # can't convert in place — recreate as a Sheet
+    if file_id:
+        return {
+            "action": "update",
+            "file_id": file_id,
+            "query": query,
+            "media_mime": mime_type,
+        }
+    if auth_mode != "oauth" and not folder_id:
+        raise ValueError(
+            "folder_id is required to create a new file with a Service "
+            "Account (Service Accounts do not have their own storage quota)."
+        )
+    metadata: dict = {"name": file_name}
+    if folder_id:
+        metadata["parents"] = [folder_id]
+    if convert_to_sheets:
+        metadata["mimeType"] = SHEET_MIME
+    return {
+        "action": "create",
+        "metadata": metadata,
+        "query": query,
+        "media_mime": mime_type,
+    }
+
+
 class PostSink:
     """Interface: receives the local file written by the CSV sink (S7)."""
 

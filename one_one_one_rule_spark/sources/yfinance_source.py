@@ -53,26 +53,11 @@ def _first(*vals):
     return None
 
 
-def default_fetch(ticker: str) -> dict:
-    """S5 — flatten yfinance info/fast_info to the 14-field snapshot
-    (transform_valuation.py:42-87), with per-field coalesce chains."""
-    try:  # pragma: no cover - yfinance not installed here
-        import yfinance as yf
-    except Exception as exc:  # noqa: BLE001
-        raise NotImplementedError(
-            "yfinance is not available in this environment; inject fetch_fn "
-            "or use the parquet FixtureSource"
-        ) from exc
-
-    t = yf.Ticker(ticker)
-    try:
-        info = t.info or {}
-    except Exception:
-        info = {}
-    try:
-        fast = t.fast_info or {}
-    except Exception:
-        fast = {}
+def assemble_snapshot(ticker: str, info: dict, fast: dict) -> dict:
+    """S6 row assembly — flatten info/fast_info dicts to the 14-field
+    snapshot with the per-field F2 coalesce chains
+    (transform_valuation.py:42-87). Pure; exercised offline with injected
+    dicts and oracle-gated via the ``fundamentals_fetch`` registry query."""
     return {
         "ticker": ticker,
         "company": info.get("shortName") or info.get("longName") or "",
@@ -94,6 +79,67 @@ def default_fetch(ticker: str) -> dict:
         "book_value_per_share": info.get("bookValue"),
         "target_mean_price": info.get("targetMeanPrice"),
     }
+
+
+def default_fetch(ticker: str) -> dict:
+    """S5 — live yfinance fetch feeding :func:`assemble_snapshot`
+    (transform_valuation.py:42-96)."""
+    try:  # pragma: no cover - yfinance not installed here
+        import yfinance as yf
+    except Exception as exc:  # noqa: BLE001
+        raise NotImplementedError(
+            "yfinance is not available in this environment; inject fetch_fn "
+            "or use the parquet FixtureSource"
+        ) from exc
+
+    t = yf.Ticker(ticker)
+    try:
+        info = t.info or {}
+    except Exception:
+        info = {}
+    try:
+        fast = t.fast_info or {}
+    except Exception:
+        fast = {}
+    return assemble_snapshot(ticker, info, fast)
+
+
+def fixture_fetch(ticker: str) -> dict:
+    """Deterministic offline stand-in for the live fetch (S5 gate): derives
+    info/fast dicts from the ticker's numeric suffix with pure arithmetic so
+    the assembled snapshot is reproducible in ANSI SQL (the
+    ``fundamentals_fetch`` oracle). Field placement exercises every F2
+    fallback branch: price present in fast only for n%3==0 (else falls to
+    info), market_cap in fast only for n%4==0, currency never in info, names
+    missing from shortName every 11th ticker."""
+    n = int(ticker[1:])
+    info = {
+        "shortName": None if n % 11 == 0 else f"Info {n}",
+        "longName": f"Long {n}",
+        "sector": None if n % 17 == 0 else f"SEC{n % 7}",
+        "currentPrice": n / 10.0,
+        "marketCap": n * 1000000.0,
+        "trailingPE": None if n % 5 == 0 else (n % 40) + 0.5,
+        "forwardPE": None if n % 6 == 0 else (n % 35) + 1.5,
+        "trailingEps": (n % 21) - 4.0,
+        "forwardEps": ((n % 15) - 3.0) * 1.2,
+        "earningsGrowth": None
+        if n % 9 == 0
+        else (
+            0.15
+            if n % 4 == 0
+            else 15.0 if n % 4 == 1 else 0.0 if n % 4 == 2 else -0.05
+        ),
+        "pegRatio": 1.2 if n % 8 == 0 else (-0.5 if n % 8 == 1 else None),
+        "bookValue": ((n % 25) - 5.0) * 2.0,
+        "targetMeanPrice": 50.0 if n % 10 == 0 else None,
+    }
+    fast = {
+        "last_price": n / 10.0 + 0.25 if n % 3 == 0 else None,
+        "market_cap": n * 2000000.0 if n % 4 == 0 else None,
+        "currency": "USD" if n % 2 == 0 else None,
+    }
+    return assemble_snapshot(ticker, info, fast)
 
 
 def fetch_fundamentals_distributed(

@@ -195,7 +195,8 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     invariant — float accumulation across arbitrary micro-batch boundaries
     would drift.
     """
-    import pandas as pd  # local: executors import lazily
+    import numpy as np  # local: executors import lazily
+    import pandas as pd
 
     def update(key, pdfs, state):
         n = 0
@@ -205,9 +206,13 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += int(len(pdf))
             # round per ROW before summing: identical to the batch form
-            # sum(round(value*100)) whatever the micro-batch splits are
+            # sum(round(value*100)) whatever the micro-batch splits are.
+            # HALF_UP (away from zero) to match F.round / the SQL oracle —
+            # pandas .round() is banker's half-even and diverges on exact
+            # .5 midpoints (e.g. 3+ decimal inputs).
+            v = pdf["value"].to_numpy(dtype="float64") * 100.0
             micros += int(
-                pdf["value"].mul(100).round().astype("int64").sum()
+                (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
             )
         state.update((n, micros))
         yield pd.DataFrame(

@@ -94,3 +94,199 @@ def test_single_csv_sink_and_post_sink(spark, tmp_path):
     dest2 = ship(path, sink, "valuations.csv")
     assert dest1 == dest2 and os.path.exists(dest1)
     assert ship(path, None) is None
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 — Wikipedia constituents probe on fixture HTML (offline)
+# ---------------------------------------------------------------------------
+
+WIKI_FIXTURE = """
+<html><body>
+<table>
+  <tr><th>Date</th><th>Event</th></tr>
+  <tr><td>1999</td><td>Index launched</td></tr>
+</table>
+<table>
+  <tr><th>Company</th><th>Ticker</th><th>Sector</th></tr>
+  {rows}
+</table>
+<table>
+  <tr><th>Symbol</th></tr>
+  <tr><td>ONLY1</td></tr>
+</table>
+</body></html>
+"""
+
+
+def _wiki_html(n=85):
+    rows = "\n".join(
+        f"  <tr><td>Company {i}</td><td>tk.{i:03d}</td><td>Tech</td></tr>"
+        for i in range(n)
+    )
+    return WIKI_FIXTURE.format(rows=rows)
+
+
+def test_probe_fixture_html_passes_gate(spark):
+    from one_one_one_rule_spark.sources.tickers import (
+        parse_html_tables,
+        probe_ticker_tables,
+        tickers_from_html,
+    )
+
+    html = _wiki_html(85)
+    tables = parse_html_tables(html)
+    assert len(tables) == 3  # decoy, constituents, short table all parsed
+    syms = probe_ticker_tables(tables)
+    # normalized (strip/upper/.->-), sorted distinct, >= 80 gate passed
+    assert syms is not None and len(syms) == 85
+    assert syms[0] == "TK-000" and syms == sorted(syms)
+
+    df = tickers_from_html(spark, html)
+    assert df is not None
+    assert df.count() == 85
+
+
+def test_probe_gate_rejects_short_table(spark):
+    from one_one_one_rule_spark.sources.tickers import (
+        parse_html_tables,
+        probe_ticker_tables,
+        tickers_from_html,
+    )
+
+    html = _wiki_html(40)  # constituents table below the >=80 sanity gate
+    assert probe_ticker_tables(parse_html_tables(html)) is None
+    assert tickers_from_html(spark, html) is None
+
+
+def test_probe_dedups_before_gate():
+    from one_one_one_rule_spark.sources.tickers import probe_ticker_tables
+
+    # 100 raw rows but only 50 distinct normalized symbols -> rejected:
+    # the gate applies to the normalized distinct universe, not raw rows.
+    class T:
+        columns = ["Ticker"]
+
+        def __getitem__(self, key):
+            return [f"DUP{i % 50}" for i in range(100)]
+
+    assert probe_ticker_tables([T()]) is None
+
+
+# ---------------------------------------------------------------------------
+# S8/S9/F18 — Drive sink dry-run planner (offline branch parity)
+# ---------------------------------------------------------------------------
+
+
+def test_drive_query_escaping_and_shapes():
+    from one_one_one_rule_spark.sources.sinks import (
+        FOLDER_MIME,
+        build_find_file_query,
+        build_find_folder_query,
+        escape_drive_query,
+    )
+
+    assert escape_drive_query("bob's data.csv") == "bob\\'s data.csv"
+    q = build_find_file_query("bob's data.csv", folder_id="F1")
+    assert q == "name='bob\\'s data.csv' and trashed=false and 'F1' in parents"
+    assert build_find_file_query("a.csv") == "name='a.csv' and trashed=false"
+    fq = build_find_folder_query("reports", parent_id="P")
+    assert fq == (
+        f"mimeType='{FOLDER_MIME}' and name='reports' and trashed=false"
+        " and 'P' in parents"
+    )
+
+
+def test_drive_upload_plan_branches():
+    from one_one_one_rule_spark.sources.sinks import (
+        SHEET_MIME,
+        plan_drive_upload,
+    )
+    import pytest as _pytest
+
+    # create: no existing file, folder known, convert -> Sheets MIME metadata
+    plan = plan_drive_upload("v.csv", existing={}, folder_id="F1")
+    assert plan["action"] == "create"
+    assert plan["metadata"] == {
+        "name": "v.csv",
+        "parents": ["F1"],
+        "mimeType": SHEET_MIME,
+    }
+    assert "name='v.csv'" in plan["query"]
+
+    # update: found by name as an existing Sheet
+    plan = plan_drive_upload(
+        "v.csv", existing={"v.csv": ("ID9", SHEET_MIME)}, folder_id="F1"
+    )
+    assert plan == {
+        "action": "update",
+        "file_id": "ID9",
+        "query": "name='v.csv' and trashed=false and 'F1' in parents",
+        "media_mime": "text/csv",
+    }
+
+    # found but NOT a Sheet while converting -> recreate (load_drive.py:219-235)
+    plan = plan_drive_upload(
+        "v.csv", existing={"v.csv": ("ID9", "text/csv")}, folder_id="F1"
+    )
+    assert plan["action"] == "create"
+
+    # no conversion: update whatever was found
+    plan = plan_drive_upload(
+        "v.csv",
+        existing={"v.csv": ("ID9", "text/csv")},
+        folder_id="F1",
+        convert_to_sheets=False,
+    )
+    assert plan["action"] == "update" and plan["file_id"] == "ID9"
+
+    # explicit file_id skips the find query entirely
+    plan = plan_drive_upload(
+        "v.csv",
+        existing={"other": ("IDX", SHEET_MIME)},
+        folder_id="F1",
+        file_id="IDX",
+    )
+    assert plan["action"] == "update" and plan["query"] is None
+
+    # explicit-but-unknown file_id while converting -> get() fails -> create
+    plan = plan_drive_upload(
+        "v.csv", existing={}, folder_id="F1", file_id="GONE"
+    )
+    assert plan["action"] == "create" and plan["query"] is None
+
+    # service account creating without a folder -> hard error
+    with _pytest.raises(ValueError, match="folder_id is required"):
+        plan_drive_upload("v.csv", existing={})
+
+    # oauth may create in root; no parents in metadata
+    plan = plan_drive_upload("v.csv", existing={}, auth_mode="oauth")
+    assert plan["action"] == "create" and "parents" not in plan["metadata"]
+
+
+def test_assemble_snapshot_coalesce_chains():
+    from one_one_one_rule_spark.sources.yfinance_source import (
+        assemble_snapshot,
+        fixture_fetch,
+    )
+
+    # fast wins over info; '' name falls through; missing sector -> Unknown
+    snap = assemble_snapshot(
+        "T1",
+        {"shortName": "", "longName": "Long", "currentPrice": 9.0},
+        {"last_price": 10.0, "currency": None},
+    )
+    assert snap["company"] == "Long"
+    assert snap["sector"] == "Unknown"
+    assert snap["price"] == 10.0  # fast.last_price preferred
+    assert snap["currency"] == ""
+
+    snap = assemble_snapshot(
+        "T1", {"currentPrice": 9.0, "currency": "EUR"}, {}
+    )
+    assert snap["price"] == 9.0 and snap["currency"] == "EUR"
+
+    # fixture fetcher: deterministic and fully assembled
+    a, b = fixture_fetch("T12"), fixture_fetch("T12")
+    assert a == b and a["ticker"] == "T12"
+    assert fixture_fetch("T9")["market_cap"] == 9e6  # info fallback
+    assert fixture_fetch("T8")["market_cap"] == 16e6  # fast wins

@@ -978,7 +978,9 @@ def _srp_sig_sql(n_planes: int, emb: str) -> str:
     )
 
 
-def _neardup_sql() -> str:
+def _neardup_ctes() -> str:
+    """CTE chain ending in ``pairs(vec_a, vec_b, cosine)`` — shared by the
+    pair query and the clusters oracle (which wraps it in a recursive CTE)."""
     from .operators.similarity import (
         NEARDUP_COSINE,
         SRP_BAND_BITS,
@@ -990,8 +992,7 @@ def _neardup_sql() -> str:
     dot = " + ".join(
         f"ea.e[{i + 1}] * eb.e[{i + 1}]" for i in range(EMBED_DIM)
     )
-    return f"""
-WITH sigs AS (
+    return f"""sigs AS (
   SELECT vec_id, {_srp_sig_sql(SRP_PLANES, "embedding")} AS srp_sig
   FROM embeddings
 ),
@@ -1010,12 +1011,20 @@ normed AS (
          list_transform(embedding,
                         x -> CAST(x AS DOUBLE) / ({norm_chain_sql("embedding", EMBED_DIM)})) AS e
   FROM embeddings
-)
-SELECT vec_a, vec_b, ({dot}) AS cosine
-FROM cand
-JOIN normed ea ON vec_a = ea.vec_id
-JOIN normed eb ON vec_b = eb.vec_id
-WHERE ({dot}) >= {NEARDUP_COSINE}e0
+),
+pairs AS (
+  SELECT vec_a, vec_b, ({dot}) AS cosine
+  FROM cand
+  JOIN normed ea ON vec_a = ea.vec_id
+  JOIN normed eb ON vec_b = eb.vec_id
+  WHERE ({dot}) >= {NEARDUP_COSINE}e0
+)"""
+
+
+def _neardup_sql() -> str:
+    return f"""
+WITH {_neardup_ctes()}
+SELECT vec_a, vec_b, cosine FROM pairs
 """
 
 
@@ -3187,3 +3196,219 @@ def valuation_checks_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check_name",
         "verdict",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: CUBE, binned range join, distribution windows,
+# embedding dup clusters, streaming session windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_type_day_cube",
+    """
+WITH e AS (
+  SELECT event_type,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         value
+  FROM events
+)
+SELECT event_type, day,
+       CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM e
+GROUP BY CUBE (event_type, day)
+""",
+)
+def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional rollup via CUBE(event_type, day): all four
+    grouping sets (type x day, type, day, grand total) in ONE pass with
+    ``grouping_id`` disambiguating NULL-as-subtotal from NULL data — the
+    OLAP cube shape. Spark expands the sets map-side and shares the
+    single shuffle; at scale this beats four separate groupBys by 4x on
+    scan + shuffle volume."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        e.cube("event_type", "day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            decimal_sum(F.col("value")).alias("total_value"),
+        )
+        .select("event_type", "day", "gid", "n_events", "total_value")
+    )
+
+
+#: Value-tier band dimension for the range join: (band, lo, hi), hi exclusive.
+VALUE_BANDS = [
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("mid", 50.0, 100.0),
+    ("large", 100.0, 1000.0),
+]
+
+
+@register(
+    "events_value_band_join",
+    f"""
+WITH bands(band, lo, hi) AS (
+  VALUES {", ".join(f"('{b}', {lo:.1f}e0, {hi:.1f}e0)" for b, lo, hi in VALUE_BANDS)}
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+""",
+)
+def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (value -> containing [lo, hi) band) executed as the
+    scale-safe bucketed equi-join (operators/rangejoin.py): band intervals
+    exploded into coarse buckets, broadcast hash join on the bucket key,
+    exact residual predicate — never the O(|fact| x |bands|) broadcast
+    nested loop a raw theta join plans to. Oracle states the same join
+    declaratively with BETWEEN semantics."""
+    from .operators.rangejoin import bucketed_range_join
+
+    e = load_table(spark, sf_dir, "events").select("value")
+    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    return (
+        bucketed_range_join(e, bands, "value", width=10.0, max_bucket=10)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            decimal_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "customer_balance_distribution",
+    """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+""",
+)
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank + cume_dist of account balance
+    within market segment. Tie groups share ranks, so ordering by the
+    value alone stays deterministic; both engines compute (rank-1)/(n-1)
+    and peers/n in identical double arithmetic."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+def _neardup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_neardup_ctes()},
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (
+  SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+),
+sz AS (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY cluster_id)
+SELECT vec_id, lab.cluster_id,
+       CAST(n AS BIGINT) AS cluster_size,
+       vec_id = lab.cluster_id AS is_canonical
+FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id
+"""
+
+
+@register("embeddings_neardup_clusters", _neardup_clusters_sql())
+def embeddings_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: connected components (iterative
+    min-label propagation, operators/dedup.py:dup_clusters) over the
+    SRP-LSH cosine pair graph, electing min vec_id as canonical — the
+    actionable form of embedding dedup (keep one representative per
+    cluster). Gated on exact cluster assignments via the recursive
+    reachability oracle."""
+    pairs = cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings")
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return D.dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+    )
+
+
+@register(
+    "events_stream_sessionization",
+    ORACLES["events_sessionization"],
+)
+def events_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) computed THROUGH Structured
+    Streaming — session_window merges partial sessions across micro-batches
+    under the watermark — and checked against the same gaps-and-islands
+    oracle as the batch query. State per (user, open session) is evicted
+    once the watermark passes the session end, so the operator runs forever
+    on an unbounded stream."""
+    import uuid
+
+    name = "stream_gate_" + uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            decimal_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1385,6 +1385,39 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _drain_stream(
+    spark: SparkSession, sdf: DataFrame, name: str, mode: str,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Start + drain a streaming gate query (availableNow -> memory sink)
+    with a bounded number of state partitions.
+
+    Stateful streaming operators keep one state store per shuffle
+    partition (two PER SIDE for stream-stream joins), and each store pays
+    setup/commit/checkpoint overhead every micro-batch. The session
+    default (32) therefore spins up 32-128 stores holding kilobytes each
+    at gate scale - pure fixed cost. Pinning the drain to 8 cuts that 4x
+    without touching semantics; shuffle.partitions is restored afterwards.
+    At production scale this knob is sized to cluster cores x state volume
+    (state partition count is fixed at first start by the checkpoint, so
+    it is a deploy-time decision there, not a per-run one)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
 @register(
     "events_stream_hourly_rollup",
     ORACLES["events_hourly_rollup"],
@@ -1428,15 +1461,7 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             int_avg(k).alias("avg_k"),
         )
     )
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_stream(spark, rolled, name, "complete")
 
 
 # ---------------------------------------------------------------------------
@@ -1822,18 +1847,10 @@ def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    q = (
-        stateful_user_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    drained = _drain_stream(spark, stateful_user_counts(stream), name, "update")
     # last update per user == converged state (n_events is monotone)
     return (
-        spark.table(name)
+        drained
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -1882,16 +1899,7 @@ def events_stream_purchase_click_join(
         .load(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    q = (
-        purchase_click_join_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_stream(spark, purchase_click_join_stream(stream), name, "append")
 
 
 @register(
@@ -2580,16 +2588,7 @@ def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
-    q = (
-        enrich_stream(stream, dim)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_stream(spark, enrich_stream(stream, dim), name, "append")
 
 
 @register(
@@ -2618,16 +2617,9 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    q = (
-        dedup_within_watermark_stream(stream, ("user_id", "event_type"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _drain_stream(
+        spark, dedup_within_watermark_stream(stream, ("user_id", "event_type")), name, "append"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @register("ann_ivf_kmeans_topk")  # approximate by design: no SQL oracle
@@ -3403,12 +3395,4 @@ def events_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_stream(spark, sessions, name, "complete")

@@ -112,3 +112,29 @@ def char_fold_hash_sql(expr: str) -> str:
         f"list_reduce(list_prepend(0, list_transform(string_split({expr},''),"
         f" x -> CAST(ascii(x) AS BIGINT))), (a,b) -> (a*131+b) % {HASH_P})"
     )
+
+
+def md5_hash48(col: Column | str) -> Column:
+    """Portable 48-bit string hash: the first 12 hex chars of md5 parsed as
+    an integer.
+
+    md5 over UTF-8 bytes is engine-invariant, and on the Spark side it is
+    a single native JVM intrinsic per value — no per-character lambda in
+    the hot path (the char-fold hash costs O(len) interpreted aggregate
+    steps per string; this is the fast form for corpus-scale hashing).
+    The DuckDB mirror folds only the 12 hex chars. Always non-negative.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("binary")), 1, 12), 16, 10
+    ).cast("bigint")
+
+
+def md5_hash48_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`md5_hash48` for oracle SQL."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substring(md5({expr}), 1, 12), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )

@@ -12,9 +12,11 @@ Three tiers, all partition-parallel (no driver-side collects):
      one boilerplate shingle shared by 1M docs would otherwise emit 5·10¹¹
      pairs); for true 100 TB corpora switch to tier 3.
   3. MinHash + banded LSH — fixed 16-permutation signature over a portable
-     char-fold hash, 8 bands × 2 rows; candidates from band-bucket self-join;
-     candidates verified with exact Jaccard. Deterministic (fixed seeds, no
-     RNG at runtime), so even this is oracle-checkable in DuckDB.
+     md5-prefix hash (native JVM intrinsic map-side — no per-character
+     lambda in the corpus hot path), 8 bands × 2 rows; candidates from
+     band-bucket self-join; candidates verified with exact Jaccard.
+     Deterministic (fixed seeds, no RNG at runtime), so even this is
+     oracle-checkable in DuckDB.
   4. SimHash — 16-bit signed-bit-vote fingerprint over distinct-token
      hashes; Hamming-ball pairing via 4×4-bit pigeonhole blocking (any pair
      within Hamming distance ≤ 3 shares at least one exact 4-bit band).
@@ -25,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import HASH_P, char_fold_hash, prefix_fingerprint, shingles_expr
+from ..functions.text import (
+    HASH_P,
+    md5_hash48,
+    prefix_fingerprint,
+    shingles_expr,
+)
 
 #: Fixed MinHash permutation seeds (a, b) — shared verbatim with the DuckDB
 #: oracle; a is odd, both < 2^31-1. 16 perms → 8 bands × 2 rows.
@@ -81,7 +88,7 @@ def _shingle_hash_multiset(docs: DataFrame, n: int = 3) -> DataFrame:
     return (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .select("doc_id", F.explode(shingles_expr("w", n)).alias("shingle"))
-        .select("doc_id", char_fold_hash("shingle").alias("h"))
+        .select("doc_id", (md5_hash48("shingle") % HASH_P).alias("h"))
     )
 
 
@@ -278,12 +285,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Spark-first iterative algorithm: each round joins labels to the
     symmetric edge list, takes the min neighbor label per node, and
     coalesces with the node's own label — label arrays stay distributed;
-    the driver sees only the 1-row convergence count per round.
+    the driver sees only a 1-row convergence aggregate per round.
     ``localCheckpoint`` truncates the growing lineage each round (without
-    it, round k re-plans rounds 1..k-1). Converges in O(component
-    diameter) rounds; near-dup components are dense (clique-ish), so
-    real corpora converge in 2-4. Raises after ``max_iter`` rounds rather
-    than returning a half-propagated labeling.
+    it, round k re-plans rounds 1..k-1); it is lazy and materialized by
+    the convergence action, so each round costs exactly ONE job.
+    Convergence detection is the label-sum fixpoint: labels are
+    monotonically non-increasing per node, so the global SUM(lbl) strictly
+    decreases until the fixpoint — an aggregate-only check, with no
+    old-vs-new join in the loop. Converges in O(component diameter)
+    rounds; near-dup components are dense (clique-ish), so real corpora
+    converge in 2-4. Raises after ``max_iter`` rounds rather than
+    returning a half-propagated labeling.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -298,8 +310,9 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             F.col("u").alias("doc_id"),
             F.least(F.col("u"), F.col("minv")).alias("lbl"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -308,7 +321,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        labels = (
             labels.join(
                 neigh.select(F.col("u").alias("doc_id"), "nlbl"),
                 "doc_id",
@@ -320,17 +333,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds"

@@ -749,7 +749,8 @@ shm AS (
   FROM dtoks
 ),
 hashed AS (
-  SELECT DISTINCT doc_id, {T.char_fold_hash_sql("shingle")} AS h FROM shm
+  SELECT DISTINCT doc_id, {T.md5_hash48_sql("shingle")} % {T.HASH_P} AS h
+  FROM shm
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id)
 """
@@ -3396,3 +3397,582 @@ def events_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_stream(spark, sessions, name, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 surface: grouped sufficient-statistics ML primitives, ROLLUP
+# hierarchy, TF-IDF term profiling, relational division, funnel analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_brand_price_size_lm",
+    """
+WITH s AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM (SELECT p_brand,
+               CAST(p_size AS BIGINT) AS x,
+               CAST(round(p_retailprice * 1e2) AS BIGINT) AS y
+        FROM part)
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_size_price,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) / 1e2 AS slope_per_size,
+       (CAST(sy AS DOUBLE) / n
+        - CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE)
+          * CAST(sx AS DOUBLE) / n) / 1e2 AS intercept
+FROM s
+""",
+)
+def part_brand_price_size_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation + OLS fit (slope/intercept) of retail
+    price on size per brand, computed from EXACT integer sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy over bigint micro-cents).
+
+    This is the distributed-ML moment pattern: the six moments are one
+    map-side-combinable aggregate (one shuffle of 6 longs per group — the
+    same shape at 100 TB), and corr/slope/intercept are a handful of
+    closed-form double ops on exactly-equal integers, so the result is
+    bit-deterministic under any partitioning and across engines — unlike
+    F.corr/F.covar_samp, whose float accumulation is merge-order-dependent.
+    The same six moments back every normal-equation fit (y = a + bx).
+    """
+    p = load_table(spark, sf_dir, "part")
+    base = p.select(
+        "p_brand",
+        F.col("p_size").cast("bigint").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("y"),
+    )
+    s = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope_m = cov_n / var_x
+    return s.select(
+        "p_brand",
+        "n",
+        (cov_n / F.sqrt(var_x * var_y)).alias("corr_size_price"),
+        (slope_m / F.lit(100.0)).alias("slope_per_size"),
+        (
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope_m * (F.col("sx").cast("double") / F.col("n"))
+            )
+            / F.lit(100.0)
+        ).alias("intercept"),
+    )
+
+
+@register(
+    "region_nation_revenue_rollup",
+    """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def region_nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP(region, nation) revenue: nation detail, region
+    subtotals, grand total in ONE shuffled aggregate (grouping_id
+    disambiguates subtotal NULLs from data NULLs). The geography dims and
+    customer broadcast; lineitem-orders is the only big shuffle, and the
+    rollup's three grouping sets share it — at scale this is 3 report
+    levels for the price of one scan + one exchange."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .select("r_name", "n_name", "gid", "n_lineitems", "revenue")
+    )
+
+
+@register(
+    "docs_tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+idf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+         CAST(tf.tf * nd.n_docs AS DOUBLE) / idf.df AS tfidf
+  FROM tf JOIN idf USING (term) CROSS JOIN nd
+  WHERE tf.doc_id % 97 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (document-frequency statistics over
+    the FULL corpus; scoring projected onto a deterministic doc subset to
+    bound output).
+
+    The idf factor is the LINEAR inverse n_docs/df, not log(n_docs/df):
+    tf·N and df are exact integers, so one double divide is
+    bit-deterministic across engines, while log() is libm-dependent in the
+    last ulp (the log variant is a one-expression swap where cross-engine
+    hashing isn't required). Plan shape: explode → two map-side-combined
+    aggregates (term stats are corpus-wide, shuffled by term once, then by
+    doc for the top-k window); the scalar n_docs attaches as a broadcast.
+    At 100 TB the df relation is the only corpus-global state and it is
+    vocabulary-sized, not corpus-sized. The (doc, term, tf) index is
+    materialized once (localCheckpoint) and feeds BOTH the df aggregate
+    and the scoring branch — without it each branch re-runs the
+    corpus-wide explode+count; the scoring subset is tiny after its
+    doc filter, so it broadcasts into the vocabulary-sized df join."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        F.broadcast(tf.filter(F.col("doc_id") % 97 == 0))
+        .join(idf, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
+@register(
+    "suppliers_full_coverage",
+    """
+WITH probe AS (SELECT p_partkey FROM part WHERE p_partkey % 1000 = 0),
+sp AS (
+  SELECT DISTINCT l_suppkey, l_partkey
+  FROM lineitem JOIN probe ON l_partkey = p_partkey
+),
+cov AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_covered
+  FROM sp GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_covered
+FROM cov JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_covered = (SELECT COUNT(*) FROM probe)
+""",
+)
+def suppliers_full_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: suppliers that shipped EVERY part in a probe
+    set (for-all semantics via count-matching — the standard decorrelated
+    form: distinct supplier×probe-part hits, grouped, kept when the hit
+    count equals the probe cardinality). The probe is broadcast both as a
+    semi-join filter (so lineitem is pruned before its only shuffle) and
+    as a 1-row scalar for the final equality. No correlated subquery
+    survives in the plan, so the shape holds at any fact-table scale."""
+    part = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    probe = part.filter(F.col("p_partkey") % 1000 == 0).select("p_partkey")
+    sp = (
+        l.join(F.broadcast(probe), l.l_partkey == probe.p_partkey)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    cov = sp.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_covered")
+    )
+    total = probe.agg(F.count(F.lit(1)).alias("n_probe"))
+    return (
+        cov.crossJoin(F.broadcast(total))
+        .filter(F.col("n_covered") == F.col("n_probe"))
+        .join(F.broadcast(s), cov.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "n_covered")
+    )
+
+
+@register(
+    "events_funnel_daily",
+    """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+c AS (
+  SELECT user_id, ts,
+         EXISTS (
+           SELECT 1 FROM e p
+           WHERE p.event_type = 'purchase' AND p.user_id = c0.user_id
+             AND p.ts >= c0.ts AND p.ts <= c0.ts + INTERVAL 1 HOUR
+         ) AS converted
+  FROM e c0 WHERE event_type = 'click'
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_clickers,
+       CAST(COUNT(DISTINCT CASE WHEN converted THEN user_id END) AS BIGINT)
+         AS n_converted
+FROM c GROUP BY 1
+""",
+)
+def events_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click→purchase conversion funnel: per day, distinct clicking
+    users and the subset whose click is followed by a purchase by the same
+    user within 1 hour.
+
+    The oracle states it as a correlated EXISTS; the Spark plan is the
+    scale-safe sequence form — ONE window pass per user (min purchase
+    timestamp over RANGE CURRENT ROW..UNBOUNDED FOLLOWING) instead of a
+    time-range self-join. The RANGE frame (not ROWS) makes equal-timestamp
+    purchase peers visible to the click regardless of intra-key sort
+    order, so the result is tie-deterministic. One shuffle by user_id plus
+    the final daily aggregate; no join, no fan-out — the funnel shape that
+    survives 100 TB of events."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(0, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", us)
+    ).over(w)
+    clicks = (
+        e.withColumn("np_us", next_purchase)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+            (
+                (F.col("np_us") - us) <= F.lit(3_600_000_000)
+            ).alias("converted"),
+        )
+    )
+    return clicks.groupBy("day").agg(
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_clickers"),
+        F.count_distinct(
+            F.when(F.col("converted"), F.col("user_id"))
+        ).cast("bigint").alias("n_converted"),
+    )
+
+
+@register(
+    "events_user_retention",
+    """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+),
+coh AS (SELECT user_id, MIN(d) AS cd FROM act GROUP BY user_id)
+SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', cd, d) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_active
+FROM act JOIN coh ON act.user_id = coh.user_id
+WHERE datediff('day', cd, d) <= 13
+GROUP BY 1, 2
+""",
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day; per cohort, the
+    count of distinct users active at each day offset (0..13). Two
+    aggregates over the same user-keyed relation — the distinct-activity
+    set and its per-user min — joined back on user_id (both sides arrive
+    hash-partitioned by user_id from their aggregates, so the join adds no
+    third shuffle). The day_offset cap keeps the output cohort×14 sized
+    regardless of corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cd"))
+    return (
+        act.join(coh, "user_id")
+        .select(
+            F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cd").cast("bigint").alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= 13)
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("n_active")
+        )
+    )
+
+
+def _contamination_sql(n: int = 4) -> str:
+    from .functions import text as T
+
+    concat = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(n))
+    return f"""
+WITH dtoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shm AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {n}
+                THEN list_transform(range(len(w) - {n - 1}), i -> {concat})
+                ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM dtoks
+),
+hashed AS (
+  SELECT DISTINCT doc_id, {T.md5_hash48_sql("shingle")} % {T.HASH_P} AS h
+  FROM shm
+),
+bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 101 = 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM hashed JOIN bench USING (h)
+WHERE doc_id % 101 <> 0
+GROUP BY doc_id
+"""
+
+
+@register("docs_contamination_check", _contamination_sql())
+def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (train/test overlap): corpus documents
+    sharing at least one n-token shingle with a held-out benchmark set
+    (here the deterministic doc_id%101 slice), with the shared-shingle
+    count as evidence strength. n is a parameter; production contamination
+    checks use 8-13-gram windows — the gate pins n=4, the smallest size
+    that is non-vacuous (nonzero hits) on the fixture corpus.
+
+    The decisive scale property: the benchmark side is SMALL by definition
+    (eval suites are 10^4-10^6 items), so its distinct shingle-hash set
+    broadcasts and the 100 TB corpus side streams map-side through the
+    semi-join as a raw MULTISET — no corpus-wide distinct, no
+    corpus-sized shuffle anywhere: the only exchange carries the matched
+    hits, and the distinct-shared-shingle count dedups inside that tiny
+    per-hit aggregate. The benchmark branch's doc_id filter pushes down
+    to its scan, so it never reads the rest of the corpus. Shingles are
+    hashed in the scan stage (8-byte longs, never strings,
+    operators/dedup.py)."""
+    from .operators.dedup import _shingle_hash_multiset
+
+    docs = load_table(spark, sf_dir, "documents")
+    shm = _shingle_hash_multiset(docs, n=4)
+    is_bench = F.col("doc_id") % 101 == 0
+    bench_h = shm.filter(is_bench).select("h").distinct()
+    return (
+        shm.filter(~is_bench)
+        .join(F.broadcast(bench_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("h")).cast("bigint").alias("n_shared"))
+    )
+
+
+@register(
+    "orders_merge_upsert",
+    """
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+delta AS (
+  SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN d.o_orderkey IS NOT NULL THEN 'delta' ELSE 'base' END AS src,
+       COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice
+FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+""",
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / SCD-1 upsert semantics as a relational plan: delta
+    rows win on key match, unmatched base rows survive, unmatched delta
+    rows insert — the full-outer join + coalesce form (the same contract
+    Delta/Iceberg MERGE compiles to). Provenance column marks the action
+    taken per row. At table scale the physical twin is
+    sources/layout.py:overwrite_partitions — join only the partitions the
+    delta touches, rewrite exactly those — so the shuffle is bounded by
+    delta-adjacent data, not table size."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("bk"), F.col("o_totalprice").alias("bp")
+    )
+    delta = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("dk"),
+        (F.col("o_totalprice") + 1).alias("dp"),
+    )
+    return base.join(
+        delta, base.bk == delta.dk, "full_outer"
+    ).select(
+        F.coalesce(F.col("dk"), F.col("bk")).alias("o_orderkey"),
+        F.when(F.col("dk").isNotNull(), F.lit("delta"))
+        .otherwise(F.lit("base"))
+        .alias("src"),
+        F.coalesce(F.col("dp"), F.col("bp")).alias("o_totalprice"),
+    )
+
+
+@register(
+    "embeddings_label_centroids",
+    """
+WITH pos AS (SELECT CAST(range AS BIGINT) AS p FROM range(64)),
+q AS (
+  SELECT label, p,
+         CAST(floor(CAST(embedding[p + 1] AS DOUBLE) * 1073741824e0)
+              AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN pos
+)
+SELECT label, p AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1073741824e0 AS centroid
+FROM q GROUP BY label, p
+""",
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes / one k-means M-step),
+    merge-order-invariant: each float component is widened to double
+    (exact) and floor-quantized to a 2^-30 fixed-point grid, so the
+    per-label accumulation is an EXACT integer sum — identical under any
+    partitioning and in DuckDB — and the mean divides back out at the end.
+    (Float summation order varies with partitioning; fixed-point is the
+    standard determinism trick for distributed centroid updates. 2^-30 is
+    below float32 resolution for unit-scale embeddings, so quantization
+    error is dominated by the inputs' own rounding.) One posexplode + one
+    map-side-combined aggregate: dims × labels output rows, no joins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.floor(
+        F.col("v").cast("double") * F.lit(1073741824.0)
+    ).cast("bigint")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select(F.col("label"), F.col("pos").cast("bigint").alias("pos"), qv.alias("qv"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            (
+                F.sum("qv").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1073741824.0)
+            ).alias("centroid"),
+        )
+    )
+
+
+def _checksum_sql() -> str:
+    from .functions import text as T
+
+    return f"""
+WITH rows_ AS (
+  SELECT l_returnflag,
+         concat_ws('|',
+           CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+           CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+           CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(l_extendedprice * 1e2) AS BIGINT) AS VARCHAR),
+           l_returnflag, l_linestatus,
+           strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d')) AS rs
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST({T.md5_hash48_sql("rs")} AS DECIMAL(38,0)))
+            AS DOUBLE) AS checksum
+FROM rows_ GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_table_checksum", _checksum_sql())
+def lineitem_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksum per return-flag slice: a canonical row string
+    (keys, integerized measures, fixed-format date) hashed with the
+    portable md5-prefix hash (one native JVM intrinsic per row — no
+    per-character lambda) and summed exactly (decimal accumulator, so
+    the sum cannot overflow at any table size and is identical under any
+    partitioning/engine — addition is commutative, unlike float).
+
+    This is the cross-system integrity primitive: run the same fold on a
+    replica / after a migration / before-and-after a rewrite
+    (layout.py:overwrite_partitions) and compare 3 numbers instead of
+    100 TB of rows. Plan: scan → map-side hash → one combinable aggregate;
+    no shuffle beyond the 3-group exchange."""
+    from .functions.text import md5_hash48
+
+    l = load_table(spark, sf_dir, "lineitem")
+    rs = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    return (
+        l.select("l_returnflag", rs.alias("rs"))
+        .select("l_returnflag", md5_hash48("rs").alias("h"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("double").alias(
+                "checksum"
+            ),
+        )
+    )

@@ -3976,3 +3976,414 @@ def lineitem_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 surface: semi-structured JSON extraction, Gopher-style repetition
+# gates, chunk-level cross-doc dedup, vocabulary build + OOV encoding,
+# token-stream sequence packing, SCD-2 history
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_props_stats",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
+GROUP BY event_type
+""",
+)
+def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of a JSON string
+    column (`props`) and aggregate it per event type.
+
+    `get_json_object` evaluates JVM-side inside the scan stage (Jackson,
+    no Python), so at 100 TB the JSON parse rides the same codegen pass as
+    the filter/projection — the extracted bigint, not the raw JSON string,
+    is all that reaches the aggregate's shuffle. The avg divides the exact
+    integer SUM once at the end (merge-order-invariant). For hot paths with
+    a stable schema, the scale upgrade is `from_json` into a struct column
+    at ingestion (parse once, store columnar) — this query is the
+    read-side form the reference's ad-hoc property probes take."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "docs_repetition_gates",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS g2
+  FROM toks
+),
+b2 AS (
+  SELECT doc_id, n_tokens,
+         CAST(len(g2) AS BIGINT) AS n_2grams,
+         CAST(len(list_distinct(g2)) AS BIGINT) AS nd_2grams
+  FROM base
+),
+ex AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_cnt,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+  FROM tc GROUP BY 1
+)
+SELECT b2.doc_id, n_tokens,
+       CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+       CASE WHEN n_2grams > 0
+            THEN 1.0e0 - CAST(nd_2grams AS DOUBLE) / n_2grams
+            ELSE 0.0e0 END AS dup_2gram_frac,
+       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_ratio,
+       (CAST(top_cnt AS DOUBLE) / n_tokens > 0.2e0
+        OR (CASE WHEN n_2grams > 0
+                 THEN 1.0e0 - CAST(nd_2grams AS DOUBLE) / n_2grams
+                 ELSE 0.0e0 END) > 0.6e0
+        OR CAST(n_distinct_tokens AS DOUBLE) / n_tokens < 0.15e0)
+         AS flag_repetitive
+FROM b2 JOIN top ON b2.doc_id = top.doc_id
+""",
+)
+def docs_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates: per document, the fraction of
+    tokens taken by the single most frequent token, the duplicate-2-gram
+    fraction, and the distinct-token ratio, plus the composite boolean gate
+    a curation pipeline would filter on (thresholds are the tunable knobs;
+    these are set to fire on the fixture's most repetitive docs).
+
+    Scale shape: the 2-gram metrics are pure array expressions inside the
+    scan stage (no shuffle); the top-token count is the one piece that
+    needs an aggregate — explode to (doc_id, token), count with map-side
+    combine, then max per doc. Both aggregates key on doc_id(+token), so
+    the whole query is two combinable aggregates and one doc_id-keyed
+    join — no corpus-wide wide rows, no driver participation, linear at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.tokens("text").alias("w"))
+    g2 = T.shingles_expr("w", 2)
+    base = d.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size(g2).cast("bigint").alias("n_2grams"),
+        F.size(F.array_distinct(g2)).cast("bigint").alias("nd_2grams"),
+    )
+    ex = d.select("doc_id", F.explode("w").alias("tok"))
+    top = (
+        ex.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_cnt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        )
+    )
+    j = base.join(top, "doc_id")
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    dup2 = F.when(
+        F.col("n_2grams") > 0,
+        F.lit(1.0) - F.col("nd_2grams").cast("double") / F.col("n_2grams"),
+    ).otherwise(F.lit(0.0))
+    dratio = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_token_frac"),
+        dup2.alias("dup_2gram_frac"),
+        dratio.alias("distinct_ratio"),
+        (
+            (top_frac > 0.2) | (dup2 > 0.6) | (dratio < 0.15)
+        ).alias("flag_repetitive"),
+    )
+
+
+def _chunk_dedup_sql(chunk: int = 20) -> str:
+    from .functions import text as T
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(CAST(ceil(len(w) / {chunk}.0e0) AS BIGINT)),
+           i -> array_to_string(w[i*{chunk}+1 : i*{chunk}+{chunk}], ' ')
+         )) AS chunk
+  FROM toks
+),
+ch AS (SELECT doc_id, {T.md5_hash48_sql("chunk")} AS h FROM chunks),
+dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_chunk_frac
+FROM ch JOIN dfreq USING (h)
+GROUP BY doc_id
+"""
+
+
+@register("docs_chunk_dedup", _chunk_dedup_sql())
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-analog) cross-document dedup: split each doc
+    into fixed 20-token chunks (tail kept), hash each chunk, and report per
+    doc how many of its chunks also appear verbatim in at least one OTHER
+    document — the sub-document boilerplate signal that document-level
+    exact dedup (fingerprint groupBy) cannot see.
+
+    Scale shape: chunking is an array expression in the scan stage; the
+    chunk relation carries (doc_id, 8-byte hash) only — never chunk text.
+    Two combinable aggregates (per-hash distinct-doc count, per-doc
+    rollup) and one hash-keyed join; a chunk shared by k docs fans out k
+    rows, linear in real duplication mass, so no quadratic blowup. This is
+    the same inverted-index shape as `docs_jaccard_pairs` but grouped back
+    per doc instead of per pair (and so needs no max_df cap)."""
+    from .functions.text import md5_hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunk = 20
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {chunk}.0) as int) - 1),"
+        f" i -> concat_ws(' ', slice(w, i*{chunk}+1, {chunk})))"
+    )
+    ch = (
+        docs.select("doc_id", T.tokens("text").alias("w"))
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", md5_hash48("chunk").alias("h"))
+    )
+    dfreq = ch.groupBy("h").agg(
+        F.count_distinct(F.col("doc_id")).alias("ndocs")
+    )
+    is_dup = F.when(F.col("ndocs") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        ch.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(is_dup).cast("bigint").alias("n_dup_chunks"),
+            (F.sum(is_dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_chunk_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "docs_vocab_encode",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ex AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+tc AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok),
+vocab AS (
+  SELECT tok,
+         CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT) AS id
+  FROM tc ORDER BY c DESC, tok LIMIT 16
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) - COUNT(id) AS BIGINT) AS n_oov,
+       CAST(COUNT(*) - COUNT(id) AS DOUBLE) / COUNT(*) AS oov_rate,
+       CAST(SUM(COALESCE(id, 0)) AS BIGINT) AS id_checksum
+FROM ex LEFT JOIN vocab USING (tok)
+GROUP BY doc_id
+""",
+)
+def docs_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary build + encode: rank the corpus's top-16
+    tokens by global frequency (ties broken lexically) into id 0..15, then
+    encode every document against that vocab — per doc, the token count,
+    out-of-vocabulary count/rate, and the exact integer checksum of the
+    assigned ids (proves the encode join actually ran).
+
+    Scale shape: the vocab build is one map-side-combined count over
+    (token) plus a distributed TakeOrdered top-k (`orderBy().limit()`
+    compiles to per-partition partial top-k, never a global sort); the
+    vocab is tiny by construction, so the encode join BROADCASTS it and
+    the corpus streams map-side — one doc_id-keyed aggregate is the only
+    corpus-sized shuffle. Real BPE vocab builds are this same shape with
+    merges iterated; the id_checksum discipline (exact ints) keeps the
+    gate bit-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    )
+    tc = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    vocab = (
+        tc.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(16)
+        .withColumn(
+            "id",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.desc("c"), F.asc("tok"))
+                )
+                - 1
+            ).cast("bigint"),
+        )
+        .select("tok", "id")
+    )
+    return (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("id")).cast("bigint").alias("n_oov"),
+            (
+                (F.count(F.lit(1)) - F.count("id")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+            F.sum(F.coalesce(F.col("id"), F.lit(0)))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+    )
+
+
+def _pack_sequences_sql(budget: int = 2048, shards: int = 8) -> str:
+    from .functions import text as T
+
+    h_doc = T.md5_hash48_sql("CAST(doc_id AS VARCHAR)")
+    h_ord = T.md5_hash48_sql("'p|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {h_doc} % {shards} AS shard,
+         {h_ord} AS hkey
+  FROM documents
+),
+placed AS (
+  SELECT shard, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY hkey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS start_offset
+  FROM d
+)
+SELECT shard,
+       CAST(floor(start_offset / {budget}.0e0) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+FROM placed
+GROUP BY 1, 2
+"""
+
+
+@register("docs_pack_sequences", _pack_sequences_sql())
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing: deterministically shuffle the
+    corpus (order by a hash of doc_id — data-independent, reproducible,
+    no RNG), concatenate token counts into a per-shard token stream, and
+    cut the stream every 2048 tokens; report docs and tokens per bin.
+    This is the GPT-style pack-then-chunk layout pass that turns a
+    curated corpus into fixed-budget training sequences.
+
+    Scale shape: the running token offset is a window cumsum PARTITIONED
+    BY SHARD — never a global single-partition window. Each shard packs
+    independently (shards = O(cluster cores) in production; 8 here), so
+    the sort is per-shard and the whole pass is one hash-shuffle + one
+    window + one combinable aggregate. The hash order also makes the
+    result independent of input partitioning — the property that makes
+    packed shards reproducible across re-runs and cluster sizes."""
+    from pyspark.sql.window import Window
+
+    from .functions.text import md5_hash48
+
+    budget, shards = 2048, 8
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
+        (md5_hash48(F.col("doc_id").cast("string")) % shards).alias("shard"),
+        md5_hash48(
+            F.concat(F.lit("p|"), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = d.select(
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    )
+    return (
+        placed.select(
+            "shard",
+            F.floor(F.col("start_offset") / F.lit(float(budget)))
+            .cast("bigint")
+            .alias("bin_id"),
+            "n_tokens",
+        )
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        )
+    )
+
+
+@register(
+    "orders_scd2_history",
+    """
+SELECT o_custkey,
+       o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ), '%Y-%m-%d') AS valid_to,
+       o_totalprice,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL AS is_current
+FROM orders
+""",
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 (slowly-changing-dimension) effective-range history: per
+    customer, each order becomes a versioned row valid from its own date
+    until the customer's next order (NULL = still current). The lead()
+    window is the standard snapshot→interval transform every lakehouse
+    dimension-history build uses (the write-side twin is
+    layout.py:overwrite_partitions for restating closed ranges).
+
+    One shuffle on the dimension key, one ordered window pass, no joins;
+    ties (same customer, same date) are ordered by o_orderkey so the
+    chain is deterministic in both engines."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        "o_totalprice",
+        nxt.isNull().alias("is_current"),
+    )

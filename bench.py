@@ -61,17 +61,24 @@ def main() -> None:
     # Best of two timed runs per query: single-shot numbers swing +-30% on
     # a shared box (page cache, broadcast rebuild, GC); the min is the
     # reproducible capability number.
-    timings: dict[str, float] = {}
+    # One broken query must not kill the whole bench (round-2 postmortem:
+    # a single AnalysisException produced rc=1 and zero numbers). Failures
+    # report null; the JSON line always prints.
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = None
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {

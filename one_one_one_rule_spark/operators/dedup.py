@@ -166,10 +166,19 @@ def jaccard_pairs(
     Jaccard is computed over the capped feature sets (sizes included), a
     well-defined "stop-shingle-filtered resemblance" the DuckDB oracle
     reproduces exactly. ``max_df=None`` restores the uncapped exact tier
-    (small corpora only — fan-out is quadratic in per-shingle df)."""
+    (small corpora only — fan-out is quadratic in per-shingle df).
+
+    The filtered shingle relation feeds FOUR plan branches (self-join a/b
+    sides, plus both per-doc size aggregates), so it is
+    ``localCheckpoint``-ed (eager) exactly as in ``minhash_lsh_pairs`` —
+    otherwise Catalyst re-derives the whole split+explode+distinct(+cap)
+    pipeline from the parquet scan once per branch (8 scans / 15
+    exchanges observed). The checkpointed rows are (bigint, string) pairs
+    bounded by corpus token count, spillable to disk."""
     sh = doc_shingles(docs, n)
     if max_df is not None:
         sh = stop_shingle_filter(sh, max_df)
+    sh = sh.localCheckpoint(eager=True)
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 

@@ -1416,7 +1416,30 @@ def _drain_stream(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(name)
+    out = spark.table(name)
+    # The resolved DataFrame pins the memory-sink relation; dropping the
+    # uuid-suffixed catalog entry immediately keeps a full registry run from
+    # accumulating one stray temp view per drained gate.
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events table. The fixture stores
+    ``ts`` as parquet TIMESTAMP(NANOS); Spark 4.1 surfaces that as
+    ``timestamp_ntz`` truncated to µs (the pre-4.1 nanosAsLong conf is
+    ignored), so the stream schema declares ``timestamp_ntz`` and casts to
+    session-TZ timestamp — the streaming twin of fixtures.load_events."""
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
 
 
 @register(
@@ -1430,24 +1453,9 @@ def events_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming share aggregate semantics; this is the convergence gate."""
     import uuid
 
-    from .streaming.events import stream_events
-
     name = "stream_gate_" + uuid.uuid4().hex[:12]
     k = F.get_json_object("props", "$.k").cast("bigint")
-    # file stream sources take a directory; glob-filter to the events
-    # table. The fixture stores ts as TIMESTAMP(NANOS) → read as long
-    # (matches load_events) and rebuild microsecond timestamps.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     rolled = (
         stream.groupBy(
             F.date_format(
@@ -1837,17 +1845,7 @@ def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import stateful_user_counts
 
     name = "stateful_gate_" + uuid.uuid4().hex[:12]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     drained = _drain_stream(spark, stateful_user_counts(stream), name, "update")
     # last update per user == converged state (n_events is monotone)
     return (
@@ -1889,17 +1887,7 @@ def events_stream_purchase_click_join(
     from .streaming.events import purchase_click_join_stream
 
     name = "ssjoin_gate_" + uuid.uuid4().hex[:12]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     return _drain_stream(spark, purchase_click_join_stream(stream), name, "append")
 
 
@@ -2575,17 +2563,7 @@ def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import enrich_stream
 
     name = "enrich_gate_" + uuid.uuid4().hex[:12]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
@@ -2607,17 +2585,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import dedup_within_watermark_stream
 
     name = "dedup_gate_" + uuid.uuid4().hex[:12]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     return _drain_stream(
         spark, dedup_within_watermark_stream(stream, ("user_id", "event_type")), name, "append"
     )
@@ -3366,17 +3334,7 @@ def events_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     name = "stream_gate_" + uuid.uuid4().hex[:12]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     sessions = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(

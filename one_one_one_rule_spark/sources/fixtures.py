@@ -41,16 +41,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects outright. Read nanos as long
-    (legacy conf) and rebuild a microsecond timestamp with integer division
-    (``div`` stays in bigint — a double roundtrip would lose precision at
-    ~1.7e18 ns). DuckDB oracles mirror this with CAST(ts AS TIMESTAMP),
-    which also truncates ns → µs."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS). How that
+    surfaces depends on the Spark version, so dispatch on the OBSERVED dtype
+    rather than pinning a legacy conf (FIXTURES.md §Spark-version notes):
+
+    - Spark ≤3.x with ``spark.sql.legacy.parquet.nanosAsLong``: ``bigint``
+      nanos → rebuild µs timestamps with integer ``div 1000`` (stays in
+      bigint; a double roundtrip would lose precision at ~1.7e18 ns).
+    - Spark 4.1+: nanos arrive as ``timestamp_ntz`` truncated to µs →
+      one session-TZ-free cast to ``timestamp`` (session TZ is UTC here).
+    - Plain ``timestamp``: passthrough.
+
+    All three land on identical µs values; DuckDB oracles mirror this with
+    CAST(ts AS TIMESTAMP), which also truncates ns → µs."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif dtype != "timestamp":
+        raise TypeError(f"events.ts: unexpected parquet dtype {dtype!r}")
     return df
 
 

@@ -54,3 +54,63 @@ def test_json_semi_structured_extraction(spark, sf_dir):
         )
     ).count()
     assert bad == 0
+
+
+def test_fixture_dtypes_portable(spark, sf_dir):
+    """Version-portability gate (round-2 postmortem): Spark's parquet
+    TIMESTAMP(NANOS) handling changed across versions (3.x nanosAsLong conf
+    -> 4.1 timestamp_ntz) and broke 5 queries at once. Every fixture table
+    must load with usable dtypes on WHATEVER Spark is installed, so the
+    next environment bump fails here first, loudly and in one place."""
+    expected_key_dtypes = {
+        "region": {"r_regionkey": "int"},
+        "nation": {"n_nationkey": "int"},
+        "customer": {"c_custkey": "bigint", "c_acctbal": "double"},
+        "supplier": {"s_suppkey": "bigint"},
+        "part": {"p_partkey": "bigint", "p_retailprice": "double"},
+        "orders": {"o_orderkey": "bigint", "o_orderdate": "timestamp_ntz"},
+        "lineitem": {"l_orderkey": "bigint", "l_shipdate": "timestamp_ntz"},
+        "events": {"event_id": "bigint", "ts": "timestamp", "value": "double"},
+        "documents": {"doc_id": "bigint", "text": "string"},
+        "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
+    }
+    for table, cols in expected_key_dtypes.items():
+        dtypes = dict(load_table(spark, sf_dir, table).dtypes)
+        for col, want in cols.items():
+            assert dtypes.get(col) == want, (
+                f"{table}.{col}: got {dtypes.get(col)!r}, want {want!r}"
+            )
+
+
+def test_events_ts_values_sane(spark, sf_dir):
+    """ts must land in the fixture's actual epoch (2024), not 1970 — the
+    exact symptom of the round-2 nanos-misread (values off by 1000x)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    assert bounds.lo.year >= 2000, bounds
+    assert bounds.hi.year <= 2100, bounds
+
+
+def test_events_stream_matches_batch_ingestion(spark, sf_dir):
+    """The streaming reader (_events_stream) and batch reader (load_events)
+    must agree on every ts value byte-for-byte."""
+    from one_one_one_rule_spark.queries import _events_stream, _drain_stream
+
+    name = "ts_parity_gate"
+    drained = _drain_stream(
+        spark, _events_stream(spark, sf_dir), name, "append"
+    )
+    got = drained.select(
+        F.count("*").alias("n"),
+        F.sum(F.unix_micros("ts")).alias("s"),
+        F.min("ts").alias("lo"),
+    ).collect()[0]
+    batch = load_table(spark, sf_dir, "events")
+    want = batch.select(
+        F.count("*").alias("n"),
+        F.sum(F.unix_micros("ts")).alias("s"),
+        F.min("ts").alias("lo"),
+    ).collect()[0]
+    assert (got.n, got.s, got.lo) == (want.n, want.s, want.lo)

@@ -4345,3 +4345,84 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Report rendering (F19)
+# ---------------------------------------------------------------------------
+
+from .functions import report as R  # noqa: E402
+
+_WRAP_PRE_SQL = R.WRAPPER_PREFIX.replace("'", "''")
+_WRAP_SUF_SQL = R.WRAPPER_SUFFIX.replace("'", "''")
+
+@register(
+    "valuation_report_html",
+    oracles.with_valued(
+        r"""
+SELECT sector, report_md,
+       '"""
+        + _WRAP_PRE_SQL
+        + r"""' ||
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(report_md, '\*\*(.*?)\*\*', '<b>\1</b>', 'g'),
+             '\n', '<br>', 'g'),
+           '## (.*?)(<br>|$)', '<h3 style="color:#2c3e50;">\1</h3>', 'g'),
+         '- ', '• ', 'g') ||
+       '"""
+        + _WRAP_SUF_SQL
+        + r"""' AS report_html
+FROM (
+  SELECT sector,
+         '## ' || sector || chr(10) ||
+         '- tickers: ' || CAST(n_tickers AS VARCHAR) || chr(10) ||
+         '- **hunter pass**: ' || CAST(n_hunter_pass AS VARCHAR) ||
+         ' of ' || CAST(n_tickers AS VARCHAR) || chr(10) ||
+         '- **undervalued**: ' || CAST(n_undervalued AS VARCHAR) ||
+         ' of ' || CAST(n_tickers AS VARCHAR) AS report_md
+  FROM (
+    SELECT sector,
+           CAST(COUNT(*) AS BIGINT) AS n_tickers,
+           CAST(SUM(CASE WHEN valuation_hunter = 'pass' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hunter_pass,
+           CAST(SUM(CASE WHEN valuation = 'undervalued' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_undervalued
+    FROM valued
+    GROUP BY sector
+  )
+)
+"""
+    ),
+)
+def valuation_report_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 — the reference's Markdown→HTML email rendering
+    (analyze_nasdaq100_valuations_with_geminiAI.gs:138-146) as a native
+    expression chain over a per-sector summary of the valuation output:
+    heading + bulleted counts in Markdown, then the exact four-regex
+    rewrite and styled wrapper div. Rendering happens in the projection
+    of a 27-row aggregate here, but the expression is row-parallel — the
+    same column renders N million per-document reports with zero Python
+    and zero extra shuffles."""
+    v = _valued(spark, sf_dir)
+    agg = v.groupBy("sector").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tickers"),
+        F.sum(F.when(F.col("valuation_hunter") == "pass", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hunter_pass"),
+        F.sum(F.when(F.col("valuation") == "undervalued", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_undervalued"),
+    )
+    md = R.sector_report_markdown(
+        F.col("sector"),
+        F.col("n_tickers"),
+        F.col("n_hunter_pass"),
+        F.col("n_undervalued"),
+    )
+    return agg.select(
+        "sector",
+        md.alias("report_md"),
+        R.markdown_to_html(md).alias("report_html"),
+    )

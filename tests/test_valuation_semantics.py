@@ -226,3 +226,29 @@ def test_nan_inf_scrubbed_to_null(spark):
     out = run(spark, rows)
     assert out["N1"]["trailing_pe"] is None
     assert out["N1"]["forward_pe"] is None
+
+
+def test_markdown_to_html_matches_reference_rewrites(spark):
+    """F19 (analyze...gs:138-146): bold, newline, heading, bullet — in the
+    reference's order, wrapped in its styled div."""
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.functions import report as R
+
+    md = "## Summary\n- **bold** item\n- plain item\ntail ## not-a-heading"
+    got = (
+        spark.range(1)
+        .select(R.markdown_to_html(F.lit(md)).alias("h"))
+        .collect()[0]
+        .h
+    )
+    assert got.startswith(R.WRAPPER_PREFIX) and got.endswith(R.WRAPPER_SUFFIX)
+    body = got[len(R.WRAPPER_PREFIX):-len(R.WRAPPER_SUFFIX)]
+    assert '<h3 style="color:#2c3e50;">Summary</h3>' in body
+    assert "<b>bold</b>" in body
+    assert "\n" not in body and "<br>" in body
+    assert "• <b>bold</b> item" in body and "• plain item" in body
+    # mid-line "## " is NOT a heading start in the reference's regex either:
+    # the pattern anchors on the replace order, not line starts — parity
+    # means we reproduce that quirk, not fix it.
+    assert body.count("<h3") == 2  # reference quirk: mid-text ## also fires

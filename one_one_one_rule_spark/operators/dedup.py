@@ -432,3 +432,94 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .distinct()
     )
+
+
+def incremental_lsh_dedup(
+    base: DataFrame, delta: DataFrame, n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Incremental near-dup dedup: flag each DELTA doc against an existing
+    BASE corpus, never base-vs-base.
+
+    The shape every continuously-ingesting training-data pipeline needs:
+    re-deduplicating the whole corpus per batch is O(corpus) per day, but
+    banding the new batch against the corpus index is O(|delta| + matched
+    buckets). Here both sides' signatures are derived from text for
+    oracle-checkability; in production the base side is the PERSISTED
+    signature/band table (written once per batch by this same pipeline),
+    so the base text is never re-read — the band join probes it like an
+    index, and at 100 TB the base bands are bucketed by (band, key) so the
+    probe is a co-located join with no base-side shuffle.
+
+    Returns one row per delta doc: ``(doc_id, is_dup, match_doc_id,
+    jaccard)`` — the best-matching base doc (highest verified hash-set
+    Jaccard ≥ ``threshold``, ties to the smallest base doc_id) or NULLs.
+    Same 16-perm MinHash / 8×2 banding / array_intersect verify as
+    ``minhash_lsh_pairs``.
+    """
+    from pyspark.sql.window import Window
+
+    def hash_sets(docs: DataFrame) -> DataFrame:
+        return (
+            _shingle_hash_multiset(docs, n)
+            .groupBy("doc_id")
+            .agg(F.collect_set("h").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+
+    def band_keys(sets: DataFrame) -> DataFrame:
+        mins = [
+            F.array_min(
+                F.expr(f"transform(s, x -> ({a} * x + {b}) % {HASH_P})")
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_SEEDS)
+        ]
+        sigs = sets.select("doc_id", *mins)
+        keys = F.array(
+            *[
+                F.col(f"m{ROWS_PER_BAND * j}") * F.lit(HASH_P)
+                + F.col(f"m{ROWS_PER_BAND * j + 1}")
+                for j in range(N_BANDS)
+            ]
+        )
+        return sigs.select("doc_id", F.posexplode(keys).alias("band", "key"))
+
+    base_sets = hash_sets(base)
+    delta_sets = hash_sets(delta)
+    cand = (
+        band_keys(delta_sets)
+        .withColumnRenamed("doc_id", "delta_id")
+        .join(
+            band_keys(base_sets).withColumnRenamed("doc_id", "base_id"),
+            ["band", "key"],
+        )
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    jac = (
+        cand.join(delta_sets.alias("sa"), cand["delta_id"] == F.col("sa.doc_id"))
+        .join(base_sets.alias("sb"), cand["base_id"] == F.col("sb.doc_id"))
+        .select(
+            "delta_id",
+            "base_id",
+            (
+                inter.cast("double")
+                / (F.size("sa.s") + F.size("sb.s") - inter)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("delta_id").orderBy(
+        F.desc("jaccard"), F.asc("base_id")
+    )
+    best = jac.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        delta.select("doc_id")
+        .join(best, F.col("doc_id") == best["delta_id"], "left")
+        .select(
+            "doc_id",
+            F.col("base_id").isNotNull().alias("is_dup"),
+            F.col("base_id").alias("match_doc_id"),
+            "jaccard",
+        )
+    )

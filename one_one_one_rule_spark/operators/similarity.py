@@ -393,3 +393,216 @@ def ivf_kmeans_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "cosine", "rn")
     )
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    dim: int = EMBED_DIM,
+    max_sample: int = 4096,
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks (m_sub × n_codes × dim/m_sub), trained with
+    the same bounded deterministic recipe as ``kmeans_centroids``: modular
+    vec_id sample (data-independent, no RNG), driver-side numpy Lloyd's
+    with first-rows init, fixed iteration count. The train set is one
+    column-pruned scan ≤ max_sample rows (~2 MB); everything downstream
+    uses the codebooks as plan literals, so the index build never runs
+    per-iteration cluster jobs."""
+    import numpy as np
+
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    n = vectors.count()
+    m = max(1, -(-n // max_sample))
+    rows = (
+        vectors.filter((F.col("vec_id") % m) == 0)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    X = np.array(
+        [[float(v) for v in r.embedding] for r in rows], dtype=np.float64
+    )
+    if len(X) < n_codes:
+        raise ValueError(
+            f"pq_codebooks: need >= n_codes={n_codes} sampled vectors, "
+            f"got {len(X)}"
+        )
+    books: list[list[list[float]]] = []
+    for j in range(m_sub):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            a = d2.argmin(axis=1)
+            for c in range(len(C)):
+                pts = Xj[a == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: list[list[list[float]]],
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Distributed PQ encoding: per subspace, the argmin-distance code as a
+    native expression (codebooks are plan literals, exactly like the IVF
+    ``_cell_scores``). Since |v_j|² is constant per row, argmin of the
+    squared distance is argmin of ``|c|² − 2·dot(v_j, c)`` — n_codes terms
+    per subspace, all inside whole-stage codegen; ties take the lowest
+    code. Output is vec_id + m_sub small-int codes: the 100 TB payoff is
+    that the index table is m_sub bytes-ish per vector instead of
+    dim × 4."""
+    m_sub = len(books)
+    sub = dim // m_sub
+    out = vectors.select("vec_id", "embedding")
+    for j, book in enumerate(books):
+        scores = []
+        for c, cent in enumerate(book):
+            dot_terms = " + ".join(
+                f"CAST(embedding[{j * sub + d}] AS DOUBLE) * {cent[d]!r}"
+                for d in range(sub)
+            )
+            norm2 = sum(x * x for x in cent)
+            scores.append(F.expr(f"{norm2!r} - 2.0 * ({dot_terms})"))
+        arr = F.array(*scores)
+        out = out.withColumn(
+            f"code{j}", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+    return out
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """ANN top-k via product quantization with asymmetric distance (ADC).
+
+    Index side: every vector is encoded once to m_sub codes (pq_encode) —
+    at scale this is the stored representation, ~16× smaller than raw
+    floats, so a 100 TB embedding corpus scans as ~6 TB of codes. Query
+    side: each query precomputes a dot-product lookup table against every
+    codebook entry (m_sub × n_codes doubles, driver-side numpy over the
+    handful of query vectors), shipped as a broadcast row. Scoring a
+    candidate is then m_sub array lookups + adds — no per-dimension work —
+    and the reconstructed-vector norm comes from a per-subspace norm²
+    literal (subspaces are disjoint coordinate blocks, so norms add).
+    Approximate cosine = ADC dot / (|q| · |recon|); top-k per query by
+    the usual rank window. Approximate by construction (quantization
+    error), so recall is bounded in tests, not hash-gated."""
+    import numpy as np
+
+    books = pq_codebooks(vectors, m_sub, n_codes, iters, dim)
+    sub = dim // m_sub
+    enc = pq_encode(vectors, books, dim).drop("embedding")
+
+    qrows = (
+        vectors.filter(F.col("vec_id").isin(query_ids))
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    B = np.array(books, dtype=np.float64)  # m_sub × n_codes × sub
+    qdata = []
+    for r in qrows:
+        q = np.array([float(v) for v in r.embedding], dtype=np.float64)
+        lut = [
+            [float(np.dot(q[j * sub : (j + 1) * sub], B[j][c]))
+             for c in range(n_codes)]
+            for j in range(m_sub)
+        ]
+        qdata.append((r.vec_id, float(np.sqrt((q * q).sum())), lut))
+    spark = vectors.sparkSession
+    queries = spark.createDataFrame(
+        qdata, "qid bigint, qnorm double, lut array<array<double>>"
+    )
+
+    norm2_lits = [
+        F.array(*[F.lit(sum(x * x for x in book[c])) for c in range(n_codes)])
+        for book in books
+    ]
+    cand = enc.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    adc_dot = sum(
+        F.element_at(F.element_at("lut", j + 1), F.col(f"code{j}") + 1)
+        for j in range(m_sub)
+    )
+    recon_norm = F.sqrt(
+        sum(
+            F.element_at(norm2_lits[j], F.col(f"code{j}") + 1)
+            for j in range(m_sub)
+        )
+    )
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.when(
+            (F.col("qnorm") > 0) & (recon_norm > 0),
+            adc_dot / (F.col("qnorm") * recon_norm),
+        ).alias("approx_cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("approx_cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "approx_cosine", "rn")
+    )
+
+
+def pq_topk_rerank(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m_sub: int = 16,
+    n_codes: int = 32,
+    shortlist: int | None = None,
+    iters: int = 3,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the standard production two-stage:
+    ADC over compact codes prunes the corpus to ``shortlist`` candidates
+    per query (default 10k), then ONLY those rows pay the full-precision
+    cosine. At 100 TB the first stage scans codes (~16× smaller than the
+    raw vectors) and the second touches shortlist × |queries| rows — the
+    full-precision table is probed by vec_id join, never scanned. Returns
+    the same (qid, vec_id, cosine, rn) shape as the exact tiers."""
+    shortlist = shortlist if shortlist is not None else 10 * k
+    sl = pq_topk(vectors, query_ids, shortlist, m_sub, n_codes, iters, dim)
+    cand = sl.select("qid", "vec_id").join(
+        vectors.select("vec_id", F.col("embedding").alias("v_emb")), "vec_id"
+    )
+    q = vectors.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    j = cand.join(F.broadcast(q), cand["qid"] == q["q_vec_id"])
+    dot = dot_chain_spark("v_emb", "q_emb", dim)
+    nv = norm_chain_spark("v_emb", dim)
+    nq = norm_chain_spark("q_emb", dim)
+    scored = j.select(
+        "qid",
+        "vec_id",
+        F.when((nv > 0) & (nq > 0), dot / (nv * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine", "rn")
+    )

@@ -4426,3 +4426,144 @@ def valuation_report_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         md.alias("report_md"),
         R.markdown_to_html(md).alias("report_html"),
     )
+
+
+def _incremental_dedup_sql() -> str:
+    """Oracle for docs_incremental_dedup: the minhash band/verify chain with
+    the delta (doc_id % 10 = 0) probing only the base (doc_id % 10 <> 0)."""
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {T.HASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(D.MINHASH_SEEDS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band,"
+        f" m{2 * j} * {T.HASH_P} + m{2 * j + 1} AS key FROM sigs"
+        for j in range(D.N_BANDS)
+    )
+    return f"""
+WITH {_shingle_hash_ctes().strip()},
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+  FROM bands d JOIN bands b ON d.band = b.band AND d.key = b.key
+  WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+),
+ver AS (
+  SELECT cand.delta_id, cand.base_id, COUNT(*) AS c
+  FROM cand
+  JOIN hashed a ON a.doc_id = cand.delta_id
+  JOIN hashed b2 ON b2.doc_id = cand.base_id AND b2.h = a.h
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT delta_id, base_id,
+         CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+  FROM ver
+  JOIN sizes sa ON delta_id = sa.doc_id
+  JOIN sizes sb ON base_id = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3e0
+),
+best AS (
+  SELECT delta_id, base_id, jaccard,
+         row_number() OVER (
+           PARTITION BY delta_id ORDER BY jaccard DESC, base_id ASC
+         ) AS rn
+  FROM jac
+)
+SELECT d.doc_id,
+       best.base_id IS NOT NULL AS is_dup,
+       best.base_id AS match_doc_id,
+       best.jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON d.doc_id = best.delta_id
+"""
+
+
+@register("docs_incremental_dedup", _incremental_dedup_sql())
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (operators/dedup.py:incremental_lsh_dedup):
+    a new batch (doc_id % 10 = 0 stands in for today's ingest) is flagged
+    against the existing corpus via the banded-LSH index — delta probes
+    base, never base-vs-base, so per-batch cost is O(|delta| + matched
+    buckets) instead of re-deduplicating the corpus. One row per delta doc
+    with its best verified base match (ties to smallest base doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return D.incremental_lsh_dedup(base, delta, 3, 0.3)
+
+
+@register(
+    "docs_dedup_keep_best",
+    """
+WITH fp AS (
+  SELECT doc_id, n_chars, md5(substr(text, 1, 40)) AS fingerprint
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars, fingerprint,
+         row_number() OVER (
+           PARTITION BY fingerprint ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_docs
+  FROM fp
+)
+SELECT fingerprint, doc_id AS keep_doc_id, n_chars AS keep_n_chars, n_docs
+FROM ranked WHERE rn = 1
+""",
+)
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each exact-dup group
+    (prefix fingerprint), keep the highest-quality survivor (longest doc,
+    ties to smallest doc_id) instead of keep-first — what a curation
+    pipeline actually wants when near-identical crawls differ in
+    truncation. Same one-shuffle shape as the keep-first tier (D1):
+    row_number over the fingerprint partition; the group-size count rides
+    the same window, so no second aggregate pass."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        T.prefix_fingerprint("text", 40).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs",
+            F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).cast("bigint"),
+        )
+        .filter("rn = 1")
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "n_docs",
+        )
+    )
+
+
+@register("ann_pq_topk")  # approximate by design: no SQL oracle
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via product quantization + exact re-rank
+    (operators/similarity.py:pq_topk_rerank): deterministic per-subspace
+    codebooks (no RNG), ADC scoring over 16-byte codes for the shortlist,
+    full-precision cosine only on shortlist rows. Approximate by
+    construction, so no SQL oracle — rows-only at the driver; recall ≥ 0.8
+    vs exact brute force is asserted in tests/test_ann_kmeans.py."""
+    from .operators.similarity import pq_topk_rerank
+
+    return pq_topk_rerank(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
+    )

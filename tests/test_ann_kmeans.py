@@ -63,3 +63,52 @@ def test_ivf_kmeans_rows_shape(embeddings):
     for r in rows:
         per_q.setdefault(r.qid, []).append(r.rn)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_codebooks_deterministic(embeddings):
+    from one_one_one_rule_spark.operators.similarity import pq_codebooks
+
+    a = pq_codebooks(embeddings, m_sub=8, n_codes=8, iters=2)
+    b = pq_codebooks(embeddings, m_sub=8, n_codes=8, iters=2)
+    assert a == b
+
+
+def test_pq_encode_codes_in_range(embeddings):
+    from one_one_one_rule_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(embeddings, m_sub=8, n_codes=8, iters=2)
+    enc = pq_encode(embeddings, books)
+    assert enc.count() == embeddings.count()
+    for j in range(8):
+        mx = enc.agg({f"code{j}": "max"}).collect()[0][0]
+        mn = enc.agg({f"code{j}": "min"}).collect()[0][0]
+        assert 0 <= mn and mx <= 7
+
+
+def test_pq_rerank_recall_vs_brute_force(embeddings):
+    from one_one_one_rule_spark.operators.similarity import pq_topk_rerank
+
+    exact = {
+        (r.qid, r.vec_id)
+        for r in brute_force_topk(embeddings, QUERY_IDS, k=5).collect()
+    }
+    approx = {
+        (r.qid, r.vec_id)
+        for r in pq_topk_rerank(
+            embeddings, QUERY_IDS, k=5, m_sub=16, n_codes=32
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall {recall:.2f} below bound"
+
+
+def test_pq_rerank_rows_shape(embeddings):
+    from one_one_one_rule_spark.operators.similarity import pq_topk_rerank
+
+    out = pq_topk_rerank(embeddings, QUERY_IDS, k=5, m_sub=8, n_codes=8)
+    rows = out.collect()
+    assert len(rows) == len(QUERY_IDS) * 5
+    assert all(1 <= r.rn <= 5 for r in rows)

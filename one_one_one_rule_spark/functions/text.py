@@ -138,3 +138,27 @@ def md5_hash48_sql(expr: str) -> str:
         "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
         "(a, b) -> a * 16 + b)"
     )
+
+
+#: PII redaction patterns (pattern, replacement), applied in order. Kept in
+#: the Java∩RE2 common dialect (char classes, bounded quantifiers, \b,
+#: non-capturing groups) — verified bit-identical Spark vs DuckDB. Order
+#: matters: emails before URLs (an email inside a URL query string is
+#: redacted as email), cards last (phone hyphens already consumed).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^ ]+", "<URL>"),
+    (r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    (r"\b(?:[0-9][ -]?){13,16}\b", "<CCNUM>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Curation-stage PII scrub: emails, URLs, US-style phone numbers, and
+    card-like digit runs → typed placeholder tokens. A pure regexp_replace
+    chain in the scan projection — row-parallel, zero shuffles, and the
+    exact same chain is reproduced by the DuckDB oracle for hash-gating."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c

@@ -508,7 +508,13 @@ def pq_topk(
 
     books = pq_codebooks(vectors, m_sub, n_codes, iters, dim)
     sub = dim // m_sub
-    enc = pq_encode(vectors, books, dim).drop("embedding")
+    # The code table IS the stored index in production — materialize it
+    # (m_sub ints per vector) so the 2k-term encode projection is planned
+    # and codegen-compiled exactly once, and the ADC/top-k stages downstream
+    # see a trivial relation instead of re-deriving the encode tree.
+    enc = pq_encode(vectors, books, dim).drop("embedding").localCheckpoint(
+        eager=True
+    )
 
     qrows = (
         vectors.filter(F.col("vec_id").isin(query_ids))

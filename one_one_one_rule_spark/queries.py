@@ -4567,3 +4567,81 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_rerank(
         load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
     )
+
+
+@register(
+    "docs_pii_scrub",
+    r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or https://site.example/' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' phone 555-867-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+           '\b(?:[0-9][ -]?){13,16}\b', '<CCNUM>', 'g') AS clean,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT)
+           AS n_urls,
+         CAST(len(regexp_extract_all(text,
+           '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones
+  FROM seeded
+)
+SELECT doc_id, md5(clean) AS clean_md5, n_emails, n_urls, n_phones
+FROM scrubbed
+""",
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-stage PII redaction gate: every document (seeded with a
+    deterministic doc_id-derived contact line, same fixture philosophy as
+    synthetic_fundamentals — the corpus itself is clean word-soup) has
+    emails/URLs/phones replaced by typed placeholders, with per-type match
+    counts. The scrub chain and counts run entirely in the scan projection
+    (regexp_replace / regexp_count — zero shuffles, zero Python); the
+    oracle hash-gates the full scrubbed text via md5, so every byte of the
+    redaction is checked, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://site.example/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" phone 555-867-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("bigint").alias(alias)
+        for pat, alias in [
+            (T.PII_PATTERNS[0][0], "n_emails"),
+            (T.PII_PATTERNS[1][0], "n_urls"),
+            (T.PII_PATTERNS[2][0], "n_phones"),
+        ]
+    ]
+    return seeded.select(
+        "doc_id",
+        F.md5(T.redact_pii("text").cast("binary")).alias("clean_md5"),
+        *counts,
+    )

@@ -4645,3 +4645,46 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(T.redact_pii("text").cast("binary")).alias("clean_md5"),
         *counts,
     )
+
+
+@register(
+    "events_stream_foreachbatch_sink",
+    ORACLES["events_hourly_rollup"],
+)
+def events_stream_foreachbatch_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hourly rollup streamed into a PARQUET sink through foreachBatch
+    (streaming/events.py:foreach_batch_overwrite_sink) and read back —
+    the write-side streaming gate: memory-sink gates check operator
+    semantics; this one checks the exactly-once sink pattern end-to-end
+    (overwrite restatement = idempotent under batch replay) against the
+    same batch oracle."""
+    import tempfile
+
+    from .streaming.events import foreach_batch_overwrite_sink
+
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    rolled = (
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            decimal_sum(F.col("value")).alias("total_value"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            int_avg(k).alias("avg_k"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        foreach_batch_overwrite_sink(rolled, out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.read.parquet(out_dir)

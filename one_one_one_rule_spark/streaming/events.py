@@ -232,3 +232,25 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def foreach_batch_overwrite_sink(stream_df: DataFrame, out_dir: str) -> None:
+    """Exactly-once parquet sink via foreachBatch: each micro-batch of a
+    complete-mode aggregation REPLACES the output directory, so replaying
+    a batch after a failure rewrites identical content instead of
+    double-appending — the idempotent-restatement pattern for sinks with
+    no transactional append. At scale the same callback targets a
+    partition overwrite (INSERT OVERWRITE by window/date) so each batch
+    restates only the partitions it touched; the checkpoint's batch_id is
+    the dedup key a transactional sink would use."""
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

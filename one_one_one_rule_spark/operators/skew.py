@@ -46,3 +46,55 @@ def salted_topk_per_key(
         .filter(F.col(out_rank) <= k)
         .drop("_salt", "_prank")
     )
+
+
+def exact_heavy_hitters(
+    items: DataFrame, col: str, theta: float = 0.002
+) -> DataFrame:
+    """Exact heavy hitters (items with global frequency ≥ ``theta`` of all
+    rows) without ever shuffling the full key space.
+
+    A plain groupBy-HAVING shuffles one partial aggregate per DISTINCT key
+    — fine for user ids, ruinous for open vocabularies (n-grams at 100 TB:
+    billions of keys, almost all singletons). Two phases:
+
+      phase 1 (candidates): per input partition, exact local counts via
+        ``mapInPandas`` (never leaves the partition); keep keys with local
+        fraction ≥ theta. If a key's GLOBAL fraction ≥ theta then by
+        averaging some partition sees local fraction ≥ theta, so the
+        candidate union is a superset of every true heavy hitter (a 1-row
+        slack absorbs float-threshold rounding). Output is bounded by
+        ≤ ⌈1/theta⌉ keys per partition.
+      phase 2 (exact verify): broadcast the candidate set, semi-join the
+        stream, and exactly count ONLY candidate keys — the shuffle
+        carries ≤ #partitions/theta keys, independent of vocabulary size.
+        The global row count rides along as a broadcast 1-row aggregate
+        (same pattern as the global-median fallback J2), so no driver
+        action anywhere.
+
+    False positives from phase 1 are eliminated by the exact phase-2
+    filter, so the result is EXACTLY ``HAVING count >= theta * n`` — fully
+    SQL-oracle-checkable, unlike sketch-based heavy hitters."""
+
+    def local_candidates(batches):
+        import pandas as pd
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        total = 0
+        for pdf in batches:
+            total += len(pdf)
+            cnt.update(pdf[col])
+        thresh = theta * total - 1  # slack: superset under float rounding
+        yield pd.DataFrame({col: [k for k, c in cnt.items() if c >= thresh]})
+
+    cands = items.mapInPandas(local_candidates, f"{col} string").distinct()
+    total = items.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        items.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(theta) * F.col("n").cast("double"))
+        .select(col, "cnt")
+    )

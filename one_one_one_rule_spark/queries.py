@@ -4688,3 +4688,123 @@ def events_stream_foreachbatch_sink(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "docs_heavy_hitter_tokens",
+    """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks, tot
+GROUP BY tok, tot.n
+HAVING COUNT(*) >= 0.002e0 * CAST(n AS DOUBLE)
+""",
+)
+def docs_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens (operators/skew.py:exact_heavy_hitters):
+    tokens covering ≥ 0.2% of all token occurrences, found WITHOUT
+    shuffling the full vocabulary — partition-local candidate generation,
+    broadcast semi-join, exact recount of candidates only. The shape that
+    makes corpus-frequency gates (stop-lists, boilerplate detection)
+    affordable on open vocabularies; result is provably identical to the
+    naive GROUP BY ... HAVING, which is the oracle."""
+    from .operators.skew import exact_heavy_hitters
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    return exact_heavy_hitters(toks, "tok", 0.002)
+
+
+@register(
+    "events_stream_click_purchase_leftouter",
+    """
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+),
+c AS (
+  SELECT event_id AS click_id, ts AS click_ts, user_id FROM e
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-28 00:00:00'
+),
+p AS (
+  SELECT event_id AS purchase_id, ts AS purchase_ts, user_id FROM e
+  WHERE event_type = 'purchase'
+)
+SELECT c.click_id, c.user_id,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.purchase_id,
+       strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+  AND p.purchase_ts >= c.click_ts
+  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+""",
+)
+def events_stream_click_purchase_leftouter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join run through the streaming
+    engine (streaming/events.py:click_purchase_leftouter_stream) and
+    hash-checked against the batch LEFT JOIN — covering the NULL-emission
+    path (unmatched rows released by watermark passage) that the inner
+    interval-join gate can't exercise.
+
+    Outer joins only release NULL rows in a batch whose APPLIED watermark
+    has passed click_ts + horizon, and the applied watermark always lags
+    one batch behind the data — a single-file availableNow run therefore
+    never flushes the tail. So the gate streams the events table the way
+    the reference's dated-file convention would deliver it: three
+    time-sliced files, one micro-batch each (maxFilesPerTrigger=1), which
+    makes the last batch apply a watermark ≥ 2024-01-28 22:00 — past
+    cutoff + horizon, so every retained click (ts < 2024-01-28) is
+    watermark-complete and emitted, matched or NULL. The fixture spans
+    through 2024-01-30 at every SF."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import click_purchase_leftouter_stream
+
+    # Stage the dated-file layout: one parquet file per time slice, mtimes
+    # in slice order so the file stream processes them as separate batches.
+    src = tempfile.mkdtemp(prefix="lo_src_")
+    e = load_table(spark, sf_dir, "events")
+    slices = [
+        "ts < TIMESTAMP '2024-01-27 00:00:00'",
+        "ts >= TIMESTAMP '2024-01-27 00:00:00'"
+        " AND ts < TIMESTAMP '2024-01-29 00:00:00'",
+        "ts >= TIMESTAMP '2024-01-29 00:00:00'",
+    ]
+    for i, pred in enumerate(slices):
+        part_dir = f"{src}/_part{i}"
+        e.filter(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.move(f"{part_dir}/{part}", dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    name = "lojoin_gate_" + uuid.uuid4().hex[:12]
+    try:
+        return _drain_stream(
+            spark,
+            click_purchase_leftouter_stream(stream, "2024-01-28 00:00:00"),
+            name,
+            "append",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -254,3 +254,54 @@ def foreach_batch_overwrite_sink(stream_df: DataFrame, out_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_leftouter_stream(
+    events: DataFrame,
+    cutoff: str,
+    watermark: str = "2 hours",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click (strictly before
+    ``cutoff``) joined to same-user purchases within the following
+    ``horizon``, unmatched clicks emitted with NULLs once the watermark
+    passes click_ts + horizon.
+
+    Outer stream-stream joins only release their NULL side when the
+    watermark overtakes the join horizon, so rows near end-of-input stay
+    in state forever under availableNow — the ``cutoff`` keeps the result
+    watermark-complete (every retained click is guaranteed emitted,
+    matched or not), which is what makes the gate hash-comparable to the
+    batch LEFT JOIN. The cutoff is applied AFTER the join, never to the
+    click source: the global watermark is the MIN across both sides, so a
+    source-side cutoff would freeze the click watermark at the cutoff and
+    the tail's NULL rows would never release. State on each side is
+    bounded to watermark + horizon, exactly as in the inner-join twin
+    (purchase_click_join_stream)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    joined = clicks.withWatermark("click_ts", watermark).join(
+        purchases.withWatermark("purchase_ts", watermark),
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+        "leftOuter",
+    )
+    return joined.filter(F.col("click_ts") < F.lit(cutoff)).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+    )

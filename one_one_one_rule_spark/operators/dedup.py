@@ -434,8 +434,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def doc_hash_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc shingle-hash SET as one array<bigint> row — the persistable
+    signature representation the incremental dedup probes (write this per
+    batch, bucketed by doc_id or band key, and the corpus text is never
+    re-read)."""
+    return (
+        _shingle_hash_multiset(docs, n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+    )
+
+
 def incremental_lsh_dedup(
-    base: DataFrame, delta: DataFrame, n: int = 3, threshold: float = 0.3
+    base: DataFrame,
+    delta: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    base_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: flag each DELTA doc against an existing
     BASE corpus, never base-vs-base.
@@ -459,12 +475,7 @@ def incremental_lsh_dedup(
     from pyspark.sql.window import Window
 
     def hash_sets(docs: DataFrame) -> DataFrame:
-        return (
-            _shingle_hash_multiset(docs, n)
-            .groupBy("doc_id")
-            .agg(F.collect_set("h").alias("s"))
-            .localCheckpoint(eager=True)
-        )
+        return doc_hash_sets(docs, n).localCheckpoint(eager=True)
 
     def band_keys(sets: DataFrame) -> DataFrame:
         mins = [
@@ -483,7 +494,9 @@ def incremental_lsh_dedup(
         )
         return sigs.select("doc_id", F.posexplode(keys).alias("band", "key"))
 
-    base_sets = hash_sets(base)
+    # base_sets: pass the PERSISTED signature table (doc_hash_sets output
+    # read back from storage) to skip re-deriving the corpus side.
+    base_sets = base_sets if base_sets is not None else hash_sets(base)
     delta_sets = hash_sets(delta)
     cand = (
         band_keys(delta_sets)

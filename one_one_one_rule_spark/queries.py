@@ -4808,3 +4808,60 @@ def events_stream_click_purchase_leftouter(
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sv2
+  FROM events GROUP BY event_type
+),
+st AS (
+  SELECT event_type,
+         CAST(sv AS DOUBLE) / n AS mu,
+         sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+              / (n - 1)) AS sigma
+  FROM s
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - st.mu) / st.sigma AS zscore
+FROM events e JOIN st USING (event_type)
+WHERE abs((e.value - st.mu) / st.sigma) >= 1.5e0
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging from EXACT sufficient statistics:
+    n, Σv, Σv² accumulate in decimal (merge-order-invariant, unlike float
+    stddev's Welford merges, so the result is bit-identical across
+    engines AND across partitionings), then one double-precision
+    mean/stddev per type, broadcast back onto the stream — two passes over
+    events, one tiny aggregate exchange, no window. The same shape
+    extends to any moment-based quality gate (loss outliers, length
+    outliers) at corpus scale; at 100 TB the decimal Σv² headroom is the
+    knob to watch (rescale or widen precision before it saturates)."""
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("sv"),
+        F.sum(dec * dec).alias("sv2"),
+    )
+    sv = F.col("sv").cast("double")
+    st = s.select(
+        "event_type",
+        (sv / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("sv2").cast("double") - sv * sv / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= 1.5)
+    )

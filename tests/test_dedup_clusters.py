@@ -44,3 +44,37 @@ def test_reversed_chain_converges(spark):
 def test_empty_pairs(spark):
     res = dup_clusters(_pairs(spark, []))
     assert res.count() == 0
+
+
+def test_incremental_dedup_from_persisted_signatures(spark, sf_dir, tmp_path):
+    """Production shape: the base corpus' signature table is written once
+    and probed from storage — results must be identical to deriving the
+    base side from text."""
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.operators.dedup import (
+        doc_hash_sets,
+        incremental_lsh_dedup,
+    )
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    sig_path = str(tmp_path / "base_sigs")
+    doc_hash_sets(base).write.mode("overwrite").parquet(sig_path)
+    persisted = spark.read.parquet(sig_path)
+
+    direct = sorted(
+        map(tuple, incremental_lsh_dedup(base, delta).collect()), key=str
+    )
+    from_store = sorted(
+        map(
+            tuple,
+            incremental_lsh_dedup(base, delta, base_sets=persisted).collect(),
+        ),
+        key=str,
+    )
+    assert direct == from_store
+    assert any(r[1] for r in direct)  # at least one dup flagged

@@ -114,3 +114,25 @@ def test_events_stream_matches_batch_ingestion(spark, sf_dir):
         F.min("ts").alias("lo"),
     ).collect()[0]
     assert (got.n, got.s, got.lo) == (want.n, want.s, want.lo)
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Lakehouse schema evolution: a later batch adds a column; mergeSchema
+    unions the schemas and back-fills NULL for old rows — the ingestion
+    behavior a long-lived 100 TB table relies on when producers upgrade."""
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "evolving")
+    o.select("o_orderkey", "o_totalprice").write.mode("append").parquet(path)
+    o.select(
+        "o_orderkey", "o_totalprice",
+        F.lit("v2").alias("ingest_version"),
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {
+        "o_orderkey", "o_totalprice", "ingest_version"
+    }
+    n = o.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("ingest_version").isNull()).count() == n
+    assert merged.filter(F.col("ingest_version") == "v2").count() == n

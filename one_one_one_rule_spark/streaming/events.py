@@ -305,3 +305,65 @@ def click_purchase_leftouter_stream(
             "purchase_ts"
         ),
     )
+
+
+def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
+    """The per-user running totals operator on the transformWithState API
+    (Spark 4's successor to applyInPandasWithState): a StatefulProcessor
+    with an explicit ValueState cell instead of an opaque state tuple.
+    Semantics are identical to ``stateful_user_counts`` — exact integer
+    micro-unit accumulation, HALF_UP per-row rounding, update-mode
+    emission — so both APIs converge to the same batch GROUP BY. The TWS
+    API is where new stateful operators should land: typed value/list/map
+    state, timers for timeout logic, and initial-state bootstrap are all
+    first-class (none of which the old API offers).
+
+    NOT registered as a correctness-gate query: TWS's Python worker
+    requires the ``protobuf`` package at runtime
+    (pyspark/sql/streaming/proto/StateMessage_pb2), absent in this
+    sandbox. tests/test_streaming_multimodal.py gates it and SKIPS when
+    protobuf is unavailable, so the operator lights up automatically in
+    any environment that has the dependency."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, micros BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, micros = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += int(len(pdf))
+                v = pdf["value"].to_numpy(dtype="float64") * 100.0
+                micros += int(
+                    (np.sign(v) * np.floor(np.abs(v) + 0.5))
+                    .astype("int64")
+                    .sum()
+                )
+            self._totals.update((n, micros))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [micros / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=USER_COUNT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -290,3 +290,47 @@ def test_assemble_snapshot_coalesce_chains():
     assert a == b and a["ticker"] == "T12"
     assert fixture_fetch("T9")["market_cap"] == 9e6  # info fallback
     assert fixture_fetch("T8")["market_cap"] == 16e6  # fast wins
+
+
+def test_python_datasource_ticker_scan(spark, ticker_csv):
+    """The S1-S4 fallback chain behind the Spark 4 Python Data Source API:
+    registered format, option-driven, partitioned scan — same symbols as
+    the helper-function CSV path."""
+    from one_one_one_rule_spark.sources.ticker_datasource import (
+        TickerDataSource,
+    )
+
+    spark.dataSource.register(TickerDataSource)
+    df = (
+        spark.read.format("nasdaq_tickers")
+        .option("csv_path", ticker_csv)
+        .option("num_partitions", "2")
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<symbol:string>"
+    assert df.rdd.getNumPartitions() == 2
+    # Spark's CSV reader surfaces the empty field as NULL, the stdlib csv
+    # module as "" — equivalent for the downstream normalize/drop stage.
+    got = sorted(r.symbol or "" for r in df.collect())
+    expected = sorted(
+        r.symbol or ""
+        for r in tickers_from_csv(spark, ticker_csv).collect()
+    )
+    assert got == expected
+
+
+def test_python_datasource_empty_raises(spark, tmp_path):
+    from one_one_one_rule_spark.sources.ticker_datasource import (
+        TickerDataSource,
+    )
+
+    empty = tmp_path / "empty.csv"
+    empty.write_text("Symbol\n")
+    spark.dataSource.register(TickerDataSource)
+    df = (
+        spark.read.format("nasdaq_tickers")
+        .option("csv_path", str(empty))
+        .load()
+    )
+    with pytest.raises(Exception, match="no tickers available"):
+        df.collect()

@@ -175,3 +175,41 @@ def test_media_feature_knn_deterministic(spark, sf_dir):
     assert len(a) == 5 * 3
     qids = {t[0] for t in a}
     assert qids == {0, 1, 2, 3, 4}
+
+
+def test_tws_stateful_user_totals_converges_to_batch(spark, sf_dir, events_dir):
+    """transformWithState twin of the applyInPandasWithState gate — skipped
+    where TWS's protobuf runtime dependency is missing (this sandbox)."""
+    pytest.importorskip("google.protobuf")
+    from one_one_one_rule_spark.streaming.events import (
+        stateful_user_counts_tws,
+    )
+
+    stream = stream_events(spark, events_dir)
+    run_available_now(
+        stateful_user_counts_tws(stream), "tws_totals", output_mode="update"
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events,"
+            " MAX_BY(total_value, n_events) AS total_value"
+            " FROM tws_totals GROUP BY user_id"
+        ).collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == expected

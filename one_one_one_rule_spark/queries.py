@@ -4903,3 +4903,87 @@ def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "orders_cdc_apply",
+    """
+WITH feed AS (
+  SELECT o_orderkey,
+         o_custkey,
+         o_totalprice,
+         (o_orderkey % 7) + 1 AS version,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+              WHEN o_orderkey % 3 = 0 THEN 'U'
+              ELSE 'I' END AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+         o_custkey,
+         o_totalprice * 2 AS o_totalprice,
+         (o_orderkey % 7) + 2 AS version,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY version DESC, op DESC
+  ) AS rn
+  FROM feed
+)
+SELECT o_orderkey, o_custkey, o_totalprice, version, op AS last_op
+FROM latest
+WHERE rn = 1 AND op <> 'D'
+""",
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes: collapse an out-of-order insert/update/delete
+    feed to the latest surviving row per key — the lakehouse MERGE-with-
+    deletes every warehouse-to-lake replication pipeline runs. The feed is
+    synthesized deterministically from orders (two overlapping change
+    batches with versions and I/U/D ops); apply = one row_number window
+    per key ordered by (version DESC, op DESC), keep rn=1, then drop keys
+    whose latest op is a delete.
+
+    Tie rule: at equal version, op DESC under binary string comparison
+    ranks 'U' > 'I' > 'D', so an update beats a same-version insert or
+    delete identically in both engines. One shuffle on the key (the window);
+    at scale this is the standard snapshot-compaction shape — no join
+    against the existing table until the final MERGE, which
+    orders_merge_upsert / layout.overwrite_partitions cover."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    b1 = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        ((k % 7) + 1).alias("version"),
+        F.when(k % 11 == 0, "D").when(k % 3 == 0, "U").otherwise("I").alias("op"),
+    )
+    b2 = (
+        o.filter(k % 2 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            ((k % 7) + 2).alias("version"),
+            F.when(k % 5 == 0, "D").otherwise("U").alias("op"),
+        )
+    )
+    feed = b1.unionAll(b2)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("version"), F.desc("op")
+    )
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "version",
+            F.col("op").alias("last_op"),
+        )
+    )

@@ -102,3 +102,36 @@ def test_latest_partition_is_pruned_scan(spark, sf_dir, tmp_path):
     # post-scan filter over all partitions)
     plan = latest._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan, plan
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must have (much) narrower per-file min/max ranges on
+    BOTH dimensions than the natural row order — the property file-skipping
+    relies on. Measured directly from per-file extents via input_file_name."""
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.sources.fixtures import load_table
+    from one_one_one_rule_spark.sources.layout import write_zordered
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    n_files = 8
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(part, zpath, "p_partkey", "p_size", n_files)
+    npath = str(tmp_path / "natural")
+    part.repartition(n_files).write.mode("overwrite").parquet(npath)
+
+    def mean_file_span(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        return per_file.agg(F.avg("span")).collect()[0][0]
+
+    # Round-robin repartition makes every file span ~the full domain of
+    # both columns; Z-order must beat it decisively on each dimension.
+    for col in ["p_partkey", "p_size"]:
+        z = mean_file_span(zpath, col)
+        nat = mean_file_span(npath, col)
+        assert z < nat * 0.7, (col, z, nat)

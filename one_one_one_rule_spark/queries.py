@@ -4987,3 +4987,48 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("op").alias("last_op"),
         )
     )
+
+
+@register(
+    "docs_train_val_test_split",
+    """
+WITH tagged AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+              WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM tagged
+GROUP BY split, lang
+""",
+)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by Knuth-hash bucket on
+    doc_id — the assignment every corpus build needs to be (a) stable
+    across reruns and engines (no RNG, no sampling order dependence),
+    (b) computable at the scan with zero shuffles (the split column is a
+    pure expression — add it as a partition column at write time and
+    downstream readers prune to their split for free), and (c) disjoint
+    by construction. Returns per-split/lang profile counts so the gate
+    also checks the split's balance, not just membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -362,8 +362,11 @@ LIMIT 10
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-N.
-    Deterministic top-N via (revenue DESC, l_orderkey) tiebreak; customer
-    side is broadcast (small after segment filter)."""
+    Deterministic top-N via (revenue DESC, l_orderkey) tiebreak. The
+    segment-filtered customer side is NOT force-broadcast: it keeps ~1/5
+    of an SF-linear table, so a hardcoded hint would OOM executors at
+    100x scale. AQE picks broadcast at small SF from runtime stats and
+    falls back to shuffle join when the side outgrows the threshold."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -375,7 +378,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             decimal_sum(
@@ -3461,10 +3464,11 @@ GROUP BY ROLLUP (r_name, n_name)
 def region_nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP(region, nation) revenue: nation detail, region
     subtotals, grand total in ONE shuffled aggregate (grouping_id
-    disambiguates subtotal NULLs from data NULLs). The geography dims and
-    customer broadcast; lineitem-orders is the only big shuffle, and the
-    rollup's three grouping sets share it — at scale this is 3 report
-    levels for the price of one scan + one exchange."""
+    disambiguates subtotal NULLs from data NULLs). Only the fixed-size
+    geography dims (nation=25, region=5 rows at every SF) are hinted
+    broadcast; customer is SF-linear so AQE decides its join strategy
+    from runtime stats. The rollup's three grouping sets share one scan
+    + one exchange — 3 report levels for the price of one shuffle."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -3472,7 +3476,7 @@ def region_nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")

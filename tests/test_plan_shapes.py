@@ -118,3 +118,90 @@ def test_q18_semi_join_broadcasts_qualifying_set(spark, sf_dir):
     # a second time for the semi join
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# No-forced-broadcast-of-fact-tables audit (round-4 scale hardening).
+#
+# A hardcoded F.broadcast() on an SF-linear table is a 100x-scale OOM: AQE
+# cannot override an explicit hint, so a side that fits at sf0.1 kills
+# executors at production scale. This walks EVERY registered query's
+# analyzed logical plan and asserts no broadcast hint sits over a scan of
+# customer / orders / lineitem (the SF-linear TPC-H relations) unless a
+# cardinality-bounding node (Aggregate / Limit / Distinct) intervenes —
+# bounded aggregates of a fact table (e.g. the 25-nation top-balance
+# relation or a HAVING-gated orderkey set) are legitimate broadcasts.
+# Fixed-size dims (region=5, nation=25 rows at every SF) are always fine;
+# part/supplier hints are reviewed case-by-case in the per-query tests.
+# ---------------------------------------------------------------------------
+
+FACT_TABLES = ("customer", "orders", "lineitem")
+
+_BOUNDING_NODES = {
+    "Aggregate", "GlobalLimit", "LocalLimit", "Distinct", "Deduplicate",
+}
+
+
+def _fact_table_schemas(spark, sf_dir):
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    return {
+        t: frozenset(load_table(spark, sf_dir, t).columns) for t in FACT_TABLES
+    }
+
+
+def _unbounded_fact_scans_under(node, schemas):
+    """Relations in `node`'s subtree whose full column set equals a fact
+    table's schema, pruning branches below cardinality-bounding nodes."""
+    found = []
+    if node.nodeName() in _BOUNDING_NODES:
+        return found
+    if node.nodeName() == "LogicalRelation":
+        cols = set()
+        it = node.output().iterator()
+        while it.hasNext():
+            cols.add(it.next().name())
+        for t, schema in schemas.items():
+            if cols == schema:
+                found.append(t)
+        return found
+    it = node.children().iterator()
+    while it.hasNext():
+        found.extend(_unbounded_fact_scans_under(it.next(), schemas))
+    return found
+
+
+def _forced_fact_broadcasts(node, schemas, inside_hint=False):
+    hits = []
+    is_bc_hint = node.nodeName() == "ResolvedHint" and "broadcast" in str(
+        node
+    ).splitlines()[0]
+    if is_bc_hint and not inside_hint:
+        hits.extend(_unbounded_fact_scans_under(node, schemas))
+    it = node.children().iterator()
+    while it.hasNext():
+        hits.extend(
+            _forced_fact_broadcasts(
+                it.next(), schemas, inside_hint or is_bc_hint
+            )
+        )
+    return hits
+
+
+def test_no_query_forces_broadcast_of_fact_tables(spark, sf_dir):
+    schemas = _fact_table_schemas(spark, sf_dir)
+    offenders = {}
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf_dir)
+        except Exception:
+            continue  # gate-orchestration entries handled elsewhere
+        hits = _forced_fact_broadcasts(
+            df._jdf.queryExecution().analyzed(), schemas
+        )
+        if hits:
+            offenders[name] = sorted(set(hits))
+    assert not offenders, (
+        "forced broadcast of SF-linear fact table(s) — AQE cannot override "
+        f"an explicit hint at scale: {offenders}"
+    )

@@ -113,14 +113,17 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
     inter = joined.groupBy(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     ).agg(F.count(F.lit(1)).alias("c"))
+    # `sizes` is one row per doc — corpus-linear, so never force-broadcast:
+    # keyed shuffle joins scale, and AQE still picks broadcast from runtime
+    # stats when the corpus slice is small.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return (
         inter.join(
-            F.broadcast(sizes).withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes).withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
             "doc_b",
         )
         .select(
@@ -298,13 +301,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     ``localCheckpoint`` truncates the growing lineage each round (without
     it, round k re-plans rounds 1..k-1); it is lazy and materialized by
     the convergence action, so each round costs exactly ONE job.
-    Convergence detection is the label-sum fixpoint: labels are
-    monotonically non-increasing per node, so the global SUM(lbl) strictly
-    decreases until the fixpoint — an aggregate-only check, with no
-    old-vs-new join in the loop. Converges in O(component diameter)
-    rounds; near-dup components are dense (clique-ish), so real corpora
-    converge in 2-4. Raises after ``max_iter`` rounds rather than
-    returning a half-propagated labeling.
+    Convergence detection counts CHANGED labels: the update step computes
+    a per-row ``changed`` flag inline (new label strictly smaller than
+    old), and the round's single action is ``SUM(changed)`` — still an
+    aggregate-only check with no old-vs-new join, but unlike a SUM(lbl)
+    fixpoint it cannot overflow bigint when doc_ids and corpus size are
+    both huge (1e10 docs x 1e18-scale ids exceeds int64; a count is
+    bounded by corpus size). Converges in O(component diameter) rounds;
+    near-dup components are dense (clique-ish), so real corpora converge
+    in 2-4. Raises after ``max_iter`` rounds rather than returning a
+    half-propagated labeling.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -321,7 +327,6 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -330,7 +335,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        labels = (
+        stepped = (
             labels.join(
                 neigh.select(F.col("u").alias("doc_id"), "nlbl"),
                 "doc_id",
@@ -341,13 +346,21 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
+                (
+                    F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl")
+                )
+                .cast("bigint")
+                .alias("changed"),
             )
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
+        # coalesce: SUM over an empty label table is NULL, not 0
+        n_changed = stepped.agg(
+            F.coalesce(F.sum("changed"), F.lit(0))
+        ).collect()[0][0]
+        labels = stepped.drop("changed")
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds"
@@ -355,7 +368,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
-    return labels.join(F.broadcast(sizes), "lbl").select(
+    # `sizes` has one row per duplicate cluster — unbounded at corpus scale
+    # (a 100 TB near-dup graph has hundreds of millions of clusters), so it
+    # must NOT be broadcast. Both sides are already keyed by `lbl`; a plain
+    # shuffle join is the scale-safe shape (and AQE may still choose to
+    # broadcast from runtime stats when the graph is genuinely small).
+    return labels.join(sizes, "lbl").select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),
         "cluster_size",

@@ -46,6 +46,33 @@ def test_empty_pairs(spark):
     assert res.count() == 0
 
 
+def test_huge_doc_ids_no_label_sum_overflow(spark):
+    """Convergence must not rely on SUM(lbl): with doc_ids near 2^62, the
+    sum of even a handful of labels exceeds int64 and a label-sum fixpoint
+    check silently wraps (or NULLs under ANSI). The changed-label count is
+    bounded by corpus size. Graph: a diameter-3 chain plus a disjoint pair,
+    all ids > 2^61 so any 5-label sum overflows."""
+    base = 1 << 62
+    edges = [
+        (base + 1, base + 2),
+        (base + 2, base + 3),
+        (base + 3, base + 4),
+        (base + 10, base + 11),
+    ]
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dup_clusters(_pairs(spark, edges)).collect()
+    }
+    assert got == {
+        base + 1: (base + 1, 4, True),
+        base + 2: (base + 1, 4, False),
+        base + 3: (base + 1, 4, False),
+        base + 4: (base + 1, 4, False),
+        base + 10: (base + 10, 2, True),
+        base + 11: (base + 10, 2, False),
+    }
+
+
 def test_incremental_dedup_from_persisted_signatures(spark, sf_dir, tmp_path):
     """Production shape: the base corpus' signature table is written once
     and probed from storage — results must be identical to deriving the

@@ -79,18 +79,25 @@ def main() -> None:
             timings[name] = None
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpus": cpus,
+        }
     )
+    print(line)
+    # Persist the metric line as a file artifact too: the driver only keeps
+    # a 2000-char stdout tail, which has truncated the JSON (and lost the
+    # headline number) two rounds running.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

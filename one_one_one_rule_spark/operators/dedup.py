@@ -202,6 +202,36 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_keys(sets: DataFrame) -> DataFrame:
+    """(doc_id, band, key) banded-LSH keys from a per-doc shingle-hash-set
+    relation (``s``: array<bigint>, as produced by ``doc_hash_sets``).
+
+    The single source of truth for the signature scheme: 16-perm MinHash
+    derived map-side via ``transform`` + ``array_min`` (min over the set ==
+    min over the multiset), then 8 bands of 2 rows packed into one bigint
+    key (m_even * P + m_odd — collision-free since every m < P), emitted in
+    ONE pass via posexplode. Used by both the batch pair-finder
+    (``minhash_lsh_pairs``) and the incremental prober
+    (``incremental_lsh_dedup``) so seed/banding changes cannot drift apart
+    — a drift would silently zero the incremental path's candidate recall.
+    """
+    mins = [
+        F.array_min(
+            F.expr(f"transform(s, x -> ({a} * x + {b}) % {HASH_P})")
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    sigs = sets.select("doc_id", *mins)
+    keys = F.array(
+        *[
+            F.col(f"m{ROWS_PER_BAND * j}") * F.lit(HASH_P)
+            + F.col(f"m{ROWS_PER_BAND * j + 1}")
+            for j in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(keys).alias("band", "key"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.3
 ) -> DataFrame:
@@ -237,23 +267,7 @@ def minhash_lsh_pairs(
         .agg(F.collect_set("h").alias("s"))
         .localCheckpoint(eager=True)
     )
-    mins = [
-        F.array_min(
-            F.expr(f"transform(s, x -> ({a} * x + {b}) % {HASH_P})")
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_SEEDS)
-    ]
-    sigs = sets.select("doc_id", *mins)
-    keys = F.array(
-        *[
-            F.col(f"m{ROWS_PER_BAND * j}") * F.lit(HASH_P)
-            + F.col(f"m{ROWS_PER_BAND * j + 1}")
-            for j in range(N_BANDS)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id", F.posexplode(keys).alias("band", "key")
-    )
+    bands = band_keys(sets)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -494,23 +508,6 @@ def incremental_lsh_dedup(
 
     def hash_sets(docs: DataFrame) -> DataFrame:
         return doc_hash_sets(docs, n).localCheckpoint(eager=True)
-
-    def band_keys(sets: DataFrame) -> DataFrame:
-        mins = [
-            F.array_min(
-                F.expr(f"transform(s, x -> ({a} * x + {b}) % {HASH_P})")
-            ).alias(f"m{i}")
-            for i, (a, b) in enumerate(MINHASH_SEEDS)
-        ]
-        sigs = sets.select("doc_id", *mins)
-        keys = F.array(
-            *[
-                F.col(f"m{ROWS_PER_BAND * j}") * F.lit(HASH_P)
-                + F.col(f"m{ROWS_PER_BAND * j + 1}")
-                for j in range(N_BANDS)
-            ]
-        )
-        return sigs.select("doc_id", F.posexplode(keys).alias("band", "key"))
 
     # base_sets: pass the PERSISTED signature table (doc_hash_sets output
     # read back from storage) to skip re-deriving the corpus side.

@@ -407,12 +407,19 @@ def pq_codebooks(
     max_sample: int = 4096,
 ) -> list[list[list[float]]]:
     """Per-subspace PQ codebooks (m_sub × n_codes × dim/m_sub), trained with
-    the same bounded deterministic recipe as ``kmeans_centroids``: modular
-    vec_id sample (data-independent, no RNG), driver-side numpy Lloyd's
-    with first-rows init, fixed iteration count. The train set is one
-    column-pruned scan ≤ max_sample rows (~2 MB); everything downstream
+    the same bounded deterministic recipe as ``kmeans_centroids``: a
+    deterministic hash sample (data-independent, no RNG), driver-side numpy
+    Lloyd's with first-rows init, fixed iteration count. The train set is
+    one column-pruned scan ≤ max_sample rows (~2 MB); everything downstream
     uses the codebooks as plan literals, so the index build never runs
-    per-iteration cluster jobs."""
+    per-iteration cluster jobs.
+
+    Sampling is ``pmod(xxhash64(vec_id), m) == 0`` — uniform over VALUES,
+    not positions, so it stays bounded for sparse or non-contiguous id
+    spaces where a ``vec_id % m`` sample could collapse below n_codes or
+    blow past max_sample (ids clustered on multiples of m). A final
+    orderBy+limit caps the hash sample's statistical overshoot
+    deterministically."""
     import numpy as np
 
     if dim % m_sub != 0:
@@ -421,8 +428,9 @@ def pq_codebooks(
     n = vectors.count()
     m = max(1, -(-n // max_sample))
     rows = (
-        vectors.filter((F.col("vec_id") % m) == 0)
+        vectors.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0)
         .orderBy("vec_id")
+        .limit(max_sample)
         .select("embedding")
         .collect()
     )

@@ -25,6 +25,26 @@ from .sources.fixtures import load_table, synthetic_fundamentals
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+_session_tmp_root: str | None = None
+
+
+def _session_tmp_dir(prefix: str) -> str:
+    """Temp dir under a per-process root removed at interpreter exit.
+
+    Gate queries that hand a directory to Spark (streaming sinks whose
+    output must outlive the query function so the caller can collect it)
+    allocate here instead of bare ``tempfile.mkdtemp`` — otherwise a full
+    registry run leaks one sink directory per invocation."""
+    global _session_tmp_root
+    import atexit
+    import shutil
+    import tempfile
+
+    if _session_tmp_root is None:
+        _session_tmp_root = tempfile.mkdtemp(prefix="ooor_spark_gates_")
+        atexit.register(shutil.rmtree, _session_tmp_root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_session_tmp_root)
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -4664,8 +4684,6 @@ def events_stream_foreachbatch_sink(
     semantics; this one checks the exactly-once sink pattern end-to-end
     (overwrite restatement = idempotent under batch replay) against the
     same batch oracle."""
-    import tempfile
-
     from .streaming.events import foreach_batch_overwrite_sink
 
     k = F.get_json_object("props", "$.k").cast("bigint")
@@ -4684,7 +4702,7 @@ def events_stream_foreachbatch_sink(
             int_avg(k).alias("avg_k"),
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    out_dir = _session_tmp_dir("fb_sink_")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -4830,11 +4848,13 @@ st AS (
          sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
               / (n - 1)) AS sigma
   FROM s
+  WHERE n > 1
 )
 SELECT e.event_id, e.event_type, e.value,
        (e.value - st.mu) / st.sigma AS zscore
 FROM events e JOIN st USING (event_type)
-WHERE abs((e.value - st.mu) / st.sigma) >= 1.5e0
+WHERE st.sigma > 0e0
+  AND abs((e.value - st.mu) / st.sigma) >= 1.5e0
 """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4846,7 +4866,13 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, one tiny aggregate exchange, no window. The same shape
     extends to any moment-based quality gate (loss outliers, length
     outliers) at corpus scale; at 100 TB the decimal Σv² headroom is the
-    knob to watch (rescale or widen precision before it saturates)."""
+    knob to watch (rescale or widen precision before it saturates).
+
+    Degenerate groups (n=1, or zero variance) are excluded in BOTH
+    engines by construction: Spark's non-ANSI division would yield NULL
+    (silently dropping the row) while DuckDB's IEEE float ops yield
+    inf/nan and keep it — a latent cross-engine divergence unless the
+    sigma > 0 guard is explicit on each side."""
     e = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,2)")
     s = e.groupBy("event_type").agg(
@@ -4855,13 +4881,17 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec * dec).alias("sv2"),
     )
     sv = F.col("sv").cast("double")
-    st = s.select(
-        "event_type",
-        (sv / F.col("n")).alias("mu"),
-        F.sqrt(
-            (F.col("sv2").cast("double") - sv * sv / F.col("n"))
-            / (F.col("n") - 1)
-        ).alias("sigma"),
+    st = (
+        s.filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            (sv / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("sv2").cast("double") - sv * sv / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+        .filter(F.col("sigma") > 0)
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (

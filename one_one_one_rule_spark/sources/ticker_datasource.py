@@ -31,8 +31,19 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 @dataclass
 class _Slice(InputPartition):
+    """One modular slice of the resolved symbol list.
+
+    Carries the slice's SYMBOLS, not just its index: the source list is
+    resolved exactly once, driver-side, in ``partitions()``. If executors
+    re-fetched per partition (and per task retry), the Wikipedia leg could
+    return a different snapshot between fetches and drop or duplicate
+    symbols across slices — embedding the data is what makes retries
+    idempotent for the network leg, not just the stable CSV leg.
+    InputPartition is pickled to executors, so a ~100-row payload rides
+    the task closure for free."""
+
     index: int
-    count: int
+    symbols: list
 
 
 def _read_csv_symbols(path: str) -> list[str]:
@@ -81,17 +92,18 @@ class TickerReader(DataSourceReader):
         return symbols
 
     def partitions(self) -> list[_Slice]:
+        # Resolve the fallback chain ONCE on the driver and embed each
+        # slice's symbols in its InputPartition — one snapshot for the
+        # whole scan, executors never re-fetch (see _Slice docstring).
+        symbols = self._symbols()
         return [
-            _Slice(i, self._num_partitions)
+            _Slice(i, symbols[i :: self._num_partitions])
             for i in range(self._num_partitions)
         ]
 
     def read(self, partition: _Slice):
-        # Each split re-reads the (tiny) source and keeps its modular slice
-        # — stateless, so retried tasks are idempotent.
-        for j, sym in enumerate(self._symbols()):
-            if j % partition.count == partition.index:
-                yield (sym,)
+        for sym in partition.symbols:
+            yield (sym,)
 
 
 class TickerDataSource(DataSource):

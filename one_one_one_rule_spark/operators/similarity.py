@@ -19,6 +19,41 @@ from ..functions.vectors import dot_chain_spark, norm_chain_spark
 
 EMBED_DIM = 64
 
+# Portable Carter-Wegman sampling hash: h(v) = (A·(v mod P) + B) mod P with
+# prime P = 2^31 − 1. Every intermediate fits comfortably in int64
+# (A·(P−1)+B < 2^63), so Spark (ANSI or not), DuckDB, and plain Python all
+# compute it bit-identically — which lets the oracle generators
+# (oracles_ann.py) reproduce trainer samples without a SparkSession. Value-
+# uniform, so it stays bounded for sparse or non-contiguous id spaces.
+SAMPLE_HASH_A = 2654435761
+SAMPLE_HASH_B = 40503
+SAMPLE_HASH_P = 2147483647
+
+
+def sample_hash_expr(col: str):
+    """Spark Column form of the portable sampling hash."""
+    return F.pmod(
+        F.lit(SAMPLE_HASH_A) * F.pmod(F.col(col), F.lit(SAMPLE_HASH_P))
+        + F.lit(SAMPLE_HASH_B),
+        F.lit(SAMPLE_HASH_P),
+    )
+
+
+def sample_hash_py(v: int) -> int:
+    """Python mirror (python %, like Spark pmod, is non-negative for P>0)."""
+    return (
+        SAMPLE_HASH_A * (v % SAMPLE_HASH_P) + SAMPLE_HASH_B
+    ) % SAMPLE_HASH_P
+
+
+def sample_hash_sql(col: str) -> str:
+    """DuckDB mirror; the inner ``(v % P + P) % P`` normalizes DuckDB's
+    sign-of-dividend remainder to Spark's non-negative pmod."""
+    return (
+        f"(({SAMPLE_HASH_A} * ((({col}) % {SAMPLE_HASH_P} + {SAMPLE_HASH_P})"
+        f" % {SAMPLE_HASH_P}) + {SAMPLE_HASH_B}) % {SAMPLE_HASH_P})"
+    )
+
 
 def cosine_pairs(
     vectors: DataFrame, queries: DataFrame, dim: int = EMBED_DIM
@@ -282,6 +317,27 @@ def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return vectors.withColumn("cell", cell)
 
 
+def lloyd_kmeans(X, k: int, iters: int):
+    """Deterministic numpy Lloyd's core shared by the Spark trainers
+    (``kmeans_centroids``, ``pq_codebooks``) AND the oracle-side SQL
+    generators (oracles_ann.py): same sample in → bit-identical centroids
+    out, regardless of which engine fetched the sample. First-k-rows init,
+    argmin ties to the lowest index, empty clusters keep their centroid,
+    fixed iteration count, fixed-order numpy reductions — no RNG anywhere.
+    Returns a k × dim ndarray (float64)."""
+    import numpy as np  # noqa: F401 (X is already an ndarray)
+
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 8,
@@ -325,14 +381,7 @@ def kmeans_centroids(
             f"quantizer, got {len(X)} (table too small or over-sampled m); "
             "lower k or raise max_sample"
         )
-    C = X[:k].copy()
-    for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
-        a = d2.argmin(axis=1)
-        for j in range(len(C)):
-            pts = X[a == j]
-            if len(pts):
-                C[j] = pts.mean(axis=0)
+    C = lloyd_kmeans(X, k, iters)
     return [[float(x) for x in row] for row in C]
 
 
@@ -414,12 +463,14 @@ def pq_codebooks(
     uses the codebooks as plan literals, so the index build never runs
     per-iteration cluster jobs.
 
-    Sampling is ``pmod(xxhash64(vec_id), m) == 0`` — uniform over VALUES,
-    not positions, so it stays bounded for sparse or non-contiguous id
-    spaces where a ``vec_id % m`` sample could collapse below n_codes or
-    blow past max_sample (ids clustered on multiples of m). A final
-    orderBy+limit caps the hash sample's statistical overshoot
-    deterministically."""
+    Sampling is ``pmod(sample_hash(vec_id), m) == 0`` (the portable
+    Carter-Wegman hash above) — uniform over VALUES, not positions, so it
+    stays bounded for sparse or non-contiguous id spaces where a
+    ``vec_id % m`` sample could collapse below n_codes or blow past
+    max_sample (ids clustered on multiples of m). A final orderBy+limit
+    caps the hash sample's statistical overshoot deterministically, and
+    the portable hash lets oracles_ann.py re-derive the identical sample
+    engine-independently."""
     import numpy as np
 
     if dim % m_sub != 0:
@@ -428,7 +479,7 @@ def pq_codebooks(
     n = vectors.count()
     m = max(1, -(-n // max_sample))
     rows = (
-        vectors.filter(F.pmod(F.xxhash64("vec_id"), F.lit(m)) == 0)
+        vectors.filter(F.pmod(sample_hash_expr("vec_id"), F.lit(m)) == 0)
         .orderBy("vec_id")
         .limit(max_sample)
         .select("embedding")
@@ -444,15 +495,7 @@ def pq_codebooks(
         )
     books: list[list[list[float]]] = []
     for j in range(m_sub):
-        Xj = X[:, j * sub : (j + 1) * sub]
-        C = Xj[:n_codes].copy()
-        for _ in range(iters):
-            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
-            a = d2.argmin(axis=1)
-            for c in range(len(C)):
-                pts = Xj[a == c]
-                if len(pts):
-                    C[c] = pts.mean(axis=0)
+        C = lloyd_kmeans(X[:, j * sub : (j + 1) * sub], n_codes, iters)
         books.append([[float(x) for x in row] for row in C])
     return books
 

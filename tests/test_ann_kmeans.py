@@ -112,3 +112,51 @@ def test_pq_rerank_rows_shape(embeddings):
     rows = out.collect()
     assert len(rows) == len(QUERY_IDS) * 5
     assert all(1 <= r.rn <= 5 for r in rows)
+
+
+def test_sample_hash_portable_across_engines(spark):
+    """The Carter-Wegman sampling hash must agree bit-for-bit between the
+    Spark expression, the python mirror, and the DuckDB SQL mirror — the
+    generated ANN oracles (oracles_ann.py) depend on re-deriving trainer
+    samples engine-independently."""
+    import duckdb
+
+    from one_one_one_rule_spark.operators.similarity import (
+        sample_hash_expr,
+        sample_hash_py,
+        sample_hash_sql,
+    )
+
+    vals = [0, 1, 2, 5, 42, 1000003, 2**31, 2**62 - 1, 999999999999]
+    df = spark.createDataFrame([(v,) for v in vals], "vec_id bigint")
+    got_spark = {
+        r.vec_id: r.h
+        for r in df.select("vec_id", sample_hash_expr("vec_id").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            "SELECT v, " + sample_hash_sql("v") + " FROM (SELECT unnest(?) AS v)",
+            [vals],
+        ).fetchall()
+    )
+    con.close()
+    for v in vals:
+        assert got_spark[v] == sample_hash_py(v) == got_duck[v], v
+
+
+def test_generated_ann_oracles_register(sf_dir):
+    """Oracle generation must succeed against the checked-in gate scale
+    (falls back to None only when the table is missing)."""
+    import os
+
+    import pytest as _pytest
+
+    from one_one_one_rule_spark import oracles_ann
+
+    if not os.path.isfile(
+        os.path.join(oracles_ann.GATE_SF_DIR, "embeddings.parquet")
+    ):
+        _pytest.skip("gate-scale embeddings table not present")
+    assert oracles_ann.ivf_kmeans_oracle_sql() is not None
+    assert oracles_ann.pq_rerank_oracle_sql() is not None

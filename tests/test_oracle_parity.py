@@ -38,11 +38,17 @@ def _canon(rows, columns):
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_oracle_parity(name, spark, ddb, sf_dir):
+    from one_one_one_rule_spark.oracles_ann import GENERATORS
+
     sdf = QUERIES[name](spark, sf_dir)
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = ddb.sql(ORACLES[name])
+    # generated oracles embed trained model literals for a specific scale:
+    # regenerate for THIS harness's sf_dir (the registered string targets
+    # the driver's sf0.01 gate)
+    oracle = GENERATORS[name](sf_dir) if name in GENERATORS else ORACLES[name]
+    res = ddb.sql(oracle)
     dcols = [c.lower() for c in res.columns]
     drows = [tuple(r) for r in res.fetchall()]
 

@@ -466,6 +466,79 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def substring_windows(
+    docs: DataFrame, length: int = 32, sample_mod: int = 1
+) -> DataFrame:
+    """Distinct (doc_id, h) hashes of stride-1 character windows of
+    ``length`` chars — the unit of exact substring-level dedup.
+
+    Stride 1 gives the exact guarantee: ANY common substring of ≥ length
+    chars between two docs yields at least one identical full window in
+    both, whatever its alignment (a strided variant would miss unaligned
+    matches). Windows are hashed map-side in the scan stage (one md5
+    intrinsic per window, no per-character lambda), so the dedup shuffle
+    carries 8-byte longs; a common substring of M ≥ length chars
+    contributes M − length + 1 shared windows.
+
+    ``sample_mod`` = W > 1 applies 0-mod-W fingerprint selection (keep
+    windows with h % W == 0) BEFORE the distinct shuffle — the standard
+    content-defined sampling of substring-fingerprint dedup: selection
+    depends only on window CONTENT, so two docs sharing a substring select
+    the same windows from it, and both shuffle volume and join fan-in drop
+    W-fold. A shared run of M chars then yields ≈ (M−length+1)/W selected
+    windows (detection becomes probabilistic in run length, deterministic
+    in content — same result on every engine/partitioning). W=1 keeps the
+    exhaustive exact tier."""
+    win = F.expr(
+        f"CASE WHEN length(text) >= {length} THEN "
+        f"transform(sequence(1, length(text) - {length} + 1), "
+        f"i -> substring(text, i, {length})) ELSE array() END"
+    )
+    hashed = docs.select("doc_id", F.explode(win).alias("w")).select(
+        "doc_id", (md5_hash48("w") % HASH_P).alias("h")
+    )
+    if sample_mod > 1:
+        hashed = hashed.filter(F.col("h") % sample_mod == 0)
+    return hashed.distinct()
+
+
+def substring_dedup_pairs(
+    docs: DataFrame,
+    length: int = 32,
+    min_shared: int = 8,
+    max_df: int = 50,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Tier 5 — exact substring-level dedup (the large-substring tier of
+    training-data pipelines, cf. suffix-array dedup): doc pairs sharing
+    ≥ ``min_shared`` distinct ``length``-char windows — with
+    ``sample_mod=1``, at least ``length + min_shared − 1`` chars of
+    contiguous overlap (or the same total across several runs); with
+    0-mod-W sampling, ≈ ``length + W·min_shared`` chars expected.
+
+    Banded like every other tier, never all-pairs: the inverted index on
+    window hashes joins only bucket-mates, and the ``max_df`` stop-window
+    cap (stop_shingle_filter) drops boilerplate windows before the
+    self-join, bounding per-bucket fan-out to max_df·(max_df−1)/2. The
+    pair aggregate is one hash-partitioned shuffle on (doc_a, doc_b).
+    Deterministic end-to-end — hash-gated against a DuckDB oracle that
+    applies the identical window/hash/sample/cap pipeline."""
+    w = substring_windows(docs, length, sample_mod)
+    kept = stop_shingle_filter(w, max_df, col="h")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def doc_hash_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     """Per-doc shingle-hash SET as one array<bigint> row — the persistable
     signature representation the incremental dedup probes (write this per

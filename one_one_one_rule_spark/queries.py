@@ -5117,3 +5117,60 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+_SUBSTR_L = 32
+_SUBSTR_MIN_SHARED = 2
+_SUBSTR_MAX_DF = 50
+_SUBSTR_SAMPLE_MOD = 4
+
+
+def _substring_dedup_sql() -> str:
+    h = T.md5_hash48_sql(f"substring(text, CAST(i AS INTEGER), {_SUBSTR_L})")
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) - {_SUBSTR_L} + 2)) AS i
+  FROM documents
+  WHERE length(text) >= {_SUBSTR_L}
+),
+w AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, {h} % {T.HASH_P} AS h FROM pos
+  ) t WHERE h % {_SUBSTR_SAMPLE_MOD} = 0
+),
+keptdf AS (
+  SELECT h FROM w GROUP BY h HAVING COUNT(*) <= {_SUBSTR_MAX_DF}
+),
+kept AS (SELECT w.doc_id, w.h FROM w JOIN keptdf USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_SUBSTR_MIN_SHARED}
+"""
+
+
+@register("docs_substring_dedup", _substring_dedup_sql())
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (operators/dedup.py:
+    substring_dedup_pairs) — the remaining dedup tier beyond
+    shingle/MinHash/SimHash, covering long verbatim overlap the
+    set-similarity tiers under-weight (a 200-char quote inside two
+    otherwise-different docs barely moves Jaccard but is exactly what
+    suffix-array-style training-data dedup removes). Doc pairs sharing
+    >= 2 selected 32-char stride-1 windows under 0-mod-4 content-defined
+    window sampling (~40+ chars of verbatim overlap expected);
+    inverted-index join over map-side window hashes with a stop-window
+    document-frequency cap — banded, never all-pairs, one pair-aggregate
+    shuffle, and the sampling cuts shuffle volume and join fan-in 4x
+    (the production knob; sample_mod=1 is the exhaustive exact tier)."""
+    from .operators.dedup import substring_dedup_pairs
+
+    return substring_dedup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        _SUBSTR_L,
+        _SUBSTR_MIN_SHARED,
+        _SUBSTR_MAX_DF,
+        _SUBSTR_SAMPLE_MOD,
+    )

@@ -105,3 +105,65 @@ def test_incremental_dedup_from_persisted_signatures(spark, sf_dir, tmp_path):
     )
     assert direct == from_store
     assert any(r[1] for r in direct)  # at least one dup flagged
+
+
+def test_substring_dedup_pairs_semantics(spark):
+    """Two docs sharing one long verbatim run are paired even when their
+    set-level similarity is low; docs without long shared runs are not.
+    sample_mod=1 exercises the exact tier's contiguity guarantee."""
+    from one_one_one_rule_spark.operators.dedup import substring_dedup_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " * 30 + shared + " omega " * 30),
+            (2, "gamma " * 25 + shared + " delta " * 25),
+            (3, "totally unrelated filler content " * 20),
+            (4, "another stretch of different words entirely " * 15),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in substring_dedup_pairs(
+            docs, length=32, min_shared=8, max_df=50, sample_mod=1
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    # the shared run is ~70 chars -> ~39 windows; min_shared beyond that
+    # must drop the pair
+    none = substring_dedup_pairs(
+        docs, length=32, min_shared=60, max_df=50, sample_mod=1
+    ).collect()
+    assert none == []
+
+
+def test_substring_dedup_sampling_is_content_defined(spark):
+    """0-mod-W selection depends only on window content: the same pair
+    must be found whatever the surrounding (non-shared) text, and the
+    sampled tier's pairs must be a subset of the exhaustive tier's."""
+    from one_one_one_rule_spark.operators.dedup import substring_dedup_pairs
+
+    shared = "content defined chunking selects identical anchors in every document that contains this exact passage of text"
+    docs = spark.createDataFrame(
+        [
+            (1, "xx " * 40 + shared),
+            (2, shared + " yy " * 40),
+            (3, "unrelated " * 40),
+        ],
+        "doc_id bigint, text string",
+    )
+    exhaustive = {
+        (r.doc_a, r.doc_b)
+        for r in substring_dedup_pairs(
+            docs, length=32, min_shared=2, max_df=50, sample_mod=1
+        ).collect()
+    }
+    sampled = {
+        (r.doc_a, r.doc_b)
+        for r in substring_dedup_pairs(
+            docs, length=32, min_shared=2, max_df=50, sample_mod=4
+        ).collect()
+    }
+    assert sampled == {(1, 2)}
+    assert sampled <= exhaustive

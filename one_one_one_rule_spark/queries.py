@@ -5174,3 +5174,207 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SUBSTR_MAX_DF,
         _SUBSTR_SAMPLE_MOD,
     )
+
+
+@register(
+    "events_stream_resume",
+    ORACLES["events_hourly_rollup"],
+)
+def events_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume gate — proves exactly-once ACROSS A RESTART, the
+    production property the single-run streaming gates skip.
+
+    Phase 1 stages only the first two time-slices of the events table and
+    drains the hourly rollup (streaming/events.py:
+    foreach_batch_overwrite_sink) with an EXPLICIT checkpoint. The query
+    then stops. Phase 2 adds the final slice and starts a NEW query on
+    the same source/checkpoint/sink. The restarted query reads ONLY the
+    new file (the checkpoint's source log marks the first two as
+    committed), so its complete-mode output can cover phase-1 events only
+    by restoring the aggregation state store from the checkpoint — and
+    the final table must hash-equal the batch oracle over ALL events.
+    Double-processing (restart ignores source progress), state loss
+    (restart ignores the store), or partial output would each break the
+    hash. Sliced along event time like the dated-file convention the
+    reference's Drive layout implies (load_drive.py's per-run files)."""
+    import os
+    import shutil
+
+    from .streaming.events import foreach_batch_overwrite_sink
+
+    src = _session_tmp_dir("resume_src_")
+    ckpt = _session_tmp_dir("resume_ckpt_")
+    out = _session_tmp_dir("resume_out_")
+    e = load_table(spark, sf_dir, "events")
+    slices = [
+        "ts < TIMESTAMP '2024-01-27 00:00:00'",
+        "ts >= TIMESTAMP '2024-01-27 00:00:00'"
+        " AND ts < TIMESTAMP '2024-01-29 00:00:00'",
+        "ts >= TIMESTAMP '2024-01-29 00:00:00'",
+    ]
+
+    def stage(i: int, pred: str) -> None:
+        part_dir = f"{src}/_part{i}"
+        e.filter(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        shutil.move(f"{part_dir}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(part_dir)
+
+    def run_pipeline() -> None:
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double, props string"
+            )
+            .format("parquet")
+            .load(src)
+        )
+        k = F.get_json_object("props", "$.k").cast("bigint")
+        rolled = stream.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            decimal_sum(F.col("value")).alias("total_value"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            int_avg(k).alias("avg_k"),
+        )
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            foreach_batch_overwrite_sink(rolled, out, checkpoint_dir=ckpt)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    stage(0, slices[0])
+    stage(1, slices[1])
+    run_pipeline()  # phase 1: first two slices, checkpoint written
+    stage(2, slices[2])
+    run_pipeline()  # phase 2: resumes from checkpoint, reads ONLY slice 2
+    return spark.read.parquet(out)
+
+
+_UDTF_CHUNK = 20
+
+
+def _chunker_udtf_sql() -> str:
+    c = _UDTF_CHUNK
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, w,
+         unnest(range(CAST(ceil(len(w) / {c}.0e0) AS BIGINT))) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(w[chunk_idx*{c}+1 : chunk_idx*{c}+{c}]) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(w[chunk_idx*{c}+1 : chunk_idx*{c}+{c}], ' '))
+         AS chunk_md5
+FROM chunks
+"""
+
+
+@register("docs_chunker_udtf", _chunker_udtf_sql())
+def docs_chunker_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunker as a Python UDTF (Spark 4 ``pyspark.sql.udtf``,
+    Arrow-optimized) — the table-function shape for one-row-in /
+    variable-rows-out operators that scalar UDFs can't express: each doc
+    emits ceil(n_tokens/20) chunk rows (tail kept) with per-chunk token
+    count and md5. Joins the lateral-UDTF surface to the VARIANT /
+    Python-DataSource / transformWithState Spark-4 coverage.
+
+    The UDTF is the INTENDED slow path here (per-doc python), registered
+    to prove the API surface against the same chunk semantics the native
+    expression pipeline uses (docs_chunk_dedup's transform/slice chunking,
+    which remains the production scan-stage form); the oracle is the same
+    chunk SQL. Arrow batching keeps transfer vectorized; per-doc output
+    is bounded by doc length so no row explosion beyond corpus token
+    count."""
+    import hashlib
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    c = _UDTF_CHUNK
+
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            w = ("" if text is None else text).split(" ")
+            for i in range(math.ceil(len(w) / c)):
+                chunk_toks = w[i * c : i * c + c]
+                chunk = " ".join(chunk_toks)
+                yield (
+                    doc_id,
+                    i,
+                    len(chunk_toks),
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                )
+
+    chunker = udtf(
+        ChunkDocs,
+        returnType=(
+            "doc_id bigint, chunk_idx bigint, n_tokens bigint,"
+            " chunk_md5 string"
+        ),
+        useArrow=True,
+    )
+    spark.udtf.register("chunk_docs", chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5 "
+        "FROM _udtf_docs d, LATERAL chunk_docs(d.doc_id, d.text) c"
+    )
+
+
+def _has_tws_runtime() -> bool:
+    """transformWithState's Python worker needs protobuf
+    (pyspark/sql/streaming/proto/StateMessage_pb2) at runtime."""
+    import importlib.util
+
+    try:
+        # find_spec on a dotted name imports the parent package, which
+        # itself raises when the 'google' namespace is absent entirely
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+if _has_tws_runtime():
+
+    @register(
+        "events_stream_tws_user_totals",
+        ORACLES["events_stateful_user_totals"],
+    )
+    def events_stream_tws_user_totals(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """transformWithState twin of events_stateful_user_totals
+        (streaming/events.py:stateful_user_counts_tws): the same exact
+        integer-micro-unit running totals on Spark 4's typed-state API,
+        against the same batch oracle.
+
+        CONDITIONALLY registered: TWS needs protobuf at runtime, absent
+        in the build sandbox — this block self-registers the moment a
+        future environment provides it (no code change needed), and
+        tests/test_streaming_multimodal.py asserts registration tracks
+        availability so the condition can't silently rot."""
+        import uuid
+
+        from .streaming.events import stateful_user_counts_tws
+
+        name = "tws_gate_" + uuid.uuid4().hex[:12]
+        stream = _events_stream(spark, sf_dir)
+        drained = _drain_stream(
+            spark, stateful_user_counts_tws(stream), name, "update"
+        )
+        return drained.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )

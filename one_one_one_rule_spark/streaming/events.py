@@ -234,7 +234,9 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def foreach_batch_overwrite_sink(stream_df: DataFrame, out_dir: str) -> None:
+def foreach_batch_overwrite_sink(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str | None = None
+) -> None:
     """Exactly-once parquet sink via foreachBatch: each micro-batch of a
     complete-mode aggregation REPLACES the output directory, so replaying
     a batch after a failure rewrites identical content instead of
@@ -242,17 +244,21 @@ def foreach_batch_overwrite_sink(stream_df: DataFrame, out_dir: str) -> None:
     no transactional append. At scale the same callback targets a
     partition overwrite (INSERT OVERWRITE by window/date) so each batch
     restates only the partitions it touched; the checkpoint's batch_id is
-    the dedup key a transactional sink would use."""
+    the dedup key a transactional sink would use.
+
+    ``checkpoint_dir`` pins an explicit checkpoint so a LATER invocation
+    of the same pipeline resumes from it (source progress + aggregate
+    state) instead of reprocessing — the restart path the resume gate
+    (queries.events_stream_resume) exercises. Left None, Spark uses a
+    temp checkpoint deleted on clean stop."""
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.outputMode("complete").trigger(availableNow=True).start()
     q.awaitTermination()
 
 
@@ -318,12 +324,14 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
     state, timers for timeout logic, and initial-state bootstrap are all
     first-class (none of which the old API offers).
 
-    NOT registered as a correctness-gate query: TWS's Python worker
-    requires the ``protobuf`` package at runtime
+    CONDITIONALLY registered as a correctness-gate query
+    (queries.events_stream_tws_user_totals): TWS's Python worker requires
+    the ``protobuf`` package at runtime
     (pyspark/sql/streaming/proto/StateMessage_pb2), absent in this
-    sandbox. tests/test_streaming_multimodal.py gates it and SKIPS when
-    protobuf is unavailable, so the operator lights up automatically in
-    any environment that has the dependency."""
+    sandbox, so the registry block self-activates when a future
+    environment provides it. tests/test_streaming_multimodal.py SKIPS the
+    convergence test without protobuf and separately asserts that
+    registration tracks availability."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (

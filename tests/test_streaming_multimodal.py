@@ -213,3 +213,90 @@ def test_tws_stateful_user_totals_converges_to_batch(spark, sf_dir, events_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_checkpoint_resume_restores_state_not_files(spark, sf_dir, tmp_path):
+    """Restart-from-checkpoint must restore BOTH source progress and the
+    aggregation state store. Phase 1 drains two slices; their files are
+    then DELETED before phase 2 adds a third and restarts with the same
+    checkpoint — so the final complete-mode output can only cover phase-1
+    events via the restored state store, never by re-reading. The result
+    must equal the batch aggregate over all events."""
+    import os
+
+    from one_one_one_rule_spark.streaming.events import (
+        foreach_batch_overwrite_sink,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events")
+    slices = [
+        "ts < TIMESTAMP '2024-01-27 00:00:00'",
+        "ts >= TIMESTAMP '2024-01-27 00:00:00'"
+        " AND ts < TIMESTAMP '2024-01-29 00:00:00'",
+        "ts >= TIMESTAMP '2024-01-29 00:00:00'",
+    ]
+
+    def stage(i):
+        part_dir = f"{src}/_part{i}"
+        e.filter(slices[i]).coalesce(1).write.mode("overwrite").parquet(
+            part_dir
+        )
+        part = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        shutil.move(f"{part_dir}/{part}", f"{src}/{i:03d}.parquet")
+        shutil.rmtree(part_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double, props string"
+            )
+            .format("parquet")
+            .load(src)
+        )
+        rolled = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events")
+        )
+        foreach_batch_overwrite_sink(rolled, out, checkpoint_dir=ckpt)
+
+    stage(0)
+    stage(1)
+    run()
+    os.remove(f"{src}/000.parquet")  # phase-1 data is GONE
+    os.remove(f"{src}/001.parquet")
+    stage(2)
+    run()
+    got = {
+        r.event_type: r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_tws_gate_registration_tracks_protobuf_availability():
+    """The TWS gate query must be registered exactly when its protobuf
+    runtime dependency is importable — the env-skip (see
+    test_tws_stateful_user_totals_converges_to_batch's importorskip with
+    reason 'google.protobuf') and the registry must never disagree."""
+    import importlib.util
+
+    from one_one_one_rule_spark.queries import ORACLES, QUERIES
+
+    try:
+        available = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        available = False
+    assert ("events_stream_tws_user_totals" in QUERIES) == available
+    assert ("events_stream_tws_user_totals" in ORACLES) == available

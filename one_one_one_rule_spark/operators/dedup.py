@@ -522,9 +522,20 @@ def substring_dedup_pairs(
     self-join, bounding per-bucket fan-out to max_df·(max_df−1)/2. The
     pair aggregate is one hash-partitioned shuffle on (doc_a, doc_b).
     Deterministic end-to-end — hash-gated against a DuckDB oracle that
-    applies the identical window/hash/sample/cap pipeline."""
-    w = substring_windows(docs, length, sample_mod)
-    kept = stop_shingle_filter(w, max_df, col="h")
+    applies the identical window/hash/sample/cap pipeline.
+
+    The window relation is eagerly ``localCheckpoint``-ed: it feeds the
+    df-cap aggregate AND the capped output, which itself feeds both
+    self-join sides — without the checkpoints Catalyst re-plans the whole
+    explode+hash+distinct pipeline per branch (4 corpus scans instead of
+    1; the same fix as the MinHash tier's shared sets). Checkpointed rows
+    are (doc_id, hash) longs — compact and spillable."""
+    w = substring_windows(docs, length, sample_mod).localCheckpoint(
+        eager=True
+    )
+    kept = stop_shingle_filter(w, max_df, col="h").localCheckpoint(
+        eager=True
+    )
     a = kept.alias("a")
     b = kept.alias("b")
     return (

@@ -663,3 +663,62 @@ def pq_topk_rerank(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "cosine", "rn")
     )
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    tau: float = 0.4,
+    dim: int = EMBED_DIM,
+    max_sample: int = 4096,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style: cluster the embedding
+    space with the deterministic k-means coarse quantizer, then compare
+    ONLY within a cluster — exact cosine ≥ tau on intra-cell pairs.
+
+    This is the third dedup tier next to lexical MinHash-LSH (surface
+    overlap) and SRP-LSH (random-hyperplane buckets): the learned cells
+    adapt to the data distribution, so semantically-equivalent rewrites
+    that share no shingles and straddle SRP bucket boundaries still land
+    in one cell. The quadratic term is bounded per cell — production sizes
+    ``n_cells ∝ corpus/target_cell_size`` so each cell's pair count stays
+    constant; the cross-cell work is zero (candidate recall is traded at
+    cell boundaries exactly as in the SemDeDup paper's k-means stage).
+
+    Plan shape at scale: one bounded-sample train (kmeans_centroids'
+    documented collect contract), one distributed assignment pass
+    (centroid literals in the plan, whole-stage codegen), one shuffle of
+    (cell, embedding) for the self-join, exact chains only on intra-cell
+    pairs. No all-pairs stage anywhere.
+    """
+    cents = kmeans_centroids(
+        vectors, k=n_cells, iters=iters, dim=dim, max_sample=max_sample
+    )
+    assigned = assign_cells(vectors, cents).select(
+        "vec_id", "embedding", "cell"
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "cell",
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    dot = dot_chain_spark("emb_a", "emb_b", dim)
+    na = norm_chain_spark("emb_a", dim)
+    nb = norm_chain_spark("emb_b", dim)
+    cos = F.when((na > 0) & (nb > 0), dot / (na * nb))
+    return (
+        pairs.select(
+            F.col("cell").cast("int").alias("cell"),
+            "id_a",
+            "id_b",
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(tau))
+    )

@@ -312,3 +312,69 @@ WHERE rn <= {k}
 
 GENERATORS["ann_ivf_kmeans_topk"] = ivf_kmeans_oracle_sql
 GENERATORS["ann_pq_topk"] = pq_rerank_oracle_sql
+
+
+def semantic_dedup_oracle_sql(
+    sf_dir: str | None = None,
+    n_cells: int = 16,
+    iters: int = 3,
+    tau: float = 0.4,
+) -> str | None:
+    """Generated oracle for embeddings_semantic_dedup (operators/
+    similarity.py:semantic_dedup_pairs): trains the identical k-means
+    quantizer engine-independently (DuckDB sample + shared numpy Lloyd
+    core), embeds the centroids as literals, and re-executes assignment
+    (first-max argmax) plus the intra-cell exact-cosine self-join in SQL.
+    Same shared-model-artifact contract as ivf_kmeans_oracle_sql."""
+    try:
+        import numpy as np
+
+        from .operators.similarity import lloyd_kmeans
+
+        ids, emb = _load_vectors(sf_dir or GATE_SF_DIR)
+        if not ids:
+            return None
+        n = len(ids)
+        m = max(1, -(-n // MAX_SAMPLE))
+        sample = [emb[v] for v in ids if v % m == 0]
+        if len(sample) < n_cells:
+            return None
+        C = lloyd_kmeans(np.array(sample, dtype=np.float64), n_cells, iters)
+        cents = [[float(x) for x in row] for row in C]
+    except Exception:
+        return None
+
+    scores = ",\n         ".join(
+        f"{_cell_score_sql('embedding', c)} AS s{j}"
+        for j, c in enumerate(cents)
+    )
+    glist = ", ".join(f"s{j}" for j in range(n_cells))
+    cell_case = " ".join(f"WHEN s{j} = g THEN {j}" for j in range(n_cells))
+    dot = dot_chain_sql("a.embedding", "b.embedding", EMBED_DIM)
+    na = norm_chain_sql("a.embedding", EMBED_DIM)
+    nb = norm_chain_sql("b.embedding", EMBED_DIM)
+    return f"""
+WITH scored AS (
+  SELECT vec_id, embedding,
+         {scores}
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, embedding,
+         CAST(CASE {cell_case} END AS INTEGER) AS cell
+  FROM (SELECT *, GREATEST({glist}) AS g FROM scored) t
+),
+pairs AS (
+  SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN {na} > 0 AND {nb} > 0
+              THEN ({dot}) / ({na} * {nb}) END AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT cell, id_a, id_b, cosine
+FROM pairs
+WHERE cosine >= {_f(tau)}
+"""
+
+
+GENERATORS["embeddings_semantic_dedup"] = semantic_dedup_oracle_sql

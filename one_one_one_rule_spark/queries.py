@@ -5378,3 +5378,12 @@ if _has_tws_runtime():
             F.max("n_events").alias("n_events"),
             F.max_by("total_value", "n_events").alias("total_value"),
         )
+
+
+# ---------------------------------------------------------------------------
+# registry extensions in sibling modules (import side effect = registration;
+# placed at the bottom so `register` and the shared helpers exist first)
+# ---------------------------------------------------------------------------
+
+from . import queries_embeddings  # noqa: E402,F401
+from . import queries_finance  # noqa: E402,F401

@@ -1,0 +1,122 @@
+"""Embedding-space pipeline queries (registry extension).
+
+Two capabilities a 100 TB training-data pipeline needs beyond the ANN /
+LSH tiers already registered:
+
+* ``embeddings_semantic_dedup`` — the SemDeDup-style third dedup tier
+  (learned k-means cells bound the quadratic term; exact cosine only
+  within a cell). Complements lexical MinHash-LSH and SRP-LSH.
+* ``embeddings_dim_stats`` — per-dimension distribution profile (count /
+  mean / std / min / max): the embedding-QA pass that catches dead
+  dimensions, scale drift and NaN pollution before vectors enter an ANN
+  index. Shape: posexplode → one combinable groupBy on the dimension
+  index (64 groups) — map-side partial aggregation does almost all the
+  work, the shuffle carries 64 rows per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracles_ann as _ora_ann
+from .queries import register
+from .sources.fixtures import load_table
+
+
+@register(
+    "embeddings_semantic_dedup", _ora_ann.semantic_dedup_oracle_sql()
+)
+def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs via k-means cells + intra-cell exact cosine
+    (operators/similarity.py:semantic_dedup_pairs). Hash-gated by a
+    GENERATED oracle (oracles_ann.py:semantic_dedup_oracle_sql) that
+    re-trains the identical quantizer engine-independently and re-executes
+    assignment + the cell-bounded self-join in SQL."""
+    from .operators.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), n_cells=16, iters=3, tau=0.4
+    )
+
+
+@register(
+    "embeddings_dim_stats",
+    """
+WITH ex AS (
+  SELECT CAST(pos AS INTEGER) AS pos,
+         CAST(embedding[pos + 1] AS DOUBLE) AS v
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+),
+q AS (
+  SELECT pos, v, CAST(round(v * 1000000.0e0) AS BIGINT) AS q6
+  FROM ex
+),
+g AS (
+  SELECT pos,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         SUM(q6) AS s1,
+         SUM(q6 * q6) AS s2,
+         MIN(v) AS min_val,
+         MAX(v) AS max_val
+  FROM q
+  GROUP BY pos
+)
+SELECT pos, n_vecs,
+       CAST(s1 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0e0) AS mean_val,
+       sqrt((CAST(n_vecs AS DOUBLE) * CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1.0e0)))
+         / 1000000.0e0 AS std_val,
+       min_val, max_val
+FROM g
+""",
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile.
+
+    Values are quantized to exact 1e-6 integer units for the Σx/Σx² sums
+    (|v| < 1 in the fixture; BIGINT-exact to ~1e6 vectors per dimension,
+    and the BIGINT→DOUBLE casts that feed the variance are IEEE
+    round-to-nearest in both engines — same determinism contract as the
+    finance-indicator rolling stddev). min/max are order-independent on
+    raw doubles. One narrow shuffle of 64 partially-aggregated groups.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(F.col("embedding")).alias("pos", "fval")
+    ).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("fval").cast("double").alias("v"),
+    )
+    q = ex.withColumn(
+        "q6", F.round(F.col("v") * 1000000.0).cast("bigint")
+    )
+    g = q.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("q6").alias("s1"),
+        F.sum(F.col("q6") * F.col("q6")).alias("s2"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+    n_d = F.col("n_vecs").cast("double")
+    mean = F.col("s1").cast("double") / (n_d * 1000000.0)
+    std = (
+        F.sqrt(
+            (
+                n_d * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            / (n_d * (n_d - 1.0))
+        )
+        / 1000000.0
+    )
+    return g.select(
+        "pos",
+        "n_vecs",
+        mean.alias("mean_val"),
+        std.alias("std_val"),
+        "min_val",
+        "max_val",
+    )

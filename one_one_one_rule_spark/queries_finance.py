@@ -1,0 +1,495 @@
+"""Financial time-series indicator queries (registry extension).
+
+The reference repo is a stock-valuation pipeline
+(/root/reference/one_one_one_rule/transform_valuation.py computes
+point-in-time fundamentals ratios); the natural engine extension for the
+same user base is the rolling price-series toolkit — SMA/Bollinger, EMA/
+MACD, RSI, drawdown, realized volatility — over an event stream, here the
+``events`` table with ``user_id`` as the instrument key, ``ts`` as the
+quote time and ``value`` as the price.
+
+Every indicator is a pure window query: one shuffle on the instrument
+key, then row-frame window aggregates inside the sorted partition — the
+shape that scales linearly on a 1000-executor cluster (each instrument's
+history is processed by exactly one task; no driver participation, no
+cross-key traffic beyond the single hash partitioning).
+
+Cross-engine bit-determinism (the hash gate requires Spark == DuckDB to
+the last bit) follows the repo's oracles.py rules:
+
+* Sums over floating-point are NEVER emitted raw: prices are quantized to
+  integer cents (``round(value*100)``) and summed as BIGINT (exact,
+  associative); returns are quantized to 1e-6 units and summed as
+  DECIMAL(38,0) (exact at any corpus size). Variance is derived from the
+  exact integer sums (``n*Σx² - (Σx)²``) and converted to DOUBLE with a
+  single cast, so every engine performs the identical IEEE-754 ops.
+* EMA weights are finite truncated kernels: the normalized weight vector
+  is computed once in Python and embedded as identical double literals in
+  BOTH the Spark expression tree and the oracle SQL; the weighted sum is
+  a left-associated lag chain — a fixed expression tree, not an
+  order-unspecified aggregate.
+* No transcendental whose libm may differ across engines (no ln/pow at
+  query time); sqrt is IEEE-exact and allowed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import register
+from .sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _dlit(x: float) -> str:
+    """Double literal DuckDB parses as DOUBLE (not DECIMAL)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "." not in s) else s + "e0"
+
+
+def _ema_weights(span: int, k_lags: int) -> list[float]:
+    """Truncated, re-normalized EMA kernel: w_j ∝ α(1-α)^j, j=0..K-1.
+
+    Computed once driver-side; the SAME doubles are embedded in the Spark
+    plan and the oracle SQL, so the kernel is a shared model artifact
+    (like the ANN centroids in oracles_ann.py) and both engines evaluate
+    the identical expression tree.
+    """
+    alpha = 2.0 / (span + 1.0)
+    raw = [alpha * (1.0 - alpha) ** j for j in range(k_lags)]
+    norm = sum(raw)  # fixed left-to-right python sum, done once
+    return [w / norm for w in raw]
+
+
+_EMA_LAGS = 30  # both EMA kernels truncate here; rows need 30 of history
+
+
+def _ema_chain_sql(weights: list[float]) -> str:
+    """Left-associated lag-chain SQL: ((w0*v + w1*lag(v,1)) + ...)."""
+    acc = f"{_dlit(weights[0])} * value"
+    for j, w in enumerate(weights[1:], start=1):
+        acc = f"({acc} + {_dlit(w)} * lag(value, {j}) OVER w)"
+    return acc
+
+
+def _ema_chain_spark(weights: list[float], w: Window) -> F.Column:
+    acc = F.lit(weights[0]) * F.col("value")
+    for j, wt in enumerate(weights[1:], start=1):
+        acc = acc + F.lit(wt) * F.lag("value", j).over(w)
+    return acc
+
+
+_TS_SQL = "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str"
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _w(extra_order: bool = True) -> Window:
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# SMA + Bollinger bands (20-period)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sma_bollinger",
+    """
+WITH q AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER w AS rn,
+         SUM(cents) OVER f AS s1,
+         SUM(cents * cents) OVER f AS s2
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, value,
+       CAST(s1 AS DOUBLE) / 2000.0e0 AS sma20,
+       CAST(s1 AS DOUBLE) / 2000.0e0
+         + 2.0e0 * (sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE) / 380.0e0) / 100.0e0)
+         AS band_upper,
+       CAST(s1 AS DOUBLE) / 2000.0e0
+         - 2.0e0 * (sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE) / 380.0e0) / 100.0e0)
+         AS band_lower
+FROM agg
+WHERE rn >= 20
+""",
+)
+def events_sma_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-period simple moving average + Bollinger bands (±2σ).
+
+    Prices quantized to exact integer cents; the rolling mean and the
+    sample variance come from the two exact BIGINT window sums (Σx, Σx²),
+    so any partitioning/merge order yields identical bits. One shuffle on
+    user_id; both window passes share the same sort.
+    """
+    e = _base(spark, sf_dir)
+    w = _w()
+    f = w.rowsBetween(-19, 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    q = e.select(
+        "event_id", "user_id", "ts", "value", cents.alias("cents")
+    )
+    agg = q.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(f).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(f).alias("s2"),
+    )
+    sd = (
+        F.sqrt(
+            (20 * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / 380.0
+        )
+        / 100.0
+    )
+    sma = F.col("s1").cast("double") / 2000.0
+    return agg.filter(F.col("rn") >= 20).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "value",
+        sma.alias("sma20"),
+        (sma + 2.0 * sd).alias("band_upper"),
+        (sma - 2.0 * sd).alias("band_lower"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EMA(12) / EMA(26) / MACD — truncated normalized kernels as lag chains
+# ---------------------------------------------------------------------------
+
+
+def _ema_macd_sql() -> str:
+    w12 = _ema_weights(12, _EMA_LAGS)
+    w26 = _ema_weights(26, _EMA_LAGS)
+    return f"""
+WITH q AS (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER w AS rn,
+         {_ema_chain_sql(w12)} AS ema12,
+         {_ema_chain_sql(w26)} AS ema26
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, value,
+       ema12, ema26, ema12 - ema26 AS macd
+FROM q
+WHERE rn >= {_EMA_LAGS}
+"""
+
+
+@register("events_ema_macd", _ema_macd_sql())
+def events_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA(12), EMA(26) and the MACD line as truncated normalized kernels.
+
+    A streaming EMA is recursive state; the batch/oracle-portable form is
+    the K-lag truncated kernel (K=30 ⇒ the dropped tail weight is
+    (1-α)^30 ≈ 0.8% for span 26, 1e-2 relative — and both engines compute
+    the SAME truncated definition, so the gate is exact). The kernel is a
+    left-associated chain of 30 lag terms: a fixed expression tree whose
+    IEEE evaluation order is identical in Spark and DuckDB — this is what
+    makes a weighted float sum hash-gateable at all. One shuffle on
+    user_id; all 60 lag reads share one sorted pass.
+    """
+    e = _base(spark, sf_dir)
+    w = _w()
+    w12 = _ema_weights(12, _EMA_LAGS)
+    w26 = _ema_weights(26, _EMA_LAGS)
+    q = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        _ema_chain_spark(w12, w).alias("ema12"),
+        _ema_chain_spark(w26, w).alias("ema26"),
+    )
+    return q.filter(F.col("rn") >= _EMA_LAGS).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "value",
+        "ema12",
+        "ema26",
+        (F.col("ema12") - F.col("ema26")).alias("macd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RSI(14) — integer gain/loss sums, one final division
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rsi14",
+    """
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER w AS rn,
+         cents - lag(cents, 1) OVER w AS diff
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT event_id, user_id, ts, rn,
+         SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER f AS gains,
+         SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER f AS losses
+  FROM d
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       gains, losses,
+       CASE WHEN losses = 0 THEN 100.0e0
+            ELSE 100.0e0 - 100.0e0
+                 / (1.0e0 + CAST(gains AS DOUBLE) / CAST(losses AS DOUBLE))
+       END AS rsi14
+FROM g
+WHERE rn >= 15
+""",
+)
+def events_rsi14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI (simple-average Cutler's form — the recursive Wilder
+    smoothing is the streaming variant; the windowed form is the
+    batch-portable one). Gains/losses stay exact integer cents until the
+    single final division, so the gate is bit-exact. One shuffle, one
+    sorted pass for diff + rolling sums."""
+    e = _base(spark, sf_dir)
+    w = _w()
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    q = e.select("event_id", "user_id", "ts", cents.alias("cents"))
+    d = q.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        (F.col("cents") - F.lag("cents", 1).over(w)).alias("diff"),
+    )
+    f = w.rowsBetween(-13, 0)
+    gains = F.sum(
+        F.when(F.col("diff") > 0, F.col("diff")).otherwise(F.lit(0))
+    ).over(f)
+    losses = F.sum(
+        F.when(F.col("diff") < 0, -F.col("diff")).otherwise(F.lit(0))
+    ).over(f)
+    g = d.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "rn",
+        gains.alias("gains"),
+        losses.alias("losses"),
+    )
+    rsi = F.when(F.col("losses") == 0, F.lit(100.0)).otherwise(
+        F.lit(100.0)
+        - F.lit(100.0)
+        / (
+            F.lit(1.0)
+            + F.col("gains").cast("double") / F.col("losses").cast("double")
+        )
+    )
+    return g.filter(F.col("rn") >= 15).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "gains",
+        "losses",
+        rsi.alias("rsi14"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# drawdown: per-instrument running-peak summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_drawdown_summary",
+    """
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         MAX(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS peak_cents
+  FROM events
+),
+dd AS (
+  SELECT user_id, peak_cents,
+         CASE WHEN peak_cents > 0
+              THEN CAST(peak_cents - cents AS DOUBLE)
+                   / CAST(peak_cents AS DOUBLE)
+              ELSE 0.0e0 END AS drawdown
+  FROM q
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(peak_cents) AS DOUBLE) / 100.0e0 AS peak_value,
+       MAX(drawdown) AS max_drawdown
+FROM dd
+GROUP BY user_id
+""",
+)
+def events_drawdown_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instrument maximum drawdown from the running peak.
+
+    The running max is exact integer cents; each row's drawdown is one
+    division of identical operands, and MAX over identical doubles picks
+    identical bits — no float summation anywhere. Window + groupBy share
+    the same user_id partitioning (one shuffle total).
+    """
+    e = _base(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    q = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        cents.alias("cents"),
+    ).withColumn("peak_cents", F.max("cents").over(w))
+    dd = q.select(
+        "user_id",
+        "peak_cents",
+        F.when(
+            F.col("peak_cents") > 0,
+            (F.col("peak_cents") - F.col("cents")).cast("double")
+            / F.col("peak_cents").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("drawdown"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("peak_cents").cast("double") / 100.0).alias("peak_value"),
+        F.max("drawdown").alias("max_drawdown"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# realized volatility of simple returns (20-period)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_returns_volatility",
+    """
+WITH q AS (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER w AS rn,
+         lag(value, 1) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT event_id, user_id, ts, rn,
+         value / prev - 1.0e0 AS ret,
+         CAST(round((value / prev - 1.0e0) * 10000.0e0) AS BIGINT) AS r4
+  FROM q
+  WHERE prev IS NOT NULL AND prev > 0
+),
+v AS (
+  SELECT event_id, user_id, ts, rn, ret,
+         SUM(r4) OVER f AS s1,
+         SUM(r4 * r4) OVER f AS s2
+  FROM r
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, ret,
+       sqrt((20.0e0 * CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / 380.0e0)
+         / 10000.0e0 AS vol20
+FROM v
+WHERE rn >= 21
+""",
+)
+def events_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-period realized volatility of simple returns.
+
+    Returns r_t = p_t/p_{t-1} - 1 are one division + one subtraction of
+    identical doubles (no ln: libm log may differ by 1 ulp across
+    engines, which would break the hash gate — simple returns are pure
+    IEEE arithmetic). For the rolling stddev the returns are quantized to
+    1e-4 units and summed as BIGINT: exact AND within int64 even at the
+    fixture's extreme ~5e4 ratios (20·(5e8)² ≈ 4.8e18 < 2^63), and the
+    final BIGINT→DOUBLE casts are IEEE round-to-nearest in both engines —
+    unlike DECIMAL(38,0)→DOUBLE, whose int128 conversion rounds
+    differently in DuckDB vs the JVM by 1 ulp (observed; that's why the
+    sums are NOT widened to decimal here). One shuffle on user_id, one
+    sorted pass.
+    """
+    e = _base(spark, sf_dir)
+    w = _w()
+    q = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value", 1).over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull() & (F.col("prev") > 0))
+    ret = F.col("value") / F.col("prev") - 1.0
+    r4 = F.round(ret * 10000.0).cast("bigint")
+    r = q.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "rn",
+        ret.alias("ret"),
+        r4.alias("r4"),
+    )
+    f = w.rowsBetween(-19, 0)
+    v = r.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "rn",
+        "ret",
+        F.sum("r4").over(f).alias("s1"),
+        F.sum(F.col("r4") * F.col("r4")).over(f).alias("s2"),
+    )
+    vol = (
+        F.sqrt(
+            (
+                F.lit(20.0) * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            / 380.0
+        )
+        / 10000.0
+    )
+    return v.filter(F.col("rn") >= 21).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "ret",
+        vol.alias("vol20"),
+    )

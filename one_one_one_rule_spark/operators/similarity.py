@@ -299,7 +299,11 @@ def _cell_scores(centroids: list[list[float]]):
     emb = F.col("embedding").cast("array<double>")
     scores = []
     for c in centroids:
-        cvec = F.array(*[F.lit(float(x)) for x in c])
+        # single JVM-parsed literal: F.array(*[F.lit(x) ...]) would cost
+        # one py4j round trip per element (64 per centroid × k centroids)
+        cvec = F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        )
         dot = F.aggregate(
             F.zip_with(emb, cvec, lambda a, b: a * b),
             F.lit(0.0),
@@ -515,21 +519,50 @@ def pq_encode(
     dim × 4."""
     m_sub = len(books)
     sub = dim // m_sub
-    out = vectors.select("vec_id", "embedding")
+    # Plan-size discipline (measured as the dominant cost of the PQ
+    # queries): the naive form inlines m_sub × n_codes score expressions
+    # (~5-10k Catalyst nodes for 16×32), and the driver re-analyzes that
+    # tree on every invocation — seconds of pure planning. Instead each
+    # subspace's codebook rides as ONE nested-array Literal node
+    # ([norm², w0..w_sub-1] per code) and the per-code score is a single
+    # transform() lambda — the tree shrinks ~30x while the evaluated
+    # arithmetic (norm² − 2·Σ emb[d]·w_d, same op order) is bit-identical,
+    # so the generated oracle needs no change. Two stacked projections
+    # (packed literals, then codes), each analyzed once — no withColumn
+    # chain.
+    packed_sel = [F.col("vec_id"), F.col("embedding")]
+    code_cols = []
     for j, book in enumerate(books):
-        scores = []
-        for c, cent in enumerate(book):
-            dot_terms = " + ".join(
-                f"CAST(embedding[{j * sub + d}] AS DOUBLE) * {cent[d]!r}"
-                for d in range(sub)
-            )
-            norm2 = sum(x * x for x in cent)
-            scores.append(F.expr(f"{norm2!r} - 2.0 * ({dot_terms})"))
-        arr = F.array(*scores)
-        out = out.withColumn(
-            f"code{j}", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        packed = [
+            [float(sum(x * x for x in cent))] + [float(w) for w in cent]
+            for cent in book
+        ]
+        # ONE F.expr per subspace, parsed JVM-side: F.lit(nested_list)
+        # builds the literal element-by-element over py4j (~3k round
+        # trips for 16x32x17 doubles — measured 2.3s of pure socket RTT);
+        # the SQL string is a single call and folds to the same Literal.
+        packed_sql = ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in row) + ")"
+            for row in packed
         )
-    return out
+        packed_sel.append(
+            F.expr(f"array({packed_sql})").alias(f"_pk{j}")
+        )
+        o = j * sub
+        dot_terms = " + ".join(
+            f"CAST(embedding[{o + d}] AS DOUBLE) * x[{d + 1}]"
+            for d in range(sub)
+        )
+        score = f"transform(_pk{j}, x -> x[0] - 2.0 * ({dot_terms}))"
+        code_cols.append(
+            F.expr(
+                f"CAST(array_position({score}, array_min({score})) - 1"
+                " AS INT)"
+            ).alias(f"code{j}")
+        )
+    return vectors.select(*packed_sel).select(
+        "vec_id", "embedding", *code_cols
+    )
 
 
 def pq_topk(
@@ -589,7 +622,14 @@ def pq_topk(
     )
 
     norm2_lits = [
-        F.array(*[F.lit(sum(x * x for x in book[c])) for c in range(n_codes)])
+        F.expr(
+            "array("
+            + ",".join(
+                f"{float(sum(x * x for x in book[c]))!r}D"
+                for c in range(n_codes)
+            )
+            + ")"
+        )
         for book in books
     ]
     cand = enc.crossJoin(F.broadcast(queries)).filter(
@@ -698,27 +738,33 @@ def semantic_dedup_pairs(
     assigned = assign_cells(vectors, cents).select(
         "vec_id", "embedding", "cell"
     )
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        "cell",
+    # Pre-normalize ONCE per vector (O(n·dim)) so the per-pair verify is a
+    # single dim-term dot instead of dot + two norms (3x the flops on the
+    # quadratic intra-cell stage). cache() is the same materialization
+    # barrier cosine_neardup_pairs needs: without it CollapseProject
+    # inlines the transform into every e[i] reference of the pair dot.
+    # Zero-norm vectors are dropped up front (they have no cosine; the
+    # oracle applies the identical norm>0 guard).
+    emb = (
+        assigned.withColumn("nrm", norm_chain_spark("embedding", dim))
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("nrm")
+            ).alias("e"),
+        )
+        .cache()
     )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        "cell",
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("e").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("e").alias("eb")
     )
     pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    dot = dot_chain_spark("emb_a", "emb_b", dim)
-    na = norm_chain_spark("emb_a", dim)
-    nb = norm_chain_spark("emb_b", dim)
-    cos = F.when((na > 0) & (nb > 0), dot / (na * nb))
-    return (
-        pairs.select(
-            F.col("cell").cast("int").alias("cell"),
-            "id_a",
-            "id_b",
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(tau))
-    )
+    dot = F.expr(" + ".join(f"ea[{i}] * eb[{i}]" for i in range(dim)))
+    return pairs.select(
+        "cell", "id_a", "id_b", dot.alias("cosine")
+    ).filter(F.col("cosine") >= F.lit(tau))

@@ -350,9 +350,10 @@ def semantic_dedup_oracle_sql(
     )
     glist = ", ".join(f"s{j}" for j in range(n_cells))
     cell_case = " ".join(f"WHEN s{j} = g THEN {j}" for j in range(n_cells))
-    dot = dot_chain_sql("a.embedding", "b.embedding", EMBED_DIM)
-    na = norm_chain_sql("a.embedding", EMBED_DIM)
-    nb = norm_chain_sql("b.embedding", EMBED_DIM)
+    norm = norm_chain_sql("embedding", EMBED_DIM)
+    dot = " + ".join(
+        f"a.e[{i + 1}] * b.e[{i + 1}]" for i in range(EMBED_DIM)
+    )
     return f"""
 WITH scored AS (
   SELECT vec_id, embedding,
@@ -364,11 +365,17 @@ assigned AS (
          CAST(CASE {cell_case} END AS INTEGER) AS cell
   FROM (SELECT *, GREATEST({glist}) AS g FROM scored) t
 ),
+normed AS (
+  SELECT vec_id, cell,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / ({norm})) AS e
+  FROM assigned
+  WHERE ({norm}) > 0
+),
 pairs AS (
   SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
-         CASE WHEN {na} > 0 AND {nb} > 0
-              THEN ({dot}) / ({na} * {nb}) END AS cosine
-  FROM assigned a JOIN assigned b
+         {dot} AS cosine
+  FROM normed a JOIN normed b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
 SELECT cell, id_a, id_b, cosine

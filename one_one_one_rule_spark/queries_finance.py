@@ -493,3 +493,242 @@ def events_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ret",
         vol.alias("vol20"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hourly OHLC candles (bar aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc_hourly",
+    """
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+       arg_min(value, ts) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ts) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0e0
+         AS turnover
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+""",
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candle bars per instrument — the standard downsampling
+    every price-series store performs before charting/feature extraction.
+
+    open/close are arg-min/arg-max by event time (ts is unique per
+    instrument, so no tiebreak ambiguity); high/low are order-independent
+    MIN/MAX on raw doubles; turnover sums exact integer cents. One
+    combinable groupBy aggregate — partial aggregation happens map-side,
+    the shuffle carries one row per (instrument, hour)."""
+    e = _base(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            (F.sum(cents).cast("double") / 100.0).alias("turnover"),
+        )
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_str"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+            "turnover",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming OHLC candles (same oracle as the batch bars)
+# ---------------------------------------------------------------------------
+
+
+def _register_stream_ohlc() -> None:
+    from .queries import ORACLES, _drain_stream, _events_stream
+
+    @register("events_stream_ohlc", ORACLES["events_ohlc_hourly"])
+    def events_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hourly OHLC bars computed THROUGH Structured Streaming
+        (file-source readStream, availableNow, complete-mode memory sink)
+        and checked against the SAME DuckDB oracle as the batch candle
+        query — the bar-builder every live market feed runs, proven
+        convergent with its batch twin. min_by/max_by are declarative
+        aggregates, so open/close work inside streaming state exactly as
+        in batch."""
+        import uuid
+
+        name = "stream_gate_" + uuid.uuid4().hex[:12]
+        stream = _events_stream(spark, sf_dir)
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        bars = (
+            stream.groupBy(
+                "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+            )
+            .agg(
+                F.min_by("value", "ts").alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", "ts").alias("close"),
+                F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+                (F.sum(cents).cast("double") / 100.0).alias("turnover"),
+            )
+            .select(
+                "user_id",
+                F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour_str"
+                ),
+                "open",
+                "high",
+                "low",
+                "close",
+                "n_trades",
+                "turnover",
+            )
+        )
+        return _drain_stream(spark, bars, name, "complete")
+
+
+_register_stream_ohlc()
+
+
+# ---------------------------------------------------------------------------
+# pairwise co-movement correlation (hourly close deltas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_pairwise_correlation",
+    """
+WITH c AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         arg_max(CAST(round(value * 100) AS BIGINT), ts) AS close_cents
+  FROM events
+  GROUP BY user_id, date_trunc('day', ts)
+),
+d AS (
+  SELECT user_id, day,
+         close_cents - lag(close_cents, 1) OVER (
+           PARTITION BY user_id ORDER BY day) AS dc
+  FROM c
+),
+p AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         COUNT(*) AS n,
+         SUM(a.dc) AS sa, SUM(b.dc) AS sb,
+         SUM(a.dc * a.dc) AS saa,
+         SUM(b.dc * b.dc) AS sbb,
+         SUM(a.dc * b.dc) AS sab
+  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+  WHERE a.dc IS NOT NULL AND b.dc IS NOT NULL
+  GROUP BY a.user_id, b.user_id
+)
+SELECT user_a, user_b, CAST(n AS BIGINT) AS n_days,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS corr
+FROM p
+WHERE n >= 20
+  AND n * saa - sa * sa > 0
+  AND n * sbb - sb * sb > 0
+""",
+)
+def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of daily close-price CHANGES between
+    every instrument pair — the co-movement matrix behind portfolio
+    construction and pairs-trading screens.
+
+    All sufficient statistics (n, Σa, Σb, Σa², Σb², Σab) are exact BIGINT
+    sums of integer cent deltas, so the merge order never matters; the
+    closed-form correlation is a fixed double expression over the exact
+    moments (same engine-determinism recipe as part_brand_price_size_lm).
+    Degenerate pairs (zero variance, < 20 common days) are excluded by
+    exact integer guards on BOTH engines.
+
+    Scale shape: daily bars first (combinable groupBy — the stream
+    shrinks from events to instrument×hours before anything quadratic),
+    per-instrument delta (one window shuffle), then the day-keyed
+    self-join whose fan-out is instruments²/2 per day — bounded by the
+    universe size, not the event count; the pair aggregate is again
+    combinable. For a universe far larger than fits n² pairs, the same
+    moments pipeline runs against a candidate pair list (e.g. same
+    sector) instead of the full cross."""
+    e = _base(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max_by(cents, "ts").alias("close_cents"))
+    wh = Window.partitionBy("user_id").orderBy("day")
+    # the delta relation feeds BOTH self-join sides: checkpoint it so the
+    # events scan + bar aggregate + window run once, not once per side
+    # (instruments × days rows — compact at any event volume)
+    d = (
+        c.select(
+            "user_id",
+            "day",
+            (
+                F.col("close_cents") - F.lag("close_cents", 1).over(wh)
+            ).alias("dc"),
+        )
+        .filter(F.col("dc").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    a = d.select(
+        F.col("user_id").alias("user_a"), "day", F.col("dc").alias("da")
+    )
+    b = d.select(
+        F.col("user_id").alias("user_b"), "day", F.col("dc").alias("db")
+    )
+    p = (
+        a.join(b, "day")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("da").alias("sa"),
+            F.sum("db").alias("sb"),
+            F.sum(F.col("da") * F.col("da")).alias("saa"),
+            F.sum(F.col("db") * F.col("db")).alias("sbb"),
+            F.sum(F.col("da") * F.col("db")).alias("sab"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sab").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    den = F.sqrt(
+        n_d * F.col("saa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double")
+    ) * F.sqrt(
+        n_d * F.col("sbb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double")
+    )
+    return (
+        p.filter(
+            (F.col("n") >= 20)
+            & (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa") > 0)
+            & (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb") > 0)
+        )
+        .select(
+            "user_a",
+            "user_b",
+            F.col("n").cast("bigint").alias("n_days"),
+            (num / den).alias("corr"),
+        )
+    )

@@ -326,9 +326,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     in 2-4. Raises after ``max_iter`` rounds rather than returning a
     half-propagated labeling.
     """
+    # checkpoint the pair relation BEFORE symmetrizing: the union's two
+    # branches would otherwise each re-materialize the full upstream
+    # candidate pipeline (LSH banding / SRP verify — the expensive part),
+    # doubling the pair-generation work for one edge list
+    p = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )

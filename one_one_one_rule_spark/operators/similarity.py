@@ -730,7 +730,10 @@ def semantic_dedup_pairs(
     documented collect contract), one distributed assignment pass
     (centroid literals in the plan, whole-stage codegen), one shuffle of
     (cell, embedding) for the self-join, exact chains only on intra-cell
-    pairs. No all-pairs stage anywhere.
+    pairs. No all-pairs stage anywhere. The normalized-vector cache is
+    |vectors|·dim doubles (same contract as cosine_neardup_pairs); at a
+    scale where it no longer fits, write the normalized+assigned table
+    once, bucketed by cell, and the self-join becomes shuffle-free.
     """
     cents = kmeans_centroids(
         vectors, k=n_cells, iters=iters, dim=dim, max_sample=max_sample

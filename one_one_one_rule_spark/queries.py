@@ -3066,7 +3066,50 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_feature_knn")  # Pandas-UDF features: rows-only gate
+def _media_feature_knn_sql() -> str:
+    """Full-value oracle for the Pandas-UDF feature path: the stub
+    decoder's feature[j] = mean of payload bytes at positions ≡ j (mod 8)
+    / 255 is re-derived in pure SQL — the fixture text is ASCII (utf-8
+    byte i == ord(char i), asserted empirically for every gate table), the
+    byte sums are exact integers (numpy's pairwise float64 summation of
+    integers ≤ 2^53 is exact, so summation order is moot), and the final
+    mean/scale divisions are the same two IEEE ops numpy performs. The
+    knn scoring then mirrors the Spark chains term-for-term."""
+    feat = ",\n         ".join(
+        f"(CAST(list_sum(list_transform(range(length(text)), i -> "
+        f"CASE WHEN i % 8 = {j} THEN "
+        f"ord(substring(text, CAST(i + 1 AS INT), 1)) ELSE 0 END)) "
+        f"AS DOUBLE) / CAST((length(text) + 7) // 8 AS DOUBLE)) / 255.0e0"
+        f" AS f{j}"
+        for j in range(8)
+    )
+    dot = " + ".join(f"a.f{i} * q.f{i}" for i in range(8))
+    nv = "sqrt(" + " + ".join(f"a.f{i} * a.f{i}" for i in range(8)) + ")"
+    nq = "sqrt(" + " + ".join(f"q.f{i} * q.f{i}" for i in range(8)) + ")"
+    return f"""
+WITH feats AS (
+  SELECT doc_id AS media_id,
+         {feat}
+  FROM documents
+),
+p AS (
+  SELECT q.media_id AS qid, a.media_id,
+         CASE WHEN {nv} > 0 AND {nq} > 0
+              THEN ({dot}) / ({nv} * {nq}) END AS cosine
+  FROM feats a CROSS JOIN feats q
+  WHERE q.media_id < 5 AND a.media_id <> q.media_id
+)
+SELECT qid, media_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, media_id) AS rn
+  FROM p
+) t
+WHERE rn <= 3
+"""
+
+
+@register("media_feature_knn", _media_feature_knn_sql())
 def media_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed multimodal retrieval: binary payloads → Arrow-batched
     feature extraction (operators/multimodal.py:extract_features, decode
@@ -3075,9 +3118,11 @@ def media_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction) is a map-only mapInPandas pass; scoring broadcasts the
     5-row query side, so the plan is scan → Arrow batch → broadcast join →
     per-query top-k — the exact shape of an image-dedup or caption-match
-    pass at 100 TB. Features come from a Python batch (numpy reduction
-    order), so the gate is rows-only; determinism across runs is asserted
-    in tests/test_streaming_multimodal.py."""
+    pass at 100 TB. HASH-GATED since round 4: the deterministic stub
+    features are re-derived byte-arithmetically in the oracle
+    (_media_feature_knn_sql), closing the last rows-only gate; run-to-run
+    determinism is additionally asserted in
+    tests/test_streaming_multimodal.py."""
     from pyspark.sql import Window
 
     from .operators.multimodal import extract_features, synthesize_media

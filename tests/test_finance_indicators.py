@@ -120,3 +120,44 @@ def test_volatility_nonnegative_and_numpy(spark, sf_dir):
     # series by recomputing its expected vol — assert SOME row matches
     user_vols = {r.vol20 for r in rows if r.user_id == sample.user_id}
     assert any(abs(v - want) < 1e-12 for v in user_vols)
+
+
+def test_semantic_dedup_subset_of_exact_pairs(spark, sf_dir):
+    """Every intra-cell pair is verified with EXACT cosine, so the result
+    must be a subset of the brute-force cosine>=tau pair set (precision
+    1.0 by construction); on the small fixture the k-means cells should
+    also retain a reasonable fraction of the true pairs (recall)."""
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    v = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(v, tau=0.4).collect()
+    }
+    # brute-force truth on the small fixture
+    rows = v.select("vec_id", "embedding").collect()
+    import numpy as np
+
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    n = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = n @ n.T
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.4
+    }
+    assert got <= truth, "semantic dedup must never emit a false pair"
+    if truth:
+        # tau=0.4 sits far below the near-dup regime, where k-means cell
+        # blocking legitimately splits weakly-similar pairs (recall -> 1
+        # only as cosine -> 1); the fixture floor just guards against the
+        # blocking collapsing entirely (e.g. all pairs straddling cells)
+        recall = len(got) / len(truth)
+        assert recall >= 0.2, f"cell blocking lost too many pairs ({recall})"

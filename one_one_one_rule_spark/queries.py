@@ -5433,3 +5433,4 @@ if _has_tws_runtime():
 from . import queries_embeddings  # noqa: E402,F401
 from . import queries_scaleops  # noqa: E402,F401
 from . import queries_finance  # noqa: E402,F401
+from . import queries_quality  # noqa: E402,F401

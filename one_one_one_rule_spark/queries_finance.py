@@ -695,8 +695,16 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select(
         F.col("user_id").alias("user_b"), "day", F.col("dc").alias("db")
     )
+    # broadcast the probe side: `day` has only ~weeks of distinct values,
+    # so a shuffled join would land the whole universe² fan-out on a
+    # handful of hot reducer keys (one task per day). The bar-delta
+    # relation is instruments × days — small by construction — so
+    # broadcasting it keeps the fan-out spread across the build side's
+    # partitioning with NO shuffle before the pair aggregate. (For a
+    # universe too large to broadcast, the candidate-pair formulation
+    # below replaces the full cross anyway.)
     p = (
-        a.join(b, "day")
+        a.join(F.broadcast(b), "day")
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(

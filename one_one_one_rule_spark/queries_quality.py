@@ -450,6 +450,384 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank (integer arithmetic, fixed iterations) on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PR_UNIT = 10**12
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+def _pagerank_sql() -> str:
+    def step(prev: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT deg.u,
+         CAST({_PR_UNIT} * 15 // 100 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS s
+  FROM deg LEFT JOIN (
+    SELECT e.v AS u, SUM({prev}.s // deg.d) AS contrib
+    FROM e JOIN {prev} ON e.u = {prev}.u JOIN deg ON e.u = deg.u
+    GROUP BY e.v
+  ) c ON deg.u = c.u
+)"""
+
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_TRI_MIN_COPURCHASES}
+),
+e AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u
+),
+s0 AS (
+  SELECT u, CAST({_PR_UNIT} AS BIGINT) AS s FROM deg
+),{step("s0", "s1")},{step("s1", "s2")},{step("s2", "s3")}
+SELECT u AS p_partkey, s AS pagerank_units
+FROM s3
+ORDER BY s DESC, u ASC
+LIMIT {_PR_TOPK}
+"""
+
+
+@register("parts_copurchase_pagerank", _pagerank_sql())
+def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph — the iterative graph-
+    analytics workhorse (influence/importance ranking), expressed as a
+    Spark-first join-aggregate loop and — unusually — HASH-GATED, because
+    the scores are computed in exact integer arithmetic: scores live in
+    10^-12 units, each round is floor-divisions and bigint sums
+    (s' = floor(0.15·U) + floor(0.85·Σ floor(s_u/deg_u))), so there is
+    no float accumulation order to diverge between engines or
+    partitionings (both Spark's ``div`` and DuckDB's ``//`` truncate;
+    all values are positive, so they agree). The DuckDB oracle unrolls
+    the same three rounds as a CTE chain.
+
+    Scale design: edges derive from the within-order self-join (linear
+    in the fact table, same as the triangle census); per-round cost is
+    one edge⋈labels shuffle + one combinable contribution aggregate —
+    the textbook distributed PageRank shape. Degrees and labels are
+    vertex-sized, never collected; ``localCheckpoint`` truncates lineage
+    per round so round k doesn't re-plan rounds 1..k-1. Fixed-iteration
+    (3 rounds) rather than convergence-tested — the deterministic
+    variant a production ranking pipeline schedules; top-k output with a
+    total-order tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= _TRI_MIN_COPURCHASES)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    e = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    s = deg.select("u", F.lit(_PR_UNIT).cast("bigint").alias("s"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(s, "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("cu"), F.expr("s div d").alias("share")
+            )
+            .groupBy("cu")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        s = (
+            deg.join(contrib, deg.u == F.col("cu"), "left")
+            .select(
+                "u",
+                (
+                    F.expr(f"CAST({_PR_UNIT * 15} AS BIGINT) div 100")
+                    + F.expr("85 * coalesce(contrib, 0) div 100")
+                )
+                .cast("bigint")
+                .alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        s.orderBy(F.desc("s"), F.asc("u"))
+        .limit(_PR_TOPK)
+        .select(
+            F.col("u").alias("p_partkey"),
+            F.col("s").alias("pagerank_units"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_total FROM t GROUP BY event_type
+)
+SELECT t.event_type, t.next_type, t.n, tot.row_total,
+       CAST(t.n AS DOUBLE) / tot.row_total AS prob
+FROM t JOIN tot USING (event_type)
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction and
+    anomalous-session scoring. One window shuffle on the user key (each
+    user's history sorted once, in one task), then a combinable
+    transition count; row totals are a states²-bounded relation that
+    broadcasts back for the probability normalization (one exact-integer
+    divide per cell). No self-join on time — the lead() window is the
+    linear-cost sequencing primitive."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = t.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return t.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        "row_total",
+        (F.col("n").cast("double") / F.col("row_total")).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via value quartiles (no global sort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    """
+WITH rfm AS (
+  SELECT o_custkey AS custkey,
+         CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS recency_s,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT quantile_cont(recency_s, 0.25e0) AS r1, quantile_cont(recency_s, 0.5e0) AS r2,
+         quantile_cont(recency_s, 0.75e0) AS r3,
+         quantile_cont(frequency, 0.25e0) AS f1, quantile_cont(frequency, 0.5e0) AS f2,
+         quantile_cont(frequency, 0.75e0) AS f3,
+         quantile_cont(monetary_cents, 0.25e0) AS m1, quantile_cont(monetary_cents, 0.5e0) AS m2,
+         quantile_cont(monetary_cents, 0.75e0) AS m3
+  FROM rfm
+),
+scored AS (
+  SELECT custkey,
+         CASE WHEN recency_s <= q.r1 THEN 1 WHEN recency_s <= q.r2 THEN 2
+              WHEN recency_s <= q.r3 THEN 3 ELSE 4 END AS r_q,
+         CASE WHEN frequency <= q.f1 THEN 1 WHEN frequency <= q.f2 THEN 2
+              WHEN frequency <= q.f3 THEN 3 ELSE 4 END AS f_q,
+         CASE WHEN monetary_cents <= q.m1 THEN 1 WHEN monetary_cents <= q.m2 THEN 2
+              WHEN monetary_cents <= q.m3 THEN 3 ELSE 4 END AS m_q
+  FROM rfm CROSS JOIN q
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MIN(custkey) AS sample_custkey
+FROM scored
+GROUP BY r_q, f_q, m_q
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    standard marketing-analytics cube, built WITHOUT the global ntile
+    window the naive formulation uses: a partition-less ntile funnels
+    every customer through ONE task (the classic scale trap), so
+    quartiles are instead assigned by VALUE against exact quarter-point
+    percentiles (the events_value_quantiles bit-determinism recipe —
+    binary fractions over exact integers interpolate identically on
+    both engines), computed in one combinable aggregate and broadcast
+    back. Plan: customer-keyed aggregate → 1-row threshold relation →
+    broadcast cross-join → segment rollup; fully distributed at any
+    customer count. Ties land in the same bucket (value binning), the
+    semantics a segmentation dashboard actually wants."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm_ = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.unix_timestamp(F.max("o_orderdate"))
+        .cast("bigint")
+        .alias("recency_s"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    qs = [F.lit(0.25), F.lit(0.5), F.lit(0.75)]
+    q = rfm_.agg(
+        F.percentile("recency_s", F.array(*qs)).alias("rq"),
+        F.percentile("frequency", F.array(*qs)).alias("fq"),
+        F.percentile("monetary_cents", F.array(*qs)).alias("mq"),
+    )
+
+    def bucket(metric: str, arr: str):
+        return (
+            F.when(F.col(metric) <= F.col(arr)[0], 1)
+            .when(F.col(metric) <= F.col(arr)[1], 2)
+            .when(F.col(metric) <= F.col(arr)[2], 3)
+            .otherwise(4)
+            .cast("bigint")
+        )
+
+    scored = rfm_.crossJoin(F.broadcast(q)).select(
+        "custkey",
+        bucket("recency_s", "rq").alias("r_q"),
+        bucket("frequency", "fq").alias("f_q"),
+        bucket("monetary_cents", "mq").alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min("custkey").alias("sample_custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# column profiler (schema-drift / ingest QA)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_column_profile",
+    """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name,
+         CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice_cents', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+         CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+         CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+  FROM orders
+)
+""",
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler — null counts, exact distinct
+    cardinality, and min/max per column as one narrow relation: the
+    ingest-QA / schema-drift snapshot a pipeline records per load (the
+    table-level generalization of the per-check dq_suite; companion to
+    the sketch-based events_sketch_profile, which is the constant-memory
+    form of the same pass at 100 TB).
+
+    Spark plan: ONE Aggregate over the table computes every column's
+    four statistics as parallel aggregate expressions (one scan however
+    many columns are profiled; exact COUNT(DISTINCT) per column expands
+    to Spark's expand-operator multi-distinct — the documented swap at
+    extreme scale is approx_count_distinct), then a ``stack`` unpivot
+    turns the 1-row wide result into (column, stats) rows driver-free.
+    Doubles are profiled in exact integer cents and timestamps as
+    formatted strings so every value hash-matches across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    n = F.count(F.lit(1))
+    agg = o.agg(
+        (n - F.count("o_orderkey")).cast("bigint").alias("nn_ok"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("nd_ok"),
+        F.min("o_orderkey").cast("string").alias("mn_ok"),
+        F.max("o_orderkey").cast("string").alias("mx_ok"),
+        (n - F.count("o_custkey")).cast("bigint").alias("nn_ck"),
+        F.countDistinct("o_custkey").cast("bigint").alias("nd_ck"),
+        F.min("o_custkey").cast("string").alias("mn_ck"),
+        F.max("o_custkey").cast("string").alias("mx_ck"),
+        (n - F.count("o_orderstatus")).cast("bigint").alias("nn_st"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        (n - F.count("o_orderpriority")).cast("bigint").alias("nn_pr"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("nd_pr"),
+        F.min("o_orderpriority").alias("mn_pr"),
+        F.max("o_orderpriority").alias("mx_pr"),
+        (n - F.count("o_totalprice")).cast("bigint").alias("nn_tp"),
+        F.countDistinct(cents).cast("bigint").alias("nd_tp"),
+        F.min(cents).cast("string").alias("mn_tp"),
+        F.max(cents).cast("string").alias("mx_tp"),
+        (n - F.count("o_orderdate")).cast("bigint").alias("nn_od"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("nd_od"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "mn_od"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "mx_od"
+        ),
+    )
+    return agg.selectExpr(
+        """stack(6,
+          'o_orderkey', nn_ok, nd_ok, mn_ok, mx_ok,
+          'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck,
+          'o_orderstatus', nn_st, nd_st, mn_st, mx_st,
+          'o_orderpriority', nn_pr, nd_pr, mn_pr, mx_pr,
+          'o_totalprice_cents', nn_tp, nd_tp, mn_tp, mx_tp,
+          'o_orderdate', nn_od, nd_od, mn_od, mx_od
+        ) AS (column_name, n_nulls, n_distinct, min_value, max_value)"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # winsorized robust statistics (exact binary-fraction percentiles)
 # ---------------------------------------------------------------------------
 

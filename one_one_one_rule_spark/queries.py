@@ -1704,7 +1704,11 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # NO forced broadcast: part is UNFILTERED here and SF-linear, so a
+        # hardcoded hint OOMs at 100x (the customer-broadcast fix applied to
+        # the part side). Static/AQE stats still pick a broadcast join
+        # whenever the projected (p_partkey, p_type) side actually fits.
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -2378,7 +2382,9 @@ def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(F.broadcast(excl), l.l_suppkey == excl.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        # no forced hint: the brand/size slice keeps ~15% of part — still
+        # SF-linear, so the broadcast decision belongs to AQE runtime stats
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -4881,14 +4887,15 @@ def events_stream_click_purchase_leftouter(
     through 2024-01-30 at every SF."""
     import os
     import shutil
-    import tempfile
     import uuid
 
     from .streaming.events import click_purchase_leftouter_stream
 
     # Stage the dated-file layout: one parquet file per time slice, mtimes
     # in slice order so the file stream processes them as separate batches.
-    src = tempfile.mkdtemp(prefix="lo_src_")
+    # (Under the session temp root so a full registry run doesn't leak one
+    # staging directory per invocation.)
+    src = _session_tmp_dir("lo_src_")
     e = load_table(spark, sf_dir, "events")
     slices = [
         "ts < TIMESTAMP '2024-01-27 00:00:00'",

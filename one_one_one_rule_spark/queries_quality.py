@@ -932,9 +932,238 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# snapshot diff (data-versioning primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_snapshot_diff",
+    """
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'F' ELSE o_orderstatus END AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 89 = 0 THEN 100 ELSE 0 END AS price_cents
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 103 = 0
+),
+d AS (
+  SELECT COALESCE(n.k, o.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN n.status <> o.status OR n.price_cents <> o.price_cents THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                   AND n.status <> o.status THEN 1 ELSE 0 END AS status_changed,
+         CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                   AND n.price_cents <> o.price_cents THEN 1 ELSE 0 END AS price_changed
+  FROM new n FULL OUTER JOIN old o ON n.k = o.k
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(status_changed) AS BIGINT) AS n_status_changes,
+       CAST(SUM(price_changed) AS BIGINT) AS n_price_changes,
+       MIN(k) AS min_key, MAX(k) AS max_key
+FROM d GROUP BY change_type
+""",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the data-versioning primitive behind table-format
+    time travel audits and CDC backfills: given two versions of a keyed
+    table, classify every key as added / removed / changed / unchanged
+    and attribute which columns drove each change. (The second snapshot
+    is derived from the first by deterministic key-modular edits so the
+    gate is self-contained; in production the two sides are two table
+    versions.) Complements the row-feed CDC operators (orders_cdc_apply,
+    orders_merge_upsert), which apply a change stream — this one
+    RECOVERS the change set from two materialized states.
+
+    Plan: one FULL OUTER join keyed on the primary key (both sides
+    shuffle once on k — at 100 TB both snapshots are bucketed/sorted by
+    key on disk, making this a zero-shuffle sort-merge), then a
+    combinable classification rollup. Values compared in exact integer
+    cents so equality is engine-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("price_cents"),
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 97 == 0, "F")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            (
+                cents
+                + F.when(F.col("o_orderkey") % 89 == 0, 100).otherwise(0)
+            ).alias("price_cents"),
+        )
+        .union(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                cents.alias("price_cents"),
+            )
+        )
+    )
+    n = new.alias("n")
+    ol = old.alias("o")
+    j = n.join(ol, F.col("n.k") == F.col("o.k"), "full_outer")
+    both = F.col("n.k").isNotNull() & F.col("o.k").isNotNull()
+    d = j.select(
+        F.coalesce(F.col("n.k"), F.col("o.k")).alias("k"),
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(
+            (F.col("n.status") != F.col("o.status"))
+            | (F.col("n.price_cents") != F.col("o.price_cents")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.when(both & (F.col("n.status") != F.col("o.status")), 1)
+        .otherwise(0)
+        .alias("status_changed"),
+        F.when(both & (F.col("n.price_cents") != F.col("o.price_cents")), 1)
+        .otherwise(0)
+        .alias("price_changed"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("status_changed").cast("bigint").alias("n_status_changes"),
+        F.sum("price_changed").cast("bigint").alias("n_price_changes"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # native streaming session window (deferred registration: needs helpers
 # defined later in queries.py)
 # ---------------------------------------------------------------------------
+
+
+_LATE_DELAY_H = 6
+
+
+def _register_stream_late_data() -> None:
+    from .queries import _drain_stream, _session_tmp_dir
+
+    @register(
+        "events_stream_late_data",
+        f"""
+WITH cuts AS (
+  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL {_LATE_DELAY_H} HOUR AS cut
+  FROM events WHERE event_id % 2 = 0
+),
+wm AS (
+  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL {_LATE_DELAY_H} HOUR AS w
+  FROM events
+),
+ontime AS (
+  SELECT e.* FROM events e CROSS JOIN cuts
+  WHERE e.event_id % 2 = 0
+     OR CAST(e.ts AS TIMESTAMP) >= cuts.cut
+)
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ontime CROSS JOIN wm
+WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+""",
+    )
+    def events_stream_late_data(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Late-data drop gate — the watermark semantics the other
+        streaming gates can't prove: rows arriving AFTER their event-time
+        window has been finalized must neither crash the query nor
+        corrupt already-emitted windows.
+
+        Staging: three files / three micro-batches — (1) even-id rows
+        (advance the watermark to max(even ts) − 6h), (2) odd-id rows
+        newer than that cutoff (on time), (3) odd-id rows older than it
+        (genuinely late: their windows were closed and emitted at the end
+        of batch 2). In append mode the late rows are either dropped by
+        the watermark filter or land in never-emitted open windows, so
+        the final emitted set is EXACTLY the closed-window rollup of the
+        on-time rows — which is what the DuckDB oracle computes from the
+        same two data-derived cutoffs. (A same-batch arrival would be
+        merged before eviction — that's why the late slice must be its
+        own batch; tests/test_quality_ops.py asserts the engine actually
+        reported numRowsDroppedByWatermark > 0.) Update-mode caveat
+        documented there too: Spark only guarantees dropping in
+        append/window paths, which is what production pipelines rely on."""
+        import os
+        import shutil
+        import uuid
+
+        src = _session_tmp_dir("late3_")
+        e = load_table(spark, sf_dir, "events")
+        cut = (
+            e.filter("event_id % 2 = 0")
+            .agg(
+                (
+                    F.max("ts") - F.expr(f"INTERVAL {_LATE_DELAY_H} HOURS")
+                ).alias("c")
+            )
+            .collect()[0]["c"]
+        )
+        cut_lit = F.lit(cut.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(
+            "timestamp"
+        )
+        slices = [
+            e.filter("event_id % 2 = 0"),
+            e.filter("event_id % 2 = 1").filter(F.col("ts") >= cut_lit),
+            e.filter("event_id % 2 = 1").filter(F.col("ts") < cut_lit),
+        ]
+        for i, sl in enumerate(slices):
+            pd_ = f"{src}/_p{i}"
+            sl.coalesce(1).write.mode("overwrite").parquet(pd_)
+            part = next(
+                f for f in os.listdir(pd_) if f.endswith(".parquet")
+            )
+            shutil.move(f"{pd_}/{part}", f"{src}/{i:03d}.parquet")
+            shutil.rmtree(pd_)
+            os.utime(f"{src}/{i:03d}.parquet", (1700000000 + i,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double, props string"
+            )
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{_LATE_DELAY_H} hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour"
+                ),
+                "event_type",
+                "n_events",
+            )
+        )
+        name = "late_gate_" + uuid.uuid4().hex[:12]
+        return _drain_stream(spark, agg, name, "append")
+
+
+_register_stream_late_data()
 
 
 def _register_stream_session_window() -> None:

@@ -205,3 +205,53 @@ def test_no_query_forces_broadcast_of_fact_tables(spark, sf_dir):
         "forced broadcast of SF-linear fact table(s) — AQE cannot override "
         f"an explicit hint at scale: {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality/ER/graph pack (queries_quality.py) plan contracts
+# ---------------------------------------------------------------------------
+
+
+def test_column_profile_has_no_expand(spark, sf_dir):
+    # per-column independent aggregates, NOT a fused multi-distinct: the
+    # Expand operator pushes (N+1) copies of every row through one shuffle
+    # (measured 4x slower at sf0.1) — locked out here
+    plan = plan_of(spark, "orders_column_profile", sf_dir)
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_char_diversity_is_pure_scan_projection(spark, sf_dir):
+    # 27 fused string kernels in one codegen projection: no shuffle, no
+    # explode, no Python
+    plan = plan_of(spark, "docs_char_diversity", sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_entity_resolution_blocks_never_cartesian(spark, sf_dir):
+    # the quadratic comparison must stay confined to (brand,type) blocks —
+    # an equi-join, never a cartesian product
+    plan = plan_of(spark, "part_entity_resolution", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_has_no_global_window_sort(spark, sf_dir):
+    # quartiles are assigned by value against broadcast percentile
+    # thresholds — the partition-less ntile window (every customer through
+    # ONE task) must not reappear
+    plan = plan_of(spark, "customer_rfm_segments", sf_dir)
+    # no Window operator at all (which also rules out an ntile window;
+    # "percentile(" appears as an ordinary aggregate and is expected)
+    assert "Window" not in plan
+
+
+def test_grouping_sets_single_aggregate_pass(spark, sf_dir):
+    # all four grains from ONE shuffled aggregate (Expand here is the
+    # grouping-sets mechanism itself — one pass, not four scans)
+    plan = plan_of(spark, "events_grouping_sets", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    scans = plan.count("FileScan parquet")
+    assert scans == 1

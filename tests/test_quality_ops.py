@@ -196,3 +196,78 @@ def test_column_profile_matches_direct_aggregates(spark, sf_dir):
         F.min("o_orderkey")
     ).collect()[0][0]
     assert prof["o_orderstatus"]["n_distinct"] <= 3
+
+
+def test_late_rows_are_actually_dropped_by_watermark(spark, sf_dir):
+    """The events_stream_late_data gate proves the OUTPUT is right; this
+    proves the MECHANISM fired: re-run the same 3-slice staging and assert
+    the engine reported numRowsDroppedByWatermark > 0 in the late batch
+    (append mode — Spark only guarantees late-row dropping on the
+    append/window path)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.queries_quality import _LATE_DELAY_H
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    src = tempfile.mkdtemp(prefix="late_drop_test_")
+    try:
+        e = load_table(spark, sf_dir, "events")
+        cut = (
+            e.filter("event_id % 2 = 0")
+            .agg(
+                (F.max("ts") - F.expr(f"INTERVAL {_LATE_DELAY_H} HOURS")).alias("c")
+            )
+            .collect()[0]["c"]
+        )
+        cut_lit = F.lit(cut.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
+        slices = [
+            e.filter("event_id % 2 = 0"),
+            e.filter("event_id % 2 = 1").filter(F.col("ts") >= cut_lit),
+            e.filter("event_id % 2 = 1").filter(F.col("ts") < cut_lit),
+        ]
+        n_late = slices[2].count()
+        assert n_late > 0, "fixture must contain late rows for this gate"
+        for i, sl in enumerate(slices):
+            pd_ = f"{src}/_p{i}"
+            sl.coalesce(1).write.mode("overwrite").parquet(pd_)
+            part = next(f for f in os.listdir(pd_) if f.endswith(".parquet"))
+            shutil.move(f"{pd_}/{part}", f"{src}/{i:03d}.parquet")
+            shutil.rmtree(pd_)
+            os.utime(f"{src}/{i:03d}.parquet", (1700000000 + i,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double, props string"
+            )
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{_LATE_DELAY_H} hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        name = "late_drop_" + uuid.uuid4().hex[:8]
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        spark.catalog.dropTempView(name)
+        assert dropped > 0, "watermark never dropped a late row"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -271,25 +271,31 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers are collapsed to 'ALL' sentinels on both engines so the
     COALESCE is part of the gated semantics. Value sums ride as exact
     integer cents (associative — engine/partitioning independent)."""
+    import uuid
+
     e = load_table(spark, sf_dir, "events")
+    # uuid-suffixed view name: a fixed name would race if two gate queries
+    # build plans concurrently in one session (same convention as the
+    # streaming memory-sink names)
+    view = "gs_events_" + uuid.uuid4().hex[:12]
     e.select(
         "event_type",
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
             "day"
         ),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-    ).createOrReplaceTempView("gs_events_tmp")
+    ).createOrReplaceTempView(view)
     out = spark.sql(
-        """
+        f"""
 SELECT COALESCE(event_type, 'ALL') AS event_type_g,
        COALESCE(day, 'ALL') AS day_g,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        SUM(cents) AS total_cents
-FROM gs_events_tmp
+FROM {view}
 GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
 """
     )
-    spark.catalog.dropTempView("gs_events_tmp")
+    spark.catalog.dropTempView(view)
     return out
 
 
@@ -381,6 +387,28 @@ def docs_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MIN_COPURCHASES = 2
 
 
+def _copurchase_edges(li: DataFrame, min_co: int) -> DataFrame:
+    """Undirected edge list (u < v) of the part co-purchase graph:
+    parts co-occurring in >= ``min_co`` orders. Shared by the triangle
+    census and PageRank so the graph definition cannot drift between
+    them (same single-source rule as dedup.band_keys). Candidate-pair
+    volume is Σ (order width choose 2) — linear in the fact table; the
+    result is eagerly checkpointed because every caller fans it into
+    multiple join branches."""
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_copurchases"))
+        .filter(F.col("n_copurchases") >= min_co)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "parts_copurchase_triangles",
     f"""
@@ -424,23 +452,13 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges low-degree → high-degree) — noted, not needed for bounded
     basket widths."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_copurchases"))
-        .filter(F.col("n_copurchases") >= _TRI_MIN_COPURCHASES)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    e = _copurchase_edges(li, _TRI_MIN_COPURCHASES)
     e2 = e.select(F.col("u").alias("v2u"), F.col("v").alias("w"))
     e3 = e.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
     tri = e.join(e2, e.v == e2.v2u).join(
         e3, (e.u == e3.u3) & (F.col("w") == F.col("w3"))
     )
+    op = li.select("l_orderkey", "l_partkey").distinct()
     nv = op.agg(
         F.countDistinct("l_partkey").cast("bigint").alias("n_vertices")
     )
@@ -520,18 +538,7 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant a production ranking pipeline schedules; top-k output with a
     total-order tie-break."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_co"))
-        .filter(F.col("n_co") >= _TRI_MIN_COPURCHASES)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    und = _copurchase_edges(li, _TRI_MIN_COPURCHASES)
     e = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = (
         e.groupBy("u")

@@ -47,6 +47,32 @@ def _session_tmp_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_session_tmp_root)
 
 
+def _stage_parquet_slices(spark, slices, prefix: str) -> str:
+    """Write each DataFrame in ``slices`` as ONE parquet file in a fresh
+    staging dir (under the session temp root), mtimes in slice order, so
+    a ``maxFilesPerTrigger=1`` file stream replays them as separate
+    micro-batches — the dated-file delivery convention the reference's
+    Drive folder implies. Shared by every multi-batch streaming gate
+    (left-outer watermark flush, late-data drop) AND their mechanism
+    tests, so the staging recipe cannot drift between a gate and the
+    test that probes it."""
+    import os
+    import shutil
+
+    src = _session_tmp_dir(prefix)
+    for i, sl in enumerate(slices):
+        part_dir = f"{src}/_part{i}"
+        sl.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.move(f"{part_dir}/{part}", dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+    return src
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -4885,34 +4911,27 @@ def events_stream_click_purchase_leftouter(
     cutoff + horizon, so every retained click (ts < 2024-01-28) is
     watermark-complete and emitted, matched or NULL. The fixture spans
     through 2024-01-30 at every SF."""
-    import os
     import shutil
     import uuid
 
     from .streaming.events import click_purchase_leftouter_stream
 
-    # Stage the dated-file layout: one parquet file per time slice, mtimes
-    # in slice order so the file stream processes them as separate batches.
-    # (Under the session temp root so a full registry run doesn't leak one
-    # staging directory per invocation.)
-    src = _session_tmp_dir("lo_src_")
+    # Stage the dated-file layout: one parquet file per time slice, one
+    # micro-batch each (shared staging helper).
     e = load_table(spark, sf_dir, "events")
-    slices = [
-        "ts < TIMESTAMP '2024-01-27 00:00:00'",
-        "ts >= TIMESTAMP '2024-01-27 00:00:00'"
-        " AND ts < TIMESTAMP '2024-01-29 00:00:00'",
-        "ts >= TIMESTAMP '2024-01-29 00:00:00'",
-    ]
-    for i, pred in enumerate(slices):
-        part_dir = f"{src}/_part{i}"
-        e.filter(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
-        part = next(
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        )
-        dst = f"{src}/{i:03d}.parquet"
-        shutil.move(f"{part_dir}/{part}", dst)
-        shutil.rmtree(part_dir)
-        os.utime(dst, (1700000000 + i, 1700000000 + i))
+    src = _stage_parquet_slices(
+        spark,
+        [
+            e.filter(pred)
+            for pred in [
+                "ts < TIMESTAMP '2024-01-27 00:00:00'",
+                "ts >= TIMESTAMP '2024-01-27 00:00:00'"
+                " AND ts < TIMESTAMP '2024-01-29 00:00:00'",
+                "ts >= TIMESTAMP '2024-01-29 00:00:00'",
+            ]
+        ],
+        "lo_src_",
+    )
 
     stream = (
         spark.readStream.schema(

@@ -695,16 +695,16 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select(
         F.col("user_id").alias("user_b"), "day", F.col("dc").alias("db")
     )
-    # broadcast the probe side: `day` has only ~weeks of distinct values,
-    # so a shuffled join would land the whole universe² fan-out on a
-    # handful of hot reducer keys (one task per day). The bar-delta
-    # relation is instruments × days — small by construction — so
-    # broadcasting it keeps the fan-out spread across the build side's
-    # partitioning with NO shuffle before the pair aggregate. (For a
-    # universe too large to broadcast, the candidate-pair formulation
-    # below replaces the full cross anyway.)
+    # NO forced broadcast: the bar-delta relation is instruments × days,
+    # and the instrument universe is SF-linear in this fixture — a
+    # hardcoded hint would be the same 100×-scale OOM class the forced
+    # customer/part hints were removed for. At gate scale AQE's runtime
+    # stats still pick a broadcast join (the relation is tiny), which
+    # ALSO sidesteps the hot-reducer hazard of shuffling on `day` (only
+    # ~weeks of distinct keys); for a universe too large for that, the
+    # candidate-pair formulation noted below replaces the full cross.
     p = (
-        a.join(F.broadcast(b), "day")
+        a.join(b, "day")
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(

@@ -125,8 +125,11 @@ def orders_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bad_status"),
     )
+    # no forced hint on the customer side: customer is SF-linear, so the
+    # broadcast decision belongs to AQE runtime stats (the projected
+    # single-column key side broadcasts whenever it actually fits)
     orphans = o.join(
-        F.broadcast(c.select("c_custkey")),
+        c.select("c_custkey"),
         o.o_custkey == c.c_custkey,
         "left_anti",
     ).agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
@@ -458,8 +461,11 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = e.join(e2, e.v == e2.v2u).join(
         e3, (e.u == e3.u3) & (F.col("w") == F.col("w3"))
     )
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    nv = op.agg(
+    # vertex census straight off the fact scan: countDistinct does its own
+    # partial dedup map-side — rebuilding the (order, part) distinct
+    # relation just to count parts would be a second full pair-distinct
+    # shuffle for a single number
+    nv = li.agg(
         F.countDistinct("l_partkey").cast("bigint").alias("n_vertices")
     )
     ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
@@ -474,14 +480,22 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_UNIT = 10**12
 _PR_ITERS = 3
 _PR_TOPK = 20
+# teleport term, folded driver-side so both engines share one exact literal
+_PR_BASE = _PR_UNIT * 15 // 100
 
 
 def _pagerank_sql() -> str:
+    # All score arithmetic rides 128-bit integers (DuckDB: SUM(BIGINT) and
+    # any HUGEINT operand promote to HUGEINT; Spark side mirrors with
+    # decimal(38,0)): a hub vertex's accumulated contribution is bounded
+    # only by total mass N·UNIT, which overflows BIGINT beyond ~9e6
+    # vertices — and Spark's non-ANSI arithmetic would wrap silently while
+    # DuckDB errors, the worst kind of cross-engine divergence.
     def step(prev: str, name: str) -> str:
         return f"""
 {name} AS (
   SELECT deg.u,
-         CAST({_PR_UNIT} * 15 // 100 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT) AS s
+         CAST({_PR_BASE} AS HUGEINT) + 85 * COALESCE(c.contrib, CAST(0 AS HUGEINT)) // 100 AS s
   FROM deg LEFT JOIN (
     SELECT e.v AS u, SUM({prev}.s // deg.d) AS contrib
     FROM e JOIN {prev} ON e.u = {prev}.u JOIN deg ON e.u = deg.u
@@ -506,9 +520,9 @@ deg AS (
   SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u
 ),
 s0 AS (
-  SELECT u, CAST({_PR_UNIT} AS BIGINT) AS s FROM deg
+  SELECT u, CAST({_PR_UNIT} AS HUGEINT) AS s FROM deg
 ),{step("s0", "s1")},{step("s1", "s2")},{step("s2", "s3")}
-SELECT u AS p_partkey, s AS pagerank_units
+SELECT u AS p_partkey, CAST(s AS DECIMAL(38,0)) AS pagerank_units
 FROM s3
 ORDER BY s DESC, u ASC
 LIMIT {_PR_TOPK}
@@ -524,9 +538,14 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^-12 units, each round is floor-divisions and bigint sums
     (s' = floor(0.15·U) + floor(0.85·Σ floor(s_u/deg_u))), so there is
     no float accumulation order to diverge between engines or
-    partitionings (both Spark's ``div`` and DuckDB's ``//`` truncate;
-    all values are positive, so they agree). The DuckDB oracle unrolls
-    the same three rounds as a CTE chain.
+    partitionings. Accumulators are 128-bit-safe — Spark decimal(38,0)
+    mirroring DuckDB's HUGEINT — because a hub vertex's contribution is
+    bounded only by total mass N·UNIT, which overflows int64 beyond ~9e6
+    vertices (where Spark would wrap silently and DuckDB would error);
+    floor division is phrased as (x − x % d)/d so the exactly-divisible
+    decimal divide carries no scale-rounding ambiguity. All values are
+    positive, so floor ≡ truncate on both engines. The DuckDB oracle
+    unrolls the same three rounds as a CTE chain.
 
     Scale design: edges derive from the within-order self-join (linear
     in the fact table, same as the triangle census); per-round cost is
@@ -545,27 +564,38 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         .localCheckpoint(eager=True)
     )
-    s = deg.select("u", F.lit(_PR_UNIT).cast("bigint").alias("s"))
+    # scores ride decimal(38,0) (mirroring the oracle's HUGEINT): a hub's
+    # contribution is bounded only by total mass N·UNIT, which exceeds
+    # BIGINT beyond ~9e6 vertices — Spark's non-ANSI int64 would wrap
+    # silently while DuckDB errors. Floor division is expressed as
+    # (x - x % d) / d: the dividend is exactly divisible, so the decimal
+    # divide is exact and no scale-rounding ambiguity can creep in.
+    dec = "decimal(38,0)"
+
+    def floordiv(x, d):
+        return ((x - x % d) / d).cast(dec)
+
+    s = deg.select("u", F.lit(_PR_UNIT).cast(dec).alias("s"))
     for _ in range(_PR_ITERS):
         contrib = (
             e.join(s, "u")
             .join(deg, "u")
             .select(
-                F.col("v").alias("cu"), F.expr("s div d").alias("share")
+                F.col("v").alias("cu"),
+                floordiv(F.col("s"), F.col("d")).alias("share"),
             )
             .groupBy("cu")
             .agg(F.sum("share").alias("contrib"))
+        )
+        damped = floordiv(
+            F.coalesce(F.col("contrib"), F.lit(0).cast(dec)) * 85,
+            F.lit(100),
         )
         s = (
             deg.join(contrib, deg.u == F.col("cu"), "left")
             .select(
                 "u",
-                (
-                    F.expr(f"CAST({_PR_UNIT * 15} AS BIGINT) div 100")
-                    + F.expr("85 * coalesce(contrib, 0) div 100")
-                )
-                .cast("bigint")
-                .alias("s"),
+                (F.lit(_PR_BASE).cast(dec) + damped).cast(dec).alias("s"),
             )
             .localCheckpoint(eager=False)
         )
@@ -1064,8 +1094,34 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATE_DELAY_H = 6
 
 
+def late_data_slices(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The 3-slice late-data staging plan: (1) even-id rows — advance the
+    watermark to max(even ts) − delay; (2) odd-id rows at/after that
+    cutoff — on time; (3) odd-id rows before it — genuinely late once
+    batch 2 has closed their windows. Shared by the gate query and the
+    mechanism test (tests/test_quality_ops.py) so the slicing cannot
+    drift between them. The 1-row cutoff collect is the bounded-collect
+    convention (same class as the quantizer training samples)."""
+    e = load_table(spark, sf_dir, "events")
+    cut = (
+        e.filter("event_id % 2 = 0")
+        .agg(
+            (F.max("ts") - F.expr(f"INTERVAL {_LATE_DELAY_H} HOURS")).alias(
+                "c"
+            )
+        )
+        .collect()[0]["c"]
+    )
+    cut_lit = F.lit(cut.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
+    return [
+        e.filter("event_id % 2 = 0"),
+        e.filter("event_id % 2 = 1").filter(F.col("ts") >= cut_lit),
+        e.filter("event_id % 2 = 1").filter(F.col("ts") < cut_lit),
+    ]
+
+
 def _register_stream_late_data() -> None:
-    from .queries import _drain_stream, _session_tmp_dir
+    from .queries import _drain_stream, _stage_parquet_slices
 
     @register(
         "events_stream_late_data",
@@ -1113,38 +1169,11 @@ GROUP BY 1, 2
         reported numRowsDroppedByWatermark > 0.) Update-mode caveat
         documented there too: Spark only guarantees dropping in
         append/window paths, which is what production pipelines rely on."""
-        import os
-        import shutil
         import uuid
 
-        src = _session_tmp_dir("late3_")
-        e = load_table(spark, sf_dir, "events")
-        cut = (
-            e.filter("event_id % 2 = 0")
-            .agg(
-                (
-                    F.max("ts") - F.expr(f"INTERVAL {_LATE_DELAY_H} HOURS")
-                ).alias("c")
-            )
-            .collect()[0]["c"]
+        src = _stage_parquet_slices(
+            spark, late_data_slices(spark, sf_dir), "late3_"
         )
-        cut_lit = F.lit(cut.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(
-            "timestamp"
-        )
-        slices = [
-            e.filter("event_id % 2 = 0"),
-            e.filter("event_id % 2 = 1").filter(F.col("ts") >= cut_lit),
-            e.filter("event_id % 2 = 1").filter(F.col("ts") < cut_lit),
-        ]
-        for i, sl in enumerate(slices):
-            pd_ = f"{src}/_p{i}"
-            sl.coalesce(1).write.mode("overwrite").parquet(pd_)
-            part = next(
-                f for f in os.listdir(pd_) if f.endswith(".parquet")
-            )
-            shutil.move(f"{pd_}/{part}", f"{src}/{i:03d}.parquet")
-            shutil.rmtree(pd_)
-            os.utime(f"{src}/{i:03d}.parquet", (1700000000 + i,) * 2)
         stream = (
             spark.readStream.schema(
                 "event_id bigint, ts timestamp, user_id bigint,"

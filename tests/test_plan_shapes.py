@@ -171,20 +171,23 @@ def _unbounded_fact_scans_under(node, schemas):
     return found
 
 
-def _forced_fact_broadcasts(node, schemas, inside_hint=False):
+def _forced_fact_broadcasts(node, schemas):
+    """Every broadcast hint is audited INDEPENDENTLY — a hint nested
+    inside another hint's subtree must still be checked, or a query
+    could force-broadcast a full fact scan undetected just by wrapping
+    it under an (otherwise legitimate) outer broadcast of a bounded
+    relation. _unbounded_fact_scans_under prunes at bounding nodes, so
+    an outer hint over an Aggregate contributes nothing while an inner
+    hint directly over a fact scan is still caught."""
     hits = []
     is_bc_hint = node.nodeName() == "ResolvedHint" and "broadcast" in str(
         node
     ).splitlines()[0]
-    if is_bc_hint and not inside_hint:
+    if is_bc_hint:
         hits.extend(_unbounded_fact_scans_under(node, schemas))
     it = node.children().iterator()
     while it.hasNext():
-        hits.extend(
-            _forced_fact_broadcasts(
-                it.next(), schemas, inside_hint or is_bc_hint
-            )
-        )
+        hits.extend(_forced_fact_broadcasts(it.next(), schemas))
     return hits
 
 

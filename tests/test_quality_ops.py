@@ -23,23 +23,27 @@ def test_dq_suite_clean_on_fixture(spark, sf_dir):
         assert r["n_rows"] > 0, name
 
 
-def test_dq_checks_fire_on_injected_violations(spark, sf_dir):
+def test_dq_checks_fire_on_injected_violations(spark, sf_dir, tmp_path):
     """Corrupt a copy of orders (dup key, NULL custkey, orphan custkey,
-    non-positive price, bad status) and assert each check counts exactly
-    the rows injected — the suite must DETECT, not just run."""
-    from one_one_one_rule_spark.sources.fixtures import load_table
+    non-positive price, bad status), stage it as a table directory, and
+    run THE ACTUAL orders_dq_suite query over it — asserting each check
+    counts exactly the rows injected. (Running the suite itself, not a
+    re-implementation of its expressions, is the point: a wrong
+    comparison operator or a dropped domain value in the suite must fail
+    here.)"""
+    import shutil
+
+    from one_one_one_rule_spark.sources.fixtures import TABLES, load_table
 
     o = load_table(spark, sf_dir, "orders")
     first = o.limit(1)
-    bad = (
-        first.select(
-            "o_orderkey",  # duplicate key -> uniqueness violation
-            F.lit(None).cast("long").alias("o_custkey"),  # completeness
-            F.lit("X").alias("o_orderstatus"),  # domain
-            F.lit(-5.0).alias("o_totalprice"),  # range
-            "o_orderdate",
-            "o_orderpriority",
-        )
+    bad = first.select(
+        "o_orderkey",  # duplicate key -> uniqueness violation
+        F.lit(None).cast("long").alias("o_custkey"),  # completeness
+        F.lit("X").alias("o_orderstatus"),  # domain
+        F.lit(-5.0).alias("o_totalprice"),  # range
+        "o_orderdate",
+        "o_orderpriority",
     )
     orphan = first.select(
         (F.col("o_orderkey") + 10**12).alias("o_orderkey"),
@@ -50,27 +54,48 @@ def test_dq_checks_fire_on_injected_violations(spark, sf_dir):
         "o_orderpriority",
     )
     corrupted = o.select(*bad.columns).union(bad).union(orphan)
-    c = load_table(spark, sf_dir, "customer")
 
-    dup = corrupted.agg(
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
-    ).collect()[0]["v"]
-    nulls = corrupted.filter(F.col("o_custkey").isNull()).count()
-    orphans = corrupted.join(
-        c.select("c_custkey"),
-        corrupted.o_custkey == c.c_custkey,
-        "left_anti",
-    ).count()
-    badprice = corrupted.filter(F.col("o_totalprice") <= 0).count()
-    badstatus = corrupted.filter(
-        ~F.col("o_orderstatus").isin("O", "F", "P")
-    ).count()
-    assert dup == 1
-    assert nulls == 1
+    # stage a sibling table dir: corrupted orders + untouched companions
+    stage = tmp_path / "dq_stage"
+    stage.mkdir()
+    tmp_parquet = str(stage / "_orders_tmp")
+    corrupted.coalesce(1).write.mode("overwrite").parquet(tmp_parquet)
+    import os
+
+    part = next(
+        f for f in os.listdir(tmp_parquet) if f.endswith(".parquet")
+    )
+    shutil.move(f"{tmp_parquet}/{part}", str(stage / "orders.parquet"))
+    shutil.rmtree(tmp_parquet)
+    for t in TABLES:
+        if t != "orders":
+            shutil.copy(f"{sf_dir}/{t}.parquet", str(stage / f"{t}.parquet"))
+
+    n = corrupted.count()
+    rows = {
+        r["check_name"]: r
+        for r in QUERIES["orders_dq_suite"](spark, str(stage)).collect()
+    }
+    assert rows["orders.o_orderkey.unique"]["n_violations"] == 1
+    assert rows["orders.o_custkey.complete"]["n_violations"] == 1
     # the NULL-custkey row also fails the anti join (NULL never matches)
-    assert orphans == 2
-    assert badprice == 1
-    assert badstatus == 1
+    assert rows["orders.o_custkey.references_customer"]["n_violations"] == 2
+    assert rows["orders.o_totalprice.positive"]["n_violations"] == 1
+    assert rows["orders.o_orderstatus.in_domain"]["n_violations"] == 1
+    for name in (
+        "orders.o_orderkey.unique",
+        "orders.o_custkey.complete",
+        "orders.o_custkey.references_customer",
+        "orders.o_totalprice.positive",
+        "orders.o_orderstatus.in_domain",
+    ):
+        assert rows[name]["n_rows"] == n
+    # lineitem-side checks still clean (untouched companion table) —
+    # except referential integrity, which now sees lineitem rows whose
+    # o_orderkey belongs to the original orders... the corrupted table
+    # kept every original key, so RI stays clean too
+    assert rows["lineitem.l_orderkey.references_orders"]["n_violations"] == 0
+    assert rows["lineitem.l_quantity.positive"]["n_violations"] == 0
 
 
 def test_entity_resolution_is_valid_canonicalization(spark, sf_dir):
@@ -204,70 +229,48 @@ def test_late_rows_are_actually_dropped_by_watermark(spark, sf_dir):
     the engine reported numRowsDroppedByWatermark > 0 in the late batch
     (append mode — Spark only guarantees late-row dropping on the
     append/window path)."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from pyspark.sql import functions as F
 
-    from one_one_one_rule_spark.queries_quality import _LATE_DELAY_H
-    from one_one_one_rule_spark.sources.fixtures import load_table
+    from one_one_one_rule_spark.queries import _stage_parquet_slices
+    from one_one_one_rule_spark.queries_quality import (
+        _LATE_DELAY_H,
+        late_data_slices,
+    )
 
-    src = tempfile.mkdtemp(prefix="late_drop_test_")
-    try:
-        e = load_table(spark, sf_dir, "events")
-        cut = (
-            e.filter("event_id % 2 = 0")
-            .agg(
-                (F.max("ts") - F.expr(f"INTERVAL {_LATE_DELAY_H} HOURS")).alias("c")
-            )
-            .collect()[0]["c"]
+    # THE SAME staging the gate query uses — shared helpers, so the
+    # mechanism test can't silently probe a different stream
+    slices = late_data_slices(spark, sf_dir)
+    assert slices[2].count() > 0, "fixture must contain late rows"
+    src = _stage_parquet_slices(spark, slices, "late_drop_test_")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
         )
-        cut_lit = F.lit(cut.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
-        slices = [
-            e.filter("event_id % 2 = 0"),
-            e.filter("event_id % 2 = 1").filter(F.col("ts") >= cut_lit),
-            e.filter("event_id % 2 = 1").filter(F.col("ts") < cut_lit),
-        ]
-        n_late = slices[2].count()
-        assert n_late > 0, "fixture must contain late rows for this gate"
-        for i, sl in enumerate(slices):
-            pd_ = f"{src}/_p{i}"
-            sl.coalesce(1).write.mode("overwrite").parquet(pd_)
-            part = next(f for f in os.listdir(pd_) if f.endswith(".parquet"))
-            shutil.move(f"{pd_}/{part}", f"{src}/{i:03d}.parquet")
-            shutil.rmtree(pd_)
-            os.utime(f"{src}/{i:03d}.parquet", (1700000000 + i,) * 2)
-        stream = (
-            spark.readStream.schema(
-                "event_id bigint, ts timestamp, user_id bigint,"
-                " event_type string, value double, props string"
-            )
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .load(src)
-        )
-        agg = (
-            stream.withWatermark("ts", f"{_LATE_DELAY_H} hours")
-            .groupBy(F.window("ts", "1 hour"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        name = "late_drop_" + uuid.uuid4().hex[:8]
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        dropped = sum(
-            op.get("numRowsDroppedByWatermark", 0)
-            for p in q.recentProgress
-            for op in p["stateOperators"]
-        )
-        spark.catalog.dropTempView(name)
-        assert dropped > 0, "watermark never dropped a late row"
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{_LATE_DELAY_H} hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "late_drop_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    spark.catalog.dropTempView(name)
+    assert dropped > 0, "watermark never dropped a late row"

@@ -969,6 +969,165 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# top-k string-similarity search (query -> dirty dimension)
+# ---------------------------------------------------------------------------
+
+_SEARCH_QUERIES = [
+    "red widgit",
+    "smal ring",
+    "blue blt",
+    "grean gear",
+    "stel pipe",
+]
+_SEARCH_MAX_DIST = 3
+_SEARCH_TOPK = 5
+
+
+def _search_sql() -> str:
+    qvals = ", ".join(f"('{q}')" for q in _SEARCH_QUERIES)
+    return f"""
+WITH q(qs) AS (VALUES {qvals}),
+names AS (SELECT DISTINCT p_name FROM part),
+scored AS (
+  SELECT q.qs, n.p_name,
+         CAST(levenshtein(q.qs, n.p_name) AS BIGINT) AS dist
+  FROM q CROSS JOIN names n
+  WHERE abs(length(q.qs) - length(n.p_name)) <= {_SEARCH_MAX_DIST}
+    AND levenshtein(q.qs, n.p_name) <= {_SEARCH_MAX_DIST}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qs ORDER BY dist ASC, p_name ASC) AS rn
+  FROM scored
+)
+SELECT qs AS query, p_name AS match, dist, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_SEARCH_TOPK}
+"""
+
+
+@register("part_name_similarity_search", _search_sql())
+def part_name_similarity_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-k string-similarity SEARCH — misspelled query strings matched
+    to their closest dimension values (the lookup sibling of the
+    part_entity_resolution JOIN; cf. the compressed-index string
+    similarity search line of work, ICDE 2022, in PAPERS.md). The query
+    side is a handful of literals that broadcasts; every corpus name is
+    screened by the free length-band bound (|len(q)−len(s)| ≤ d implies
+    nothing is lost below edit distance d) before the JVM levenshtein
+    kernel, and per-query top-k is one window over the tiny survivor
+    set. Corpus side: one column-pruned scan + partial-combined
+    distinct; no shuffle carries more than the candidate matches. At
+    larger query batches the same plan holds — queries broadcast, corpus
+    streams; for massive query sets the block key flips to q-gram
+    inverted-index buckets (the docs_jaccard_pairs machinery)."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    q = spark.createDataFrame(
+        [(s,) for s in _SEARCH_QUERIES], "qs string"
+    )
+    scored = (
+        names.join(F.broadcast(q))
+        .filter(
+            F.abs(F.length("qs") - F.length("p_name")) <= _SEARCH_MAX_DIST
+        )
+        .withColumn("dist", F.levenshtein("qs", "p_name").cast("bigint"))
+        .filter(F.col("dist") <= _SEARCH_MAX_DIST)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qs").orderBy(F.asc("dist"), F.asc("p_name"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _SEARCH_TOPK)
+        .select(
+            F.col("qs").alias("query"),
+            F.col("p_name").alias("match"),
+            "dist",
+            "rn",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# lexicon polarity scoring (sentiment-style text classification)
+# ---------------------------------------------------------------------------
+
+_POS_WORDS = ["fast", "small", "value", "key", "spark"]
+_NEG_WORDS = ["slow", "filter", "the", "row", "batch"]
+
+
+def _polarity_sql() -> str:
+    pos = ", ".join(f"'{w}'" for w in _POS_WORDS)
+    neg = ", ".join(f"'{w}'" for w in _NEG_WORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({pos}))) AS BIGINT) AS n_pos,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({neg}))) AS BIGINT) AS n_neg,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_pos, n_neg, n_tokens,
+       CASE WHEN n_pos + n_neg > 0
+            THEN CAST(n_pos - n_neg AS DOUBLE) / (n_pos + n_neg)
+            ELSE 0e0 END AS polarity,
+       CASE WHEN n_pos > n_neg THEN 'positive'
+            WHEN n_neg > n_pos THEN 'negative'
+            ELSE 'neutral' END AS label
+FROM t
+"""
+
+
+@register("docs_lexicon_polarity", _polarity_sql())
+def docs_lexicon_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based polarity scoring — the classic distributed
+    sentiment pass (cf. the Spark Twitter sentiment line of work, EDBT
+    2016, in PAPERS.md) and, for a training-data pipeline, the template
+    for ANY wordlist-driven classifier (toxicity lists, domain filters):
+    per-document positive/negative lexicon hits via higher-order array
+    functions (split → filter → size — JVM-side on Spark, list_filter
+    on DuckDB; no explode, no shuffle, no Python), polarity as a single
+    exact-integer-ratio divide, and a deterministic three-way label.
+    Pure scan projection: cost is the text scan, embarrassingly
+    parallel; lexicons ship as literals (in production, a broadcast
+    array from a config table)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pos_arr = F.array(*[F.lit(w) for w in _POS_WORDS])
+    neg_arr = F.array(*[F.lit(w) for w in _NEG_WORDS])
+    n_pos = F.size(
+        F.filter(toks, lambda x: F.array_contains(pos_arr, x))
+    ).cast("bigint")
+    n_neg = F.size(
+        F.filter(toks, lambda x: F.array_contains(neg_arr, x))
+    ).cast("bigint")
+    t = d.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    total = F.col("n_pos") + F.col("n_neg")
+    return t.select(
+        "doc_id",
+        "n_pos",
+        "n_neg",
+        "n_tokens",
+        F.when(
+            total > 0,
+            (F.col("n_pos") - F.col("n_neg")).cast("double") / total,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("polarity"),
+        F.when(F.col("n_pos") > F.col("n_neg"), "positive")
+        .when(F.col("n_neg") > F.col("n_pos"), "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # snapshot diff (data-versioning primitive)
 # ---------------------------------------------------------------------------
 

@@ -969,6 +969,275 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# seasonality profile (dow x hour matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonality_matrix",
+    """
+SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e2 AS mean_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def events_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonality matrix per event type — the
+    periodicity profile behind anomaly baselines and capacity planning
+    (the calendar-shaped companion to the rolling indicators in
+    queries_finance.py). One combinable groupBy over a bounded 7×24×types
+    key space: map-side partials do all the work, the shuffle carries
+    ~hundreds of rows per partition at any corpus size. Means derive
+    from exact integer-cent sums (one shared final divide). Note the
+    calendar-function parity trap handled here: Spark's dayofweek is
+    1=Sunday..7, DuckDB's 0=Sunday..6 — the Spark side shifts by one so
+    both engines emit the same encoding."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    dow = (F.dayofweek("ts") - 1).cast("bigint")
+    return (
+        e.groupBy(
+            dow.alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "dow",
+            "hod",
+            "event_type",
+            "n_events",
+            "total_cents",
+            (
+                F.col("total_cents").cast("double")
+                / F.col("n_events")
+                / 100
+            ).alias("mean_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mad_outliers",
+    """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+med AS (
+  SELECT event_type, median(cents) AS med FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.cents, m.med, abs(CAST(e.cents AS DOUBLE) - m.med) AS adev
+  FROM e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(d.med) / 1e2 AS median_value,
+       MIN(m.mad) / 1e2 AS mad_value,
+       CAST(SUM(CASE WHEN m.mad > 0e0
+                      AND abs(CAST(d.cents AS DOUBLE) - d.med) > 3e0 * 1.4826e0 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection — the ROBUST sibling
+    of events_anomaly_zscore: mean/std move with the outliers they're
+    supposed to flag (50% breakdown point for MAD vs 0% for std), so
+    heavy-tailed quality metrics get gated on 3·1.4826·MAD instead. Two
+    grouped exact medians (per-type, tiny group count) each broadcast
+    back onto the stream — the same aggregate→broadcast-attach shape as
+    the sector medians; the degenerate-scale guard (mad > 0) is applied
+    identically on both engines (the events_anomaly_zscore sigma rule).
+    Medians over integer cents interpolate only at .5 — exactly
+    representable — so the doubles agree bit-for-bit. At 100 TB the
+    exact medians swap for approx_percentile with unchanged shape."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = e.groupBy("event_type").agg(F.median("cents").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    madt = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    j = dev.join(F.broadcast(madt), "event_type")
+    is_out = (F.col("mad") > 0.0) & (
+        F.abs(F.col("cents").cast("double") - F.col("med"))
+        > 3.0 * 1.4826 * F.col("mad")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.min("med") / 100).alias("median_value"),
+        (F.min("mad") / 100).alias("mad_value"),
+        F.sum(F.when(is_out, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# first-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_first_touch",
+    """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT p.event_id, p.user_id,
+         strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         MIN(c.cts) AS first_click
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 24 HOUR
+  GROUP BY p.event_id, p.user_id, p.pts
+)
+SELECT event_id, user_id, purchase_ts,
+       strftime(first_click, '%Y-%m-%d %H:%M:%S') AS first_click_ts
+FROM m
+""",
+)
+def events_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIRST-touch attribution: each purchase credited to the user's
+    EARLIEST click inside a 24-hour lookback — the complement of the
+    as-of join (events_asof_purchase_click), which is last-touch by
+    construction; together they bracket the attribution models a
+    marketing pipeline runs. Plan: equi-join on the user key with the
+    time band as a residual predicate (per-user fan-out bounded by the
+    lookback window), then a combinable MIN per purchase. LEFT join
+    semantics keep click-less purchases with a NULL first touch. At
+    extreme per-user event counts the band join swaps to the bucketed
+    interval machinery in operators/rangejoin.py — same result, bounded
+    bucket fan-out."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    j = p.join(
+        c,
+        (p.user_id == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    return (
+        j.groupBy("event_id", "user_id", "pts")
+        .agg(F.min("cts").alias("first_click"))
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_ts"
+            ),
+            F.date_format("first_click", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_click_ts"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto contribution analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_revenue_pareto",
+    """
+WITH rev AS (
+  SELECT p.p_brand,
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+tot AS (SELECT SUM(cents) AS t FROM rev),
+ranked AS (
+  SELECT r.p_brand, r.cents,
+         SUM(r.cents) OVER (ORDER BY r.cents DESC, r.p_brand ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+         tot.t
+  FROM rev r CROSS JOIN tot
+)
+SELECT p_brand, cents AS revenue_cents,
+       CAST(cents AS DOUBLE) / t AS revenue_share,
+       CAST(cum_cents AS DOUBLE) / t AS cumulative_share,
+       CAST(cum_cents AS DOUBLE) / t <= 0.8e0 AS in_top80
+FROM ranked
+""",
+)
+def brand_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) contribution analysis of revenue by brand —
+    cumulative-share ranking, the classic concentration diagnostic. The
+    global cumulative window here is over the BRAND aggregate — a
+    dimension-bounded relation (25 brands at every SF), not the
+    SF-linear trap customer_rfm_segments avoids; ranking 25 rows in one
+    task is correct, and the heavy lifting (fact join + revenue rollup)
+    is all combinable aggregates with exact integer cents. Shares are
+    single divides against a broadcast 1-row total."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    rev = (
+        li.join(
+            pt.select("p_partkey", "p_brand"), li.l_partkey == pt.p_partkey
+        )
+        .groupBy("p_brand")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    w = Window.orderBy(F.desc("cents"), F.asc("p_brand")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_cents", F.sum("cents").over(w)
+    )
+    return ranked.select(
+        "p_brand",
+        F.col("cents").alias("revenue_cents"),
+        (F.col("cents").cast("double") / F.col("t")).alias("revenue_share"),
+        (F.col("cum_cents").cast("double") / F.col("t")).alias(
+            "cumulative_share"
+        ),
+        ((F.col("cum_cents").cast("double") / F.col("t")) <= 0.8).alias(
+            "in_top80"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # top-k string-similarity search (query -> dirty dimension)
 # ---------------------------------------------------------------------------
 

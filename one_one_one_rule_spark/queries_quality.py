@@ -969,6 +969,157 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cohort lifetime value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_cohort_ltv",
+    """
+WITH firsts AS (
+  SELECT o_custkey AS custkey,
+         date_trunc('month', MIN(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort_month,
+         CAST((year(date_trunc('month', o.o_orderdate)) - year(f.cohort_month)) * 12
+              + (month(date_trunc('month', o.o_orderdate)) - month(f.cohort_month)) AS BIGINT) AS offset_m,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.custkey
+),
+agg AS (
+  SELECT cohort_month, offset_m,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(cents) AS rev_cents
+  FROM rev GROUP BY cohort_month, offset_m
+)
+SELECT strftime(cohort_month, '%Y-%m') AS cohort,
+       offset_m, n_orders, rev_cents,
+       SUM(rev_cents) OVER (PARTITION BY cohort_month ORDER BY offset_m
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_cents
+FROM agg
+""",
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — cumulative revenue per
+    first-order-month cohort by month offset, the monetary extension of
+    events_user_retention (which counts activity; this sums value). The
+    per-customer first-month aggregate re-joins the fact table on its
+    own key (both sides hash-partitioned by custkey — one co-located
+    shuffle), the (cohort × offset) rollup is combinable with exact
+    cents, and the cumulative window partitions by cohort month — a
+    calendar-bounded key (dozens of partitions at any SF), so no
+    global-sort trap. Month offsets computed in integer year/month
+    arithmetic, identical on both engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    j = o.join(firsts, o.o_custkey == firsts.custkey)
+    om = F.date_trunc("month", F.col("o_orderdate"))
+    offset = (
+        (F.year(om) - F.year("cohort_month")) * 12
+        + (F.month(om) - F.month("cohort_month"))
+    ).cast("bigint")
+    agg = j.groupBy("cohort_month", offset.alias("offset_m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        ),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+        "offset_m",
+        "n_orders",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_skew_profile",
+    """
+WITH counts AS (
+  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(n) AS BIGINT) AS max_key_rows,
+         SUM(n * n) AS sum_sq
+  FROM counts
+),
+topk AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS top10_rows FROM (
+    SELECT n FROM counts ORDER BY n DESC, key ASC LIMIT 10
+  )
+)
+SELECT t.total_rows, t.n_keys, t.max_key_rows,
+       CAST(t.max_key_rows AS DOUBLE) / t.total_rows AS max_key_share,
+       CAST(k.top10_rows AS DOUBLE) / t.total_rows AS top10_share,
+       CAST(t.sum_sq AS DOUBLE) * t.n_keys / (CAST(t.total_rows AS DOUBLE) * t.total_rows) AS skew_factor
+FROM tot t CROSS JOIN topk k
+""",
+)
+def lineitem_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the profiling pass that decides whether
+    a planned join needs the salted two-phase form (operators/skew.py)
+    or AQE skew splitting: per-key counts (one combinable aggregate),
+    then concentration statistics — max-key share, top-10 share, and a
+    normalized second-moment skew factor (E[n²]·k/N² = 1 for perfectly
+    uniform keys, grows with concentration) — from exact integer sums.
+    The top-10 is a TakeOrdered (per-partition partial top-k merged at
+    the coordinator), never a full sort; output is one row of bounded
+    scalars regardless of key-space size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    topk = (
+        counts.orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+        .agg(F.sum("n").cast("bigint").alias("top10_rows"))
+    )
+    j = tot.crossJoin(F.broadcast(topk))
+    return j.select(
+        "total_rows",
+        "n_keys",
+        "max_key_rows",
+        (
+            F.col("max_key_rows").cast("double") / F.col("total_rows")
+        ).alias("max_key_share"),
+        (F.col("top10_rows").cast("double") / F.col("total_rows")).alias(
+            "top10_share"
+        ),
+        (
+            F.col("sum_sq").cast("double")
+            * F.col("n_keys")
+            / (F.col("total_rows").cast("double") * F.col("total_rows"))
+        ).alias("skew_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # seasonality profile (dow x hour matrix)
 # ---------------------------------------------------------------------------
 

@@ -969,6 +969,217 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# in-engine dedup-tier evaluation (LSH recall/precision vs exact tier)
+# ---------------------------------------------------------------------------
+
+_EVAL_TAU = 0.3
+
+
+def _lsh_eval_sql() -> str:
+    from .queries import ORACLES
+
+    return f"""
+WITH lsh AS (
+  SELECT doc_a, doc_b FROM ({ORACLES["docs_minhash_lsh_pairs"]}) t
+),
+ex AS (
+  SELECT doc_a, doc_b FROM ({ORACLES["docs_jaccard_pairs"]}) t
+  WHERE jaccard >= {_EVAL_TAU}e0
+),
+j AS (
+  SELECT COALESCE(l.doc_a, e.doc_a) AS doc_a,
+         CASE WHEN l.doc_a IS NOT NULL AND e.doc_a IS NOT NULL THEN 'tp'
+              WHEN l.doc_a IS NOT NULL THEN 'fp' ELSE 'fn' END AS cls
+  FROM lsh l FULL OUTER JOIN ex e
+    ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+)
+SELECT CAST(SUM(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN cls = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN cls = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) AS DOUBLE)
+         / NULLIF(SUM(CASE WHEN cls IN ('tp','fn') THEN 1 ELSE 0 END), 0) AS recall,
+       CAST(SUM(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) AS DOUBLE)
+         / NULLIF(SUM(CASE WHEN cls IN ('tp','fp') THEN 1 ELSE 0 END), 0) AS precision
+FROM j
+"""
+
+
+def _register_lsh_eval() -> None:
+    @register("docs_lsh_recall_eval", _lsh_eval_sql())
+    def docs_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """In-engine evaluation of the MinHash-LSH tier against the exact
+        Jaccard tier AT THE SAME THRESHOLD — the recall/precision audit a
+        production dedup pipeline schedules on a sampled slice before
+        trusting the banded index at full scale. Composes the two
+        REGISTERED operators (their registry entries, so the eval can
+        never drift from what ships) with one full-outer pair join and a
+        confusion-count aggregate; the oracle composes the same two
+        oracle subqueries. Because the LSH tier verifies exact Jaccard
+        on its banded candidates, precision is 1.0 by construction —
+        this gate PROVES that property cross-engine, and measures the
+        banding's recall (candidate misses) instead of assuming it. The
+        pytest recall bounds in tests/test_ann_kmeans.py cover the ANN
+        tiers; this covers the text tier."""
+        from .queries import QUERIES
+
+        lsh = QUERIES["docs_minhash_lsh_pairs"](spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+        ex = (
+            QUERIES["docs_jaccard_pairs"](spark, sf_dir)
+            .filter(F.col("jaccard") >= _EVAL_TAU)
+            .select(
+                F.col("doc_a").alias("ea"), F.col("doc_b").alias("eb")
+            )
+        )
+        j = lsh.join(
+            ex,
+            (lsh.doc_a == F.col("ea")) & (lsh.doc_b == F.col("eb")),
+            "full_outer",
+        )
+        cls = (
+            F.when(
+                F.col("doc_a").isNotNull() & F.col("ea").isNotNull(), "tp"
+            )
+            .when(F.col("doc_a").isNotNull(), "fp")
+            .otherwise("fn")
+        )
+        c = j.select(cls.alias("cls"))
+        tp = F.sum(F.when(F.col("cls") == "tp", 1).otherwise(0))
+        fp = F.sum(F.when(F.col("cls") == "fp", 1).otherwise(0))
+        fn = F.sum(F.when(F.col("cls") == "fn", 1).otherwise(0))
+        return c.agg(
+            tp.cast("bigint").alias("tp"),
+            fp.cast("bigint").alias("fp"),
+            fn.cast("bigint").alias("fn"),
+            (
+                tp.cast("double")
+                / F.nullif((tp + fn).cast("bigint"), F.lit(0))
+            ).alias("recall"),
+            (
+                tp.cast("double")
+                / F.nullif((tp + fp).cast("bigint"), F.lit(0))
+            ).alias("precision"),
+        )
+
+
+_register_lsh_eval()
+
+
+# ---------------------------------------------------------------------------
+# composed numeric feature pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_feature_pipeline",
+    """
+WITH e AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+med AS (SELECT event_type, median(cents) AS med FROM e GROUP BY event_type),
+dev AS (
+  SELECT e.*, m.med, abs(CAST(e.cents AS DOUBLE) - m.med) AS adev
+  FROM e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type),
+kept AS (
+  SELECT d.event_id, d.event_type, d.cents, d.med, m.mad
+  FROM dev d JOIN mad m USING (event_type)
+  WHERE m.mad <= 0e0
+     OR abs(CAST(d.cents AS DOUBLE) - d.med) <= 5e0 * 1.4826e0 * m.mad
+),
+q AS (
+  SELECT event_type,
+         quantile_cont(cents, 0.0625e0) AS lo_c,
+         quantile_cont(cents, 0.9375e0) AS hi_c
+  FROM kept GROUP BY event_type
+),
+clipped AS (
+  SELECT k.event_id, k.event_type, k.cents, k.med, k.mad,
+         LEAST(GREATEST(CAST(k.cents AS DOUBLE), q.lo_c), q.hi_c) AS wv
+  FROM kept k JOIN q USING (event_type)
+)
+SELECT event_id, event_type, cents AS raw_cents, wv AS winsorized_cents,
+       CASE WHEN mad > 0e0 THEN (wv - med) / (1.4826e0 * mad) ELSE 0e0 END AS robust_z
+FROM clipped
+""",
+)
+def events_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed numeric feature-engineering pipeline — the events-side
+    sibling of docs_curation: (1) hard-outlier REMOVAL at 5·1.4826·MAD,
+    (2) winsorization of survivors at the exact [1/16, 15/16] band,
+    (3) robust z-scaling against median/MAD — each stage computed on the
+    previous stage's survivors, hash-gated end-to-end as ONE relation.
+    This staging matters and is easy to get wrong: the winsorize
+    percentiles must come from the post-filter distribution, which is
+    why the composed gate exists on top of the standalone operators
+    (events_mad_outliers, events_winsorized_stats).
+
+    Plan: two grouped exact medians + one grouped exact percentile, each
+    a tiny per-type relation broadcast back; the survivor stream is
+    localCheckpoint-shared between the percentile pass and the final
+    projection (without it the MAD cascade re-runs per branch). All
+    thresholds transcendental-free; at 100 TB the exact order statistics
+    swap for their approx forms with unchanged shape."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = e.groupBy("event_type").agg(F.median("cents").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    madt = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    kept = (
+        dev.join(F.broadcast(madt), "event_type")
+        .filter(
+            (F.col("mad") <= 0.0)
+            | (
+                F.abs(F.col("cents").cast("double") - F.col("med"))
+                <= 5.0 * 1.4826 * F.col("mad")
+            )
+        )
+        .select("event_id", "event_type", "cents", "med", "mad")
+        .localCheckpoint(eager=True)
+    )
+    q = (
+        kept.groupBy("event_type")
+        .agg(
+            F.percentile(
+                "cents", F.array(F.lit(0.0625), F.lit(0.9375))
+            ).alias("p")
+        )
+        .select(
+            "event_type",
+            F.col("p")[0].alias("lo_c"),
+            F.col("p")[1].alias("hi_c"),
+        )
+    )
+    clipped = kept.join(F.broadcast(q), "event_type").withColumn(
+        "wv",
+        F.least(
+            F.greatest(F.col("cents").cast("double"), F.col("lo_c")),
+            F.col("hi_c"),
+        ),
+    )
+    return clipped.select(
+        "event_id",
+        "event_type",
+        F.col("cents").alias("raw_cents"),
+        F.col("wv").alias("winsorized_cents"),
+        F.when(
+            F.col("mad") > 0.0,
+            (F.col("wv") - F.col("med")) / (1.4826 * F.col("mad")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("robust_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cohort lifetime value
 # ---------------------------------------------------------------------------
 

@@ -969,6 +969,192 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUSUM drift / changepoint detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_drift",
+    """
+WITH e AS (
+  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS total
+  FROM e GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, e.ts, e.event_id, t.n, t.total,
+         SUM(e.cents) OVER w AS run_sum,
+         CAST(row_number() OVER w AS BIGINT) AS i
+  FROM e JOIN tot t USING (event_type)
+  WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, ts, event_id, n,
+         abs(n * run_sum - i * total) AS absdev
+  FROM c
+),
+m AS (
+  SELECT event_type, MAX(absdev) AS max_absdev FROM s GROUP BY event_type
+),
+arg AS (
+  SELECT s.event_type, MIN(s.ts) AS change_ts
+  FROM s JOIN m ON s.event_type = m.event_type AND s.absdev = m.max_absdev
+  GROUP BY s.event_type
+)
+SELECT m.event_type,
+       CAST((SELECT n FROM tot WHERE tot.event_type = m.event_type) AS BIGINT) AS n_events,
+       CAST(m.max_absdev AS DOUBLE)
+         / (SELECT n FROM tot WHERE tot.event_type = m.event_type) / 1e2 AS max_cusum,
+       strftime(arg.change_ts, '%Y-%m-%d %H:%M:%S') AS changepoint_ts
+FROM m JOIN arg USING (event_type)
+""",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift / changepoint detection per metric stream — the
+    monitoring primitive that catches a persistent mean SHIFT the
+    pointwise outlier gates (z-score, MAD) cannot see: the cumulative
+    sum of deviations from the stream mean peaks at the changepoint.
+
+    Exactness trick: CUSUM_i = Σ_{j≤i}(x_j − mean) involves a
+    non-representable mean, so the statistic is scaled by n —
+    S_i = n·run_sum_i − i·total — keeping every intermediate an EXACT
+    BIGINT (associative, engine-independent); only the final
+    max|S|/n/100 normalization is a double. Plan: one window shuffle on
+    the stream key (the finance-indicator shape), a per-key max, and an
+    argmax recovered by equality join with a deterministic earliest-ts
+    tie-break — no driver participation. At bigger per-key volumes the
+    scaled statistic caps at n·Σ|x| ≈ 1e9·1e9-cents before exceeding
+    int64 — beyond that the accumulators swap to decimal(38,0)/HUGEINT
+    exactly as parts_copurchase_pagerank does."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tot = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = e.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "ts",
+        "n",
+        "total",
+        F.sum("cents").over(w).alias("run_sum"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    s = c.select(
+        "event_type",
+        "ts",
+        "n",
+        F.abs(
+            F.col("n") * F.col("run_sum") - F.col("i") * F.col("total")
+        ).alias("absdev"),
+    )
+    m = s.groupBy("event_type").agg(
+        F.max("absdev").alias("max_absdev"),
+        F.min("n").alias("n_events"),
+    )
+    arg = (
+        s.join(
+            F.broadcast(m.select("event_type", "max_absdev")), "event_type"
+        )
+        .filter(F.col("absdev") == F.col("max_absdev"))
+        .groupBy("event_type")
+        .agg(F.min("ts").alias("change_ts"))
+    )
+    return m.join(arg, "event_type").select(
+        "event_type",
+        F.col("n_events"),
+        (
+            F.col("max_absdev").cast("double") / F.col("n_events") / 100
+        ).alias("max_cusum"),
+        F.date_format("change_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "changepoint_ts"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inter-order gap statistics (purchase-cadence profile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_gap_stats",
+    """
+WITH s AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+         lag(CAST(o_orderdate AS TIMESTAMP)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_ts
+  FROM orders
+),
+g AS (
+  SELECT custkey,
+         CAST(date_diff('day', prev_ts, ts) AS BIGINT) AS gap_days
+  FROM s WHERE prev_ts IS NOT NULL
+),
+pm AS (
+  SELECT custkey, median(gap_days) AS med_gap FROM g GROUP BY custkey
+)
+SELECT CAST(floor(med_gap / 30e0) AS BIGINT) AS gap_bucket_months,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MIN(med_gap) AS min_med_gap,
+       MAX(med_gap) AS max_med_gap
+FROM pm
+GROUP BY 1
+""",
+)
+def customer_order_gap_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchase-cadence profile: each customer's MEDIAN inter-order gap
+    (lag window per customer — one shuffle, linear), bucketed into a
+    corpus-wide cadence histogram — the two-level median-then-distribute
+    aggregation (per-entity robust statistic, then population profile)
+    that churn models and re-engagement triggers consume. Gap medians
+    over integer day counts interpolate only at .5 (exact double);
+    bucket edges are integer-over-30 floors, identical on both
+    engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.lag("o_orderdate").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull())
+    g = s.select(
+        "custkey",
+        F.datediff("ts", "prev_ts").cast("bigint").alias("gap_days"),
+    )
+    pm = g.groupBy("custkey").agg(F.median("gap_days").alias("med_gap"))
+    return pm.groupBy(
+        F.floor(F.col("med_gap") / 30.0)
+        .cast("bigint")
+        .alias("gap_bucket_months")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min("med_gap").alias("min_med_gap"),
+        F.max("med_gap").alias("max_med_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # in-engine dedup-tier evaluation (LSH recall/precision vs exact tier)
 # ---------------------------------------------------------------------------
 

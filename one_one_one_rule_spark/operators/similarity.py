@@ -176,12 +176,15 @@ def cosine_neardup_pairs(
     DISTINCT (a full shuffle of the candidate stream), a pair is kept
     only on its minimal matching band — an expression-level filter over
     the two signatures, so candidate generation, dedup, and verify all
-    run pipelined in one stage with zero exchanges (everything joins
-    broadcast at this cardinality). The wide embedding arrays are joined
-    back just for the verify step. At 100 TB only this bucketed shape
-    survives; the exact variant of the same predicate is the all-pairs
-    cross join, and the band join switches to shuffle-hash on (band, key)
-    with the same min-band dedup still shuffle-free.
+    run pipelined. The wide embedding arrays are joined back just for
+    the verify step. No forced broadcast anywhere: both the band table
+    and the normalized-vector table are corpus-linear, so the build-side
+    decision belongs to AQE runtime stats — at gate scale it picks
+    broadcast, at 100 TB the band join becomes an equi-shuffle on
+    (band, key) and the verify joins shuffle on vec_id, with the same
+    min-band dedup still expression-level. The exact variant of the same
+    predicate is the all-pairs cross join; only this bucketed shape
+    survives at scale.
     """
     sigs = srp_signature(vectors, SRP_PLANES, dim).select("vec_id", "srp_sig")
     mask = (1 << SRP_BAND_BITS) - 1
@@ -210,7 +213,7 @@ def cosine_neardup_pairs(
         f"(shiftright(sig_b, {SRP_BAND_BITS} * bb) & {mask}))"
     )
     cand = (
-        ba.join(F.broadcast(bb), ["band", "key"])
+        ba.join(bb, ["band", "key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(no_earlier_match)
         .select("vec_a", "vec_b")
@@ -237,11 +240,12 @@ def cosine_neardup_pairs(
     dot = F.expr(
         " + ".join(f"ea.e[{i}] * eb.e[{i}]" for i in range(dim))
     )
-    # Broadcast the normalized vectors to BOTH verify joins: the candidate
-    # stream (|pairs| rows) is never shuffled, and never carries arrays.
+    # The normalized table joins into BOTH verify steps un-hinted: AQE
+    # broadcasts it while it fits and falls back to vec_id-keyed shuffles
+    # beyond that — the candidate stream never carries arrays either way.
     return (
-        cand.join(F.broadcast(emb.alias("ea")), cand["vec_a"] == F.col("ea.vec_id"))
-        .join(F.broadcast(emb.alias("eb")), cand["vec_b"] == F.col("eb.vec_id"))
+        cand.join(emb.alias("ea"), cand["vec_a"] == F.col("ea.vec_id"))
+        .join(emb.alias("eb"), cand["vec_b"] == F.col("eb.vec_id"))
         .select("vec_a", "vec_b", dot.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

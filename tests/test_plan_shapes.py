@@ -121,25 +121,45 @@ def test_q18_semi_join_broadcasts_qualifying_set(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# No-forced-broadcast-of-fact-tables audit (round-4 scale hardening).
+# No-forced-broadcast-of-scale-linear-relations audit (round-4 hardening,
+# widened round 5 per VERDICT.md to EVERY SF-linear base relation).
 #
 # A hardcoded F.broadcast() on an SF-linear table is a 100x-scale OOM: AQE
 # cannot override an explicit hint, so a side that fits at sf0.1 kills
 # executors at production scale. This walks EVERY registered query's
 # analyzed logical plan and asserts no broadcast hint sits over a scan of
-# customer / orders / lineitem (the SF-linear TPC-H relations) unless a
-# cardinality-bounding node (Aggregate / Limit / Distinct) intervenes —
-# bounded aggregates of a fact table (e.g. the 25-nation top-balance
-# relation or a HAVING-gated orderkey set) are legitimate broadcasts.
-# Fixed-size dims (region=5, nation=25 rows at every SF) are always fine;
-# part/supplier hints are reviewed case-by-case in the per-query tests.
+# any relation that grows with the data — customer / orders / lineitem /
+# supplier / part / events / documents / embeddings — unless the scan is
+# bounded on the way up by either
+#   (a) a cardinality-bounding node (Aggregate / Limit / Distinct), e.g.
+#       the 25-nation top-balance relation or a HAVING-gated orderkey set;
+#   (b) a Filter whose condition contains an IN over a pure-literal list
+#       (an explicitly bounded id set, e.g. the ANN query vectors).
+# Fixed-size dims (region=5, nation=25 rows at every SF) are always fine.
 # ---------------------------------------------------------------------------
 
-FACT_TABLES = ("customer", "orders", "lineitem")
+FACT_TABLES = (
+    "customer", "orders", "lineitem", "supplier", "part",
+    "events", "documents", "embeddings",
+)
 
 _BOUNDING_NODES = {
     "Aggregate", "GlobalLimit", "LocalLimit", "Distinct", "Deduplicate",
 }
+
+
+def _filter_is_literal_in(node):
+    """True iff a Filter's rendered condition contains an ``IN (...)``
+    whose list holds only literals — attribute references render with a
+    ``#exprId`` suffix, so a paren group without ``#`` is literal-only."""
+    head = str(node).splitlines()[0]
+    i = head.find(" IN (")
+    while i >= 0:
+        j = head.find(")", i)
+        if j > i and "#" not in head[i + 5 : j]:
+            return True
+        i = head.find(" IN (", i + 1)
+    return False
 
 
 def _fact_table_schemas(spark, sf_dir):
@@ -155,6 +175,8 @@ def _unbounded_fact_scans_under(node, schemas):
     table's schema, pruning branches below cardinality-bounding nodes."""
     found = []
     if node.nodeName() in _BOUNDING_NODES:
+        return found
+    if node.nodeName() == "Filter" and _filter_is_literal_in(node):
         return found
     if node.nodeName() == "LogicalRelation":
         cols = set()

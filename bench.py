@@ -27,6 +27,19 @@ from one_one_one_rule_spark.session import get_spark  # noqa: E402
 # in any operator is visible per round, not just the original headline set.
 HEADLINE = list(QUERIES)
 
+# Gate-orchestration queries: their wall time is dominated by correctness-
+# GATE mechanics, not engine cost — the events_stream_* entries stage
+# slices through availableNow drains (plus watermark-flush choreography)
+# to prove batch/stream convergence, and events_sketch_profile computes
+# exact companion aggregates alongside the sketches purely so the sketch
+# error bounds are hash-checkable. Production runs the same operators as
+# a continuous stream / sketches-only, so BENCH_LOCAL.json reports the
+# two subtotals separately; `value` stays the all-in total for
+# round-over-round comparability.
+GATE_ORCHESTRATION = {n for n in HEADLINE if n.startswith("events_stream_")} | {
+    "events_sketch_profile"
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,11 +92,22 @@ def main() -> None:
             timings[name] = None
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    gate_sec = round(
+        sum(
+            t
+            for n, t in timings.items()
+            if t is not None and n in GATE_ORCHESTRATION
+        ),
+        3,
+    )
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
+            "engine_sec": round(total - gate_sec, 3),
+            "gate_sec": gate_sec,
+            "n_gate_queries": len(GATE_ORCHESTRATION),
             "queries": timings,
             "sf": sf,
             "cpus": cpus,

@@ -68,9 +68,10 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_backend():
-    """Real decoder if an imaging library exists, else the deterministic
-    stub. The container has neither PIL nor cv2 — the stub path is the
-    tested one; the interface is what matters."""
+    """Fallback backend for payloads no real decoder recognizes: an
+    imaging library if one exists, else the deterministic byte-mean stub.
+    Recognized raster formats (24-bit BMP, binary PPM) always take the
+    stdlib decode path first — see ``decode_image``."""
     try:  # pragma: no cover - not installed in this environment
         import PIL.Image  # noqa: F401
 
@@ -79,15 +80,119 @@ def _decode_backend():
         return "stub"
 
 
+def decode_image(payload: bytes):
+    """REAL image decode with the stdlib only — no third-party codec.
+
+    Supports the two raster formats whose containers are pure
+    header+pixels (so a correct parse needs nothing beyond struct/numpy):
+
+    * BMP, BITMAPINFOHEADER, 24-bit uncompressed (bottom-up or top-down),
+      4-byte-aligned rows, BGR -> RGB;
+    * PPM binary (``P6``), maxval 255, ``#`` comments allowed.
+
+    Returns an (H, W, 3) uint8 RGB array, or None when the payload is not
+    a byte-exact instance of either format. Validation is STRICT — magic,
+    declared sizes, and pixel-data length must all agree with the actual
+    byte count — so arbitrary binary/text payloads (e.g. the synthesized
+    UTF-8 media table) never false-positive into the decode path and the
+    media_feature_knn hash gate is unchanged."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) >= 54 and payload[:2] == b"BM":
+        (file_size,) = struct.unpack_from("<I", payload, 2)
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        if file_size != len(payload) or hdr_size < 40:
+            return None
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        absh = abs(h)
+        row_bytes = (w * 3 + 3) & ~3
+        if data_off + row_bytes * absh > len(payload):
+            return None
+        rows = (
+            np.frombuffer(payload, np.uint8, row_bytes * absh, data_off)
+            .reshape(absh, row_bytes)[:, : w * 3]
+            .reshape(absh, w, 3)
+        )
+        if h > 0:  # positive height = bottom-up row order
+            rows = rows[::-1]
+        return rows[..., ::-1].copy()  # BGR -> RGB
+
+    if payload[:2] == b"P6":
+        idx, fields = 2, []
+        while len(fields) < 3 and idx < len(payload):
+            while idx < len(payload) and payload[idx : idx + 1].isspace():
+                idx += 1
+            if payload[idx : idx + 1] == b"#":
+                while idx < len(payload) and payload[idx : idx + 1] != b"\n":
+                    idx += 1
+                continue
+            start = idx
+            while idx < len(payload) and payload[idx : idx + 1].isdigit():
+                idx += 1
+            if idx == start:
+                return None
+            fields.append(int(payload[start:idx]))
+        if (
+            len(fields) < 3
+            or idx >= len(payload)
+            or not payload[idx : idx + 1].isspace()
+        ):
+            return None
+        idx += 1  # single whitespace separates header from pixel data
+        w, h, maxval = fields
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        if len(payload) - idx != w * h * 3:
+            return None
+        return (
+            np.frombuffer(payload, np.uint8, w * h * 3, idx)
+            .reshape(h, w, 3)
+            .copy()
+        )
+
+    return None
+
+
+def image_features(img, dim: int = 8):
+    """Deterministic dim-width feature vector from decoded RGB pixels:
+    [mean_r, mean_g, mean_b, mean_all, min_all, max_all, w/(w+h),
+    h/(w+h)], channel stats scaled to [0,1] — exact rational arithmetic
+    over uint8 sums, so run-to-run and partition-order independent."""
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(-1, 3).astype("float64")
+    base = [
+        float(flat[:, 0].mean() / 255.0),
+        float(flat[:, 1].mean() / 255.0),
+        float(flat[:, 2].mean() / 255.0),
+        float(flat.mean() / 255.0),
+        float(flat.min() / 255.0),
+        float(flat.max() / 255.0),
+        w / (w + h),
+        h / (w + h),
+    ]
+    return (base + [0.0] * dim)[:dim]
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Stub semantics (deterministic): feature[j] = mean of payload bytes at
-    positions ≡ j (mod dim), scaled to [0,1]. A real backend would decode
-    and embed; the batch shape, schema, and partition-parallel execution are
-    identical either way.
+    Per row, a REAL stdlib decode is tried first (``decode_image``: 24-bit
+    BMP / binary PPM — strict byte-exact validation, so non-image payloads
+    never enter the path) and its pixels feed ``image_features``
+    (backend='stdlib'). Unrecognized payloads fall back to the
+    deterministic stub: feature[j] = mean of payload bytes at positions
+    ≡ j (mod dim), scaled to [0,1] (backend='stub', or 'pillow' when an
+    imaging library is importable). Batch shape, schema, and
+    partition-parallel execution are identical on every path.
     """
-    backend = _decode_backend()
+    fallback = _decode_backend()
 
     def fn(batches: Iterator) -> Iterator:
         import numpy as np
@@ -96,9 +201,16 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in batches:
             feats = []
             nbytes = []
+            backends = []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 nbytes.append(len(arr))
+                img = decode_image(bytes(payload))
+                if img is not None:
+                    feats.append(image_features(img, dim))
+                    backends.append("stdlib")
+                    continue
+                backends.append(fallback)
                 if len(arr) == 0:
                     feats.append([0.0] * dim)
                     continue
@@ -111,7 +223,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": nbytes,
                     "feature": feats,
-                    "backend": backend,
+                    "backend": backends,
                 }
             )
 

@@ -2622,7 +2622,8 @@ FROM events JOIN customer ON user_id = c_custkey
 def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment run THROUGH the streaming engine
     (streaming/events.py:enrich_stream): the events stream joined to the
-    static customer dimension (broadcast, stateless per micro-batch),
+    static customer dimension (stateless per micro-batch; un-hinted — the
+    planner's size estimate picks broadcast while the snapshot fits),
     drained with availableNow and hash-checked against the batch join."""
     import uuid
 

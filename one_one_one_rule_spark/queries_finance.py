@@ -666,9 +666,10 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-instrument delta (one window shuffle), then the day-keyed
     self-join whose fan-out is instruments²/2 per day — bounded by the
     universe size, not the event count; the pair aggregate is again
-    combinable. For a universe far larger than fits n² pairs, the same
-    moments pipeline runs against a candidate pair list (e.g. same
-    sector) instead of the full cross."""
+    combinable. This full cross is the SMALL-UNIVERSE baseline; for a
+    universe too large for n² pairs the registered companion
+    ``events_pairwise_correlation_blocked`` runs the same moments
+    pipeline over a candidate-pair list (nation-blocked) instead."""
     e = _base(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("bigint")
     c = e.groupBy(
@@ -736,6 +737,147 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_a",
             "user_b",
+            F.col("n").cast("bigint").alias("n_days"),
+            (num / den).alias("corr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked pairwise correlation (round 5 — the production-scale formulation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_pairwise_correlation_blocked",
+    """
+WITH c AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         arg_max(CAST(round(value * 100) AS BIGINT), ts) AS close_cents
+  FROM events
+  GROUP BY user_id, date_trunc('day', ts)
+),
+d AS (
+  SELECT user_id, day,
+         close_cents - lag(close_cents, 1) OVER (
+           PARTITION BY user_id ORDER BY day) AS dc
+  FROM c
+),
+db AS (
+  SELECT d.user_id, d.day, d.dc, CAST(c_nationkey AS BIGINT) AS blk
+  FROM d JOIN customer ON d.user_id = c_custkey
+  WHERE d.dc IS NOT NULL
+),
+p AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, a.blk,
+         COUNT(*) AS n,
+         SUM(a.dc) AS sa, SUM(b.dc) AS sb,
+         SUM(a.dc * a.dc) AS saa,
+         SUM(b.dc * b.dc) AS sbb,
+         SUM(a.dc * b.dc) AS sab
+  FROM db a JOIN db b
+    ON a.day = b.day AND a.blk = b.blk AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id, a.blk
+)
+SELECT user_a, user_b, blk AS block_key, CAST(n AS BIGINT) AS n_days,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS corr
+FROM p
+WHERE n >= 20
+  AND n * saa - sa * sa > 0
+  AND n * sbb - sb * sb > 0
+""",
+)
+def events_pairwise_correlation_blocked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate-pair (BLOCKED) pairwise correlation — the production
+    formulation of ``events_pairwise_correlation`` for a universe too
+    large to cross: instead of the full n² day-keyed self-join, pairs
+    are generated only WITHIN a blocking key, here the instrument's
+    customer nation (user_id joins c_custkey — the same dimension
+    attachment the stream-static join uses), standing in for the
+    sector/industry blocking a real pairs-trading screen applies.
+
+    Identical exact-moments pipeline (integer-cent deltas, BIGINT
+    sufficient statistics, one closed-form double expression), so the
+    two variants share determinism properties; only candidate
+    generation changes. Scale shape: fan-out drops from universe²/2 per
+    day to Σ block_size² — bounded by the largest block, which the
+    blocking key is CHOSEN to bound; the join key (day, blk) also
+    spreads hot days across reducers, removing the day-only hot-key
+    hazard the full cross carries. The dimension attach happens on the
+    compact bar-delta relation (instruments × days), never on raw
+    events. The full-cross variant stays registered as the
+    small-universe baseline; this one is the 100 TB path."""
+    e = _base(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").cast("bigint").alias("blk"),
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max_by(cents, "ts").alias("close_cents"))
+    wh = Window.partitionBy("user_id").orderBy("day")
+    # checkpoint the blocked delta relation: it feeds both self-join
+    # sides (same reason as the unblocked variant)
+    d = (
+        c.select(
+            "user_id",
+            "day",
+            (
+                F.col("close_cents") - F.lag("close_cents", 1).over(wh)
+            ).alias("dc"),
+        )
+        .filter(F.col("dc").isNotNull())
+        .join(cust, "user_id")
+        .localCheckpoint(eager=True)
+    )
+    a = d.select(
+        F.col("user_id").alias("user_a"), "day", "blk", F.col("dc").alias("da")
+    )
+    b = d.select(
+        F.col("user_id").alias("user_b"), "day", "blk", F.col("dc").alias("db")
+    )
+    p = (
+        a.join(b, ["day", "blk"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b", "blk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("da").alias("sa"),
+            F.sum("db").alias("sb"),
+            F.sum(F.col("da") * F.col("da")).alias("saa"),
+            F.sum(F.col("db") * F.col("db")).alias("sbb"),
+            F.sum(F.col("da") * F.col("db")).alias("sab"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sab").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    den = F.sqrt(
+        n_d * F.col("saa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double")
+    ) * F.sqrt(
+        n_d * F.col("sbb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double")
+    )
+    return (
+        p.filter(
+            (F.col("n") >= 20)
+            & (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa") > 0)
+            & (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb") > 0)
+        )
+        .select(
+            "user_a",
+            "user_b",
+            F.col("blk").alias("block_key"),
             F.col("n").cast("bigint").alias("n_days"),
             (num / den).alias("corr"),
         )

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.numeric import decimal_sum
+from .operators.dedup import dup_clusters
 from .queries import register
 from .sources.fixtures import load_table
 
@@ -201,6 +202,14 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape every MDM / dimension-dedup pipeline runs (the string-metric
     sibling of the shingle/MinHash document tiers in operators/dedup.py).
 
+    ONE-HOP semantics, by design: each record maps to the smallest key it
+    DIRECTLY matched, so with a chain A~B, B~C, A!~C the row for C can
+    point at B while B itself points at A — the mapping is a match
+    report, not a transitive closure. The closure (true cluster-min
+    canonicals via connected components) is the companion query
+    ``part_entity_resolution_closed``, which feeds these same pairs
+    through operators/dedup.py:dup_clusters min-label propagation.
+
     Scale design: the quadratic comparison NEVER runs corpus-wide — the
     equi-join on the blocking key (brand, type) confines it to blocks,
     so cost is sum-of-block-sizes², the standard ER blocking contract;
@@ -257,8 +266,9 @@ WITH e AS (
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 )
-SELECT COALESCE(event_type, 'ALL') AS event_type_g,
-       COALESCE(day, 'ALL') AS day_g,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+         AS event_type_g,
+       CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day_g,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        SUM(cents) AS total_cents
 FROM e
@@ -270,10 +280,12 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registry's cube (events_type_day_cube) and rollup
     (region_nation_revenue_rollup) queries are special cases: all four
     grains (type×day, type, day, grand total) in ONE shuffled aggregate
-    with map-side partials, instead of four scans + union. NULL grain
-    markers are collapsed to 'ALL' sentinels on both engines so the
-    COALESCE is part of the gated semantics. Value sums ride as exact
-    integer cents (associative — engine/partitioning independent)."""
+    with map-side partials, instead of four scans + union. Grain markers
+    come from GROUPING() on both engines — NOT from COALESCE on the value
+    — so a genuine NULL event_type/day in the data stays distinguishable
+    from the rollup grain (ADVICE r4); both engines collapse the marker
+    to the same 'ALL' sentinel. Value sums ride as exact integer cents
+    (associative — engine/partitioning independent)."""
     import uuid
 
     e = load_table(spark, sf_dir, "events")
@@ -290,8 +302,9 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView(view)
     out = spark.sql(
         f"""
-SELECT COALESCE(event_type, 'ALL') AS event_type_g,
-       COALESCE(day, 'ALL') AS day_g,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+         AS event_type_g,
+       CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day_g,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        SUM(cents) AS total_cents
 FROM {view}
@@ -995,7 +1008,8 @@ c AS (
 ),
 s AS (
   SELECT event_type, ts, event_id, n,
-         abs(n * run_sum - i * total) AS absdev
+         abs(CAST(n AS HUGEINT) * run_sum - CAST(i AS HUGEINT) * total)
+           AS absdev
   FROM c
 ),
 m AS (
@@ -1027,10 +1041,11 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     max|S|/n/100 normalization is a double. Plan: one window shuffle on
     the stream key (the finance-indicator shape), a per-key max, and an
     argmax recovered by equality join with a deterministic earliest-ts
-    tie-break — no driver participation. At bigger per-key volumes the
-    scaled statistic caps at n·Σ|x| ≈ 1e9·1e9-cents before exceeding
-    int64 — beyond that the accumulators swap to decimal(38,0)/HUGEINT
-    exactly as parts_copurchase_pagerank does."""
+    tie-break — no driver participation. The scaled statistic n·run_sum
+    − i·total is computed in 128-bit decimal(38,0) (HUGEINT on the
+    oracle) exactly as parts_copurchase_pagerank does: plain int64 would
+    wrap silently in Spark's non-ANSI mode past n·Σ|x| ≈ 1e18, the exact
+    divergence class the PageRank query guards against (ADVICE r4)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").select(
@@ -1061,7 +1076,8 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "n",
         F.abs(
-            F.col("n") * F.col("run_sum") - F.col("i") * F.col("total")
+            F.col("n").cast("decimal(38,0)") * F.col("run_sum")
+            - F.col("i").cast("decimal(38,0)") * F.col("total")
         ).alias("absdev"),
     )
     m = s.groupBy("event_type").agg(
@@ -2224,3 +2240,92 @@ def _register_stream_session_window() -> None:
 
 
 _register_stream_session_window()
+
+
+# ---------------------------------------------------------------------------
+# transitively-closed entity resolution (round 5 — ADVICE r4 finding 1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_entity_resolution_closed",
+    """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+   AND a.p_partkey < b.p_partkey
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+    AND levenshtein(a.p_name, b.p_name) <= 1
+),
+edges AS (
+  SELECT ka AS u, kb AS v FROM pairs
+  UNION
+  SELECT kb AS u, ka AS v FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u, MIN(lbl) AS cluster FROM reach GROUP BY u),
+sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY cluster)
+SELECT cc.u AS p_partkey, cc.cluster AS canonical_partkey,
+       sizes.cluster_size, cc.u = cc.cluster AS is_canonical
+FROM cc JOIN sizes ON cc.cluster = sizes.cluster
+""",
+)
+def part_entity_resolution_closed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transitively CLOSED entity resolution: the same blocked
+    edit-distance-1 match pairs as ``part_entity_resolution``, resolved
+    into connected components so every record maps to its true
+    cluster-minimum canonical (with A~B, B~C, A!~C, all three map to A —
+    the one-hop query would leave C pointing at the non-canonical B).
+
+    Composition, not new machinery: the pair generator is the identical
+    blocked equi-join (cost confined to (brand,type) blocks, never
+    corpus-wide) and the closure is operators/dedup.py:dup_clusters —
+    distributed min-label propagation whose driver traffic is one scalar
+    changed-count per round, converging in O(component diameter) rounds
+    (edit-distance chains are short, so 2-3 in practice). The oracle
+    re-derives the closure engine-independently with a recursive CTE
+    (DuckDB WITH RECURSIVE reachability + min-label group), so the gate
+    is a full value-hash match on (member, canonical, cluster_size,
+    is_canonical)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_name"
+    )
+    a = p.select(
+        F.col("p_partkey").alias("ka"),
+        "p_brand",
+        "p_type",
+        F.col("p_name").alias("name_a"),
+        F.length("p_name").alias("len_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("kb"),
+        "p_brand",
+        "p_type",
+        F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("len_b"),
+    )
+    pairs = (
+        a.join(b, ["p_brand", "p_type"])
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 1)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select(F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b"))
+    )
+    cc = dup_clusters(pairs)
+    return cc.select(
+        F.col("doc_id").alias("p_partkey"),
+        F.col("cluster_id").alias("canonical_partkey"),
+        "cluster_size",
+        "is_canonical",
+    )

@@ -102,10 +102,14 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     against the current static table snapshot, nothing is buffered — so
     this is the canonical unbounded-scale pattern for attaching dimension
     attributes (user profile, document source metadata) to an event
-    stream. The static side is broadcast; the stream side never shuffles.
+    stream. The static side carries NO forced broadcast hint: the
+    dimension is SF-linear (customer), so the planner's size estimate
+    decides per micro-batch — broadcast while the snapshot fits, keyed
+    shuffle beyond that (streaming has no AQE, so a hardcoded hint here
+    would be an even less recoverable OOM than in batch).
     """
     return events.join(
-        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+        dim, events.user_id == dim.c_custkey, "inner"
     ).select(
         "event_id",
         "user_id",
@@ -329,9 +333,25 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
     the ``protobuf`` package at runtime
     (pyspark/sql/streaming/proto/StateMessage_pb2), absent in this
     sandbox, so the registry block self-activates when a future
-    environment provides it. tests/test_streaming_multimodal.py SKIPS the
-    convergence test without protobuf and separately asserts that
-    registration tracks availability."""
+    environment provides it. Plan CONSTRUCTION and the processor's
+    accumulation semantics are protobuf-free — both are tested
+    unconditionally in tests/test_streaming_multimodal.py; only the
+    wire-level drain skips without protobuf."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_running_totals_processor(),
+        outputStructType=USER_COUNT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def make_running_totals_processor():
+    """The StatefulProcessor behind ``stateful_user_counts_tws``, exposed
+    separately so its per-batch accumulation semantics (exact integer
+    micro-units, HALF_UP rounding, state carry-over) can be unit-tested
+    against the batch aggregate WITHOUT the TWS wire protocol: the class
+    only touches ``handle.getValueState`` and the returned cell's
+    ``exists``/``get``/``update``, so a 10-line fake handle drives it."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -369,9 +389,4 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
-        outputStructType=USER_COUNT_OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
+    return RunningTotals()

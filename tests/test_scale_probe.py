@@ -1,0 +1,147 @@
+"""Empirical scale-probe smoke (VERDICT r4 item 3).
+
+The plan-shape audit (test_plan_shapes.py) locks the broadcast-OOM class
+out by INSPECTION of the logical plan; this file catches it by
+EXECUTION: the corpus-linear tables are salted/unioned ~10x in memory
+(no sf1 fixture exists — /root/testdata is read-only) and the dedup/ANN
+tier operators run over the scaled relations, asserting
+
+  (a) completion — the operators finish on a 10x corpus inside the test
+      session's fixed memory, i.e. nothing in the pipeline materializes
+      the corpus on one node; and
+  (b) every BroadcastExchange that actually EXECUTED in the final
+      adaptive plan built a relation no larger than
+      spark.sql.autoBroadcastJoinThreshold — a reintroduced forced hint
+      on a corpus-linear side shows up here as an oversized build even
+      though AQE-chosen broadcasts always stay under the threshold.
+
+Correctness at scale is cross-checked structurally: duplicating every
+row k times turns each original near-dup relation into predictable
+multiples, which the row-count assertions pin.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from one_one_one_rule_spark.operators.dedup import (
+    dup_clusters,
+    minhash_lsh_pairs,
+)
+from one_one_one_rule_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    ivf_topk,
+)
+from one_one_one_rule_spark.sources.fixtures import load_table
+
+COPIES = 10
+OFFSET = 10_000_000
+
+
+def _scaled(df, id_col):
+    """Union COPIES id-salted replicas — corpus grows 10x, content (and
+    therefore the near-dup structure) is replicated per copy."""
+    parts = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(i * OFFSET))
+        for i in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _executed_broadcast_sizes(df):
+    """dataSize of every BroadcastExchange in the FINAL adaptive plan of
+    an executed DataFrame (collect() drives the df's own QueryExecution;
+    a separate action like count() would execute a different one)."""
+    rows = df.collect()
+    sizes = []
+
+    def walk(node):
+        if node.nodeName() == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        cls = node.getClass().getSimpleName()
+        if cls in (
+            "BroadcastQueryStageExec",
+            "ShuffleQueryStageExec",
+            "TableCacheQueryStageExec",
+        ):
+            walk(node.plan())
+            return
+        if cls == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        if "BroadcastExchange" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "dataSize":
+                    sizes.append(kv._2().value())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return rows, sizes
+
+
+def _threshold(spark):
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    return int(str(raw).lower().rstrip("b"))
+
+
+def _assert_bounded(spark, sizes):
+    thr = _threshold(spark)
+    oversized = [s for s in sizes if s > thr]
+    assert not oversized, (
+        f"BroadcastExchange built {oversized} bytes > "
+        f"autoBroadcastJoinThreshold {thr} — a forced broadcast of a "
+        "corpus-linear relation survived into the executed plan"
+    )
+
+
+def test_embedding_neardup_completes_at_10x(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_pairs = cosine_neardup_pairs(emb).count()
+    scaled = _scaled(emb, "vec_id")
+    rows, sizes = _executed_broadcast_sizes(cosine_neardup_pairs(scaled))
+    _assert_bounded(spark, sizes)
+    # every original vector now has COPIES identical replicas: the
+    # replica-pair count alone is n * C(COPIES, 2), and each original
+    # near-dup pair appears COPIES^2 times (cosine of identical content
+    # is unchanged by the id salt)
+    n = emb.count()
+    expected = n * COPIES * (COPIES - 1) // 2 + base_pairs * COPIES * COPIES
+    assert len(rows) == expected
+
+
+def test_minhash_lsh_plus_clusters_complete_at_10x(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scaled = _scaled(docs, "doc_id")
+    pairs = minhash_lsh_pairs(scaled)
+    rows, sizes = _executed_broadcast_sizes(pairs)
+    _assert_bounded(spark, sizes)
+    assert len(rows) > 0  # replicas guarantee duplicates exist
+    # downstream cluster resolution also completes on the 10x pair graph
+    clusters = dup_clusters(pairs)
+    crows, csizes = _executed_broadcast_sizes(clusters)
+    _assert_bounded(spark, csizes)
+    # every replica family is one connected component, so each cluster
+    # holds at least the COPIES replicas of one original doc
+    assert all(r["cluster_size"] >= COPIES for r in crows)
+
+
+def test_ann_ivf_completes_at_10x(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = _scaled(emb, "vec_id")
+    rows, sizes = _executed_broadcast_sizes(
+        ivf_topk(scaled, query_ids=[0, 1, 2, 3, 4], k=5)
+    )
+    _assert_bounded(spark, sizes)
+    assert len(rows) == 25  # 5 queries x top-5, cells well-populated at 10x
+
+
+def test_probe_threshold_is_finite(spark):
+    # the probe is vacuous if someone disables the broadcast threshold
+    assert _threshold(spark) > 0

@@ -177,9 +177,99 @@ def test_media_feature_knn_deterministic(spark, sf_dir):
     assert qids == {0, 1, 2, 3, 4}
 
 
+def _batch_user_totals(spark, sf_dir):
+    batch = load_table(spark, sf_dir, "events")
+    return {
+        r.user_id: (r.n_events, r.total_value)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+
+
+def test_tws_processor_semantics_match_batch(spark, sf_dir):
+    """The TWS StatefulProcessor's accumulation semantics, driven directly
+    through a fake state handle — NO protobuf, NO streaming runtime. The
+    processor sees each user's rows split across two 'microbatches' (state
+    carry-over exercised) and its final update-mode emission must equal
+    the batch aggregate."""
+    from one_one_one_rule_spark.streaming.events import (
+        make_running_totals_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.cells = {}
+
+        def getValueState(self, name, schema, ttl=None):
+            return self.cells.setdefault(name, FakeValueState())
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .toPandas()
+    )
+    got = {}
+    for uid, pdf in rows.groupby("user_id"):
+        proc = make_running_totals_processor()
+        proc.init(FakeHandle())
+        half = len(pdf) // 2
+        out = None
+        for chunk in (pdf.iloc[:half], pdf.iloc[half:]):
+            if chunk.empty:
+                continue
+            for out_pdf in proc.handleInputRows((uid,), iter([chunk]), None):
+                out = out_pdf
+        proc.close()
+        got[uid] = (int(out["n_events"][0]), float(out["total_value"][0]))
+    assert got == _batch_user_totals(spark, sf_dir)
+
+
+def test_tws_plan_construction_is_protobuf_free(spark, events_dir):
+    """Building the transformWithStateInPandas plan (grouping, output
+    schema, update mode) needs no protobuf — only the Python worker's
+    wire protocol does. Locks in that the operator's Spark-side plumbing
+    stays testable in this sandbox."""
+    from one_one_one_rule_spark.streaming.events import (
+        stateful_user_counts_tws,
+    )
+
+    df = stateful_user_counts_tws(stream_events(spark, events_dir))
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,total_value:double>"
+    )
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "TransformWithState" in plan
+
+
 def test_tws_stateful_user_totals_converges_to_batch(spark, sf_dir, events_dir):
-    """transformWithState twin of the applyInPandasWithState gate — skipped
-    where TWS's protobuf runtime dependency is missing (this sandbox)."""
+    """transformWithState WIRE-LEVEL twin of the applyInPandasWithState
+    gate — the one remaining protobuf-dependent assert (the worker
+    protocol pyspark/sql/streaming/proto needs the real protobuf
+    runtime; semantics + plan construction are covered unconditionally
+    above)."""
     pytest.importorskip("google.protobuf")
     from one_one_one_rule_spark.streaming.events import (
         stateful_user_counts_tws,
@@ -300,3 +390,104 @@ def test_tws_gate_registration_tracks_protobuf_availability():
         available = False
     assert ("events_stream_tws_user_totals" in QUERIES) == available
     assert ("events_stream_tws_user_totals" in ORACLES) == available
+
+
+# ---------------------------------------------------------------------------
+# real stdlib image decode (round 5 — VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+
+
+def _bmp_bytes(pixels):
+    """Minimal 24-bit uncompressed BMP (bottom-up, BGR, padded rows) from
+    an HxWx3 RGB uint8 array — stdlib-only construction."""
+    import struct
+
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    row_bytes = (w * 3 + 3) & ~3
+    data = bytearray()
+    for row in pixels[::-1]:  # bottom-up
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])  # RGB -> BGR
+        line += b"\x00" * (row_bytes - len(line))
+        data += line
+    file_size = 54 + len(data)
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                          2835, 2835, 0, 0)
+    assert len(header) == 54
+    return bytes(header + data), np.asarray(pixels, dtype="uint8")
+
+
+def _ppm_bytes(pixels):
+    h, w = pixels.shape[0], pixels.shape[1]
+    header = f"P6\n# test\n{w} {h}\n255\n".encode()
+    return header + pixels.astype("uint8").tobytes()
+
+
+def _expected_features(img, dim=8):
+    flat = img.reshape(-1, 3).astype("float64")
+    h, w = img.shape[0], img.shape[1]
+    return [
+        flat[:, 0].mean() / 255.0, flat[:, 1].mean() / 255.0,
+        flat[:, 2].mean() / 255.0, flat.mean() / 255.0,
+        flat.min() / 255.0, flat.max() / 255.0,
+        w / (w + h), h / (w + h),
+    ][:dim]
+
+
+def test_stdlib_decode_real_formats(spark):
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import extract_features
+
+    rng_img = (
+        np.arange(3 * 5 * 3, dtype="uint8").reshape(3, 5, 3) * 7 % 256
+    ).astype("uint8")
+    bmp, img = _bmp_bytes(rng_img)
+    ppm = _ppm_bytes(rng_img)
+    rows = [
+        (0, "image", bytearray(bmp)),
+        (1, "image", bytearray(ppm)),
+        (2, "image", bytearray("just some text".encode())),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary"
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_features(media, dim=8).collect()
+    }
+    # both real formats decode identically and exactly
+    want = _expected_features(img)
+    assert out[0]["backend"] == "stdlib"
+    assert out[1]["backend"] == "stdlib"
+    assert out[0]["feature"] == pytest.approx(want, abs=0)
+    assert out[1]["feature"] == pytest.approx(want, abs=0)
+    assert out[0]["feature"] == out[1]["feature"]
+    # non-image payloads keep the deterministic stub path (so the
+    # synthesized-media hash gates are untouched by the real decoder)
+    assert out[2]["backend"] == "stub"
+    assert len(out[2]["feature"]) == 8
+
+
+def test_stdlib_decode_rejects_near_misses(spark):
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import decode_image
+
+    rng_img = (
+        np.arange(2 * 2 * 3, dtype="uint8").reshape(2, 2, 3)
+    ).astype("uint8")
+    bmp, _ = _bmp_bytes(rng_img)
+    ppm = _ppm_bytes(rng_img)
+    assert decode_image(bmp) is not None
+    assert decode_image(ppm) is not None
+    # corrupt declared sizes / truncate: strict validation must refuse
+    assert decode_image(bmp[:-1]) is None          # file_size mismatch
+    assert decode_image(ppm + b"\x00") is None     # pixel-length mismatch
+    assert decode_image(b"BM" + bmp[2:52]) is None  # truncated header
+    assert decode_image(b"P6 text not numbers") is None
+    assert decode_image("BMarbitrary text payload".encode()) is None

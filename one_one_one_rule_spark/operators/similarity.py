@@ -251,6 +251,71 @@ def cosine_neardup_pairs(
     )
 
 
+def write_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_planes: int | None = None,
+    dim: int = EMBED_DIM,
+) -> None:
+    """PERSIST the inverted file: the vector table written as parquet
+    partitioned by its coarse cell — the durable form of ``ivf_topk``'s
+    in-memory cell assignment. Each cell becomes a directory partition,
+    so a probe that knows its target cells reads 1/2^planes of the data
+    via partition pruning; re-indexing is a plain partitioned overwrite.
+    At 100 TB this one-time write replaces the per-query signature scan
+    every in-memory search pays."""
+    from ..sources.layout import write_partitioned
+
+    if n_planes is None:
+        n_planes = IVF_PLANES
+    cells = srp_signature(vectors, n_planes, dim).withColumnRenamed(
+        "srp_sig", "cell"
+    )
+    write_partitioned(cells, path, ["cell"])
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """ANN top-k against the PERSISTED cell-partitioned index
+    (``write_ivf_index``), exact same semantics/results as the in-memory
+    ``ivf_topk``.
+
+    The probe join hits the partition column, so Spark inserts a DYNAMIC
+    PARTITION PRUNING subquery reusing the broadcast query side: only the
+    query cells' directories are scanned — the plan-level realization of
+    the 1/2^planes claim (asserted in tests/test_ann_kmeans.py, which
+    checks both the ``dynamicpruning`` filter and result parity). The
+    query lookup itself is one pushed-down IN scan of the tiny id set."""
+    idx = spark.read.parquet(path)
+    q = idx.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("qcell"),
+    )
+    pairs = idx.join(F.broadcast(q), idx.cell == q.qcell).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    dot = dot_chain_spark("embedding", "q_emb", dim)
+    nv = norm_chain_spark("embedding", dim)
+    nq = norm_chain_spark("q_emb", dim)
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        F.when((nv > 0) & (nq > 0), dot / (nv * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine", "rn")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     query_ids: list[int],

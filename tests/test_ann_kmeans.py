@@ -160,3 +160,34 @@ def test_generated_ann_oracles_register(sf_dir):
         _pytest.skip("gate-scale embeddings table not present")
     assert oracles_ann.ivf_kmeans_oracle_sql() is not None
     assert oracles_ann.pq_rerank_oracle_sql() is not None
+
+
+def test_persisted_ivf_index_matches_memory_and_prunes(
+    spark, embeddings, tmp_path
+):
+    """The cell-partitioned parquet index must (a) return bit-identical
+    top-k to the in-memory ivf_topk and (b) carry a dynamic-partition-
+    pruning subquery on the probe join — the executed proof that a search
+    reads only the query cells' directories, not the whole index."""
+    from one_one_one_rule_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(embeddings, path)
+    out = ivf_topk_from_index(spark, path, QUERY_IDS, k=5)
+    got = sorted([tuple(r) for r in out.collect()], key=str)
+    mem = sorted(
+        [tuple(r) for r in ivf_topk(embeddings, QUERY_IDS, k=5).collect()],
+        key=str,
+    )
+    assert got == mem
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # the index itself is one directory per cell (16 sign cells max)
+    import os
+
+    cells = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert 1 <= len(cells) <= 16

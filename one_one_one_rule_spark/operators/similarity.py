@@ -274,6 +274,29 @@ def write_ivf_index(
     write_partitioned(cells, path, ["cell"])
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    n_planes: int | None = None,
+    dim: int = EMBED_DIM,
+) -> None:
+    """INCREMENTAL index maintenance: cell-assign a delta batch with the
+    same fixed hyperplanes and append it into the existing partition
+    directories — no rebuild, no read of the base index. Because the
+    hyperplanes are compile-time constants, base and delta assignments
+    can never drift, so a search over the appended index is bit-identical
+    to a full rebuild (gated by ann_ivf_index_upsert). At 100 TB this is
+    the daily-ingest path: index cost is one partitioned write per batch,
+    and compaction of small per-batch files is an independent, per-cell
+    concern."""
+    if n_planes is None:
+        n_planes = IVF_PLANES
+    cells = srp_signature(new_vectors, n_planes, dim).withColumnRenamed(
+        "srp_sig", "cell"
+    )
+    cells.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

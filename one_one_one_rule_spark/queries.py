@@ -5665,3 +5665,29 @@ def docs_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         err.alias("abs_err"),
         (err <= 0.25).alias("within_bound"),
     )
+
+
+@register("ann_ivf_index_upsert", _ivf_sql())
+def ann_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the persisted IVF index: the corpus
+    arrives in two batches (vec_id % 5 != 0 as the base build, the rest
+    as a later delta appended via
+    operators/similarity.py:append_ivf_index — same fixed hyperplanes,
+    plain partition-directory append, base index never read). The search
+    over the appended index must be BIT-IDENTICAL to a full rebuild, so
+    it shares ann_ivf_topk's oracle: any assignment drift, lost delta
+    row, or double-counted base row breaks the hash. This is the daily-
+    ingest production path — per-batch write cost, no rebuilds — and the
+    query-id set deliberately spans both batches (0 is delta, 1-4 are
+    base)."""
+    from .operators.similarity import (
+        append_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _session_tmp_dir("ivf_upsert_")
+    write_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), path)
+    append_ivf_index(emb.filter(F.col("vec_id") % 5 == 0), path)
+    return ivf_topk_from_index(spark, path, [0, 1, 2, 3, 4], k=5)

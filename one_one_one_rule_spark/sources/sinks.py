@@ -129,23 +129,43 @@ class LocalCopySink(PostSink):
         return dest
 
 
-class DriveSink(PostSink):  # pragma: no cover - requires google stack + creds
-    """S8/S9 — Google Drive upsert (find-by-name, update-else-create,
-    optional CSV→Sheets conversion). Raises cleanly when the google client
-    stack is unavailable."""
+class DriveSink(PostSink):
+    """S8/S9 — Google Drive upsert: folder lookup/create, find-by-name,
+    update-else-create, optional CSV→Sheets conversion — the FULL request
+    layer of load_drive.py:107-274, speaking the Drive v3 REST protocol
+    directly (sources/drive_client.py) over an injectable transport.
 
-    def __init__(self, folder_name: str, convert_to_sheet: bool = False):
-        try:
-            from googleapiclient.discovery import build  # noqa: F401
-        except Exception as exc:  # noqa: BLE001
-            raise NotImplementedError(
-                "google-api-python-client not available; use LocalCopySink"
-            ) from exc
+    With ``transport`` supplied (tests use an in-memory fake Drive) every
+    branch runs end-to-end offline; without one, a bearer ``access_token``
+    builds the real HTTPS transport, and with neither the constructor
+    raises NotImplementedError — the single remaining network-boundary
+    stub (no credential can exist in this sandbox)."""
+
+    def __init__(
+        self,
+        folder_name: str,
+        convert_to_sheet: bool = False,
+        transport=None,
+        access_token: str | None = None,
+        auth_mode: str = "service_account",
+    ):
+        from .drive_client import DriveClient, http_transport
+
+        if transport is None:
+            transport = http_transport(access_token)  # raises w/o token
+        self.client = DriveClient(transport, auth_mode)
         self.folder_name = folder_name
         self.convert_to_sheet = convert_to_sheet
 
     def upload(self, local_path: str, remote_name: str | None = None) -> str:
-        raise NotImplementedError("Drive upload requires credentials")
+        folder_id = self.client.ensure_folder(self.folder_name)
+        res = self.client.upload_file(
+            local_path,
+            remote_name or os.path.basename(local_path),
+            folder_id,
+            convert_to_sheets=self.convert_to_sheet,
+        )
+        return res["id"]
 
 
 def ship(

@@ -13,6 +13,7 @@ its parser stack exists; the stdlib extractor is the fallback.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from html.parser import HTMLParser
 
 from pyspark.sql import DataFrame, SparkSession
@@ -159,14 +160,42 @@ def tickers_from_html(spark: SparkSession, html: str) -> DataFrame | None:
     return spark.createDataFrame([(s,) for s in syms], "symbol string")
 
 
-def tickers_from_wikipedia(spark: SparkSession) -> DataFrame | None:
-    """S1/S2 — driver-side Wikipedia constituents scrape. Returns None when
-    the network is unavailable — callers fall back to the CSV source (S4)."""
-    try:  # pragma: no cover - network not available in this environment
-        from urllib.request import urlopen
+#: Wikipedia constituents page (extract_tickers.py:21) and the hardened
+#: request headers the reference sends (extract_tickers.py:24-31 sets a
+#: browser UA because Wikimedia throttles default library agents).
+WIKIPEDIA_URL = "https://en.wikipedia.org/wiki/Nasdaq-100"
+FETCH_HEADERS = {
+    "User-Agent": (
+        "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0 Safari/537.36"
+    ),
+    "Accept-Language": "en-US,en;q=0.9",
+}
 
-        with urlopen("https://en.wikipedia.org/wiki/Nasdaq-100") as r:
-            html = r.read().decode("utf-8", errors="replace")
+
+def default_opener(url: str, timeout: float = 20.0) -> str:
+    """The real HTTPS fetch — a hardened urllib GET (browser UA headers,
+    explicit timeout). Fully implemented; it simply has no network to run
+    on in this sandbox, so callers treat any raise as source-unavailable
+    and fall through the chain (S4)."""
+    from urllib.request import Request, urlopen
+
+    req = Request(url, headers=FETCH_HEADERS)
+    with urlopen(req, timeout=timeout) as r:  # pragma: no cover - network
+        return r.read().decode("utf-8", errors="replace")
+
+
+def tickers_from_wikipedia(
+    spark: SparkSession,
+    opener: Callable[[str], str] | None = None,
+) -> DataFrame | None:
+    """S1/S2 — driver-side Wikipedia constituents scrape. ``opener`` is the
+    url→html hop (injectable, so the full fetch→probe→gate path is tested
+    offline against fixture HTML; the default is the hardened urllib GET).
+    Returns None when the source is unavailable — callers fall back to the
+    CSV source (S4)."""
+    try:
+        html = (opener or default_opener)(WIKIPEDIA_URL)
     except Exception:
         return None
     return tickers_from_html(spark, html)
@@ -176,10 +205,13 @@ def load_tickers(
     spark: SparkSession,
     fallback_csv: str,
     use_wikipedia: bool = False,
+    opener: Callable[[str], str] | None = None,
 ) -> DataFrame:
     """S4 — fallback source chain: Wikipedia (if enabled) else CSV; raise if
-    the result is empty (extract_tickers.py:64-82)."""
-    df = tickers_from_wikipedia(spark) if use_wikipedia else None
+    the result is empty (extract_tickers.py:64-82). ``opener`` propagates to
+    the Wikipedia fetch so the WHOLE chain — live-scrape branch included —
+    is testable offline."""
+    df = tickers_from_wikipedia(spark, opener) if use_wikipedia else None
     if df is None:
         df = tickers_from_csv(spark, fallback_csv)
     out = normalized_distinct(df)

@@ -5691,3 +5691,77 @@ def ann_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), path)
     append_ivf_index(emb.filter(F.col("vec_id") % 5 == 0), path)
     return ivf_topk_from_index(spark, path, [0, 1, 2, 3, 4], k=5)
+
+
+@register(
+    "events_stream_click_purchase_fullouter",
+    """
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+),
+c AS (
+  SELECT event_id AS click_id, ts AS click_ts, user_id FROM e
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-28 00:00:00'
+),
+p AS (
+  SELECT event_id AS purchase_id, ts AS purchase_ts, user_id FROM e
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-28 00:00:00'
+)
+SELECT c.click_id, COALESCE(c.user_id, p.user_id) AS user_id,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.purchase_id,
+       strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM c FULL JOIN p ON c.user_id = p.user_id
+  AND p.purchase_ts >= c.click_ts
+  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+""",
+)
+def events_stream_click_purchase_fullouter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join run through the streaming
+    engine (streaming/events.py:click_purchase_fullouter_stream) and
+    hash-checked against the batch FULL JOIN — BOTH null-emission paths
+    in one gate (unmatched clicks AND unmatched purchases), completing
+    the streaming join matrix next to the inner and LEFT OUTER gates.
+    Same staged three-slice delivery as the LEFT OUTER gate so the final
+    micro-batch's applied watermark passes cutoff + horizon and every
+    retained row on either side is watermark-complete."""
+    import shutil
+    import uuid
+
+    from .streaming.events import click_purchase_fullouter_stream
+
+    e = load_table(spark, sf_dir, "events")
+    src = _stage_parquet_slices(
+        spark,
+        [
+            e.filter(pred)
+            for pred in [
+                "ts < TIMESTAMP '2024-01-27 00:00:00'",
+                "ts >= TIMESTAMP '2024-01-27 00:00:00'"
+                " AND ts < TIMESTAMP '2024-01-29 00:00:00'",
+                "ts >= TIMESTAMP '2024-01-29 00:00:00'",
+            ]
+        ],
+        "fo_src_",
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    name = "fojoin_gate_" + uuid.uuid4().hex[:12]
+    try:
+        return _drain_stream(
+            spark,
+            click_purchase_fullouter_stream(stream, "2024-01-28 00:00:00"),
+            name,
+            "append",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

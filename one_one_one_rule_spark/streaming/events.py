@@ -317,6 +317,67 @@ def click_purchase_leftouter_stream(
     )
 
 
+def click_purchase_fullouter_stream(
+    events: DataFrame,
+    cutoff: str,
+    watermark: str = "2 hours",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both NULL-emission paths
+    at once: clicks with no purchase inside the horizon AND purchases no
+    click preceded. Completes the join matrix alongside the inner
+    (purchase_click_join_stream) and LEFT OUTER
+    (click_purchase_leftouter_stream) twins.
+
+    The cutoff placement differs from the LEFT OUTER twin by necessity:
+    a post-join filter cannot reproduce the batch FULL JOIN of two
+    filtered sides (a cross-cutoff match would be dropped as a row
+    instead of degrading to the partner's unmatched row). So each side
+    filters BETWEEN its withWatermark and the join: the EventTimeWatermark
+    node sits below the filter and keeps advancing from ALL source rows
+    (a filter below the watermark would freeze it at the cutoff and the
+    tails would never flush), while the join itself sees exactly the
+    batch-filtered inputs, making the gate hash-comparable to the batch
+    FULL JOIN. State on both sides stays watermark + horizon bounded."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+        .withWatermark("click_ts", watermark)
+        .filter(F.col("click_ts") < F.lit(cutoff))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user"),
+        )
+        .withWatermark("purchase_ts", watermark)
+        .filter(F.col("purchase_ts") < F.lit(cutoff))
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+        "fullOuter",
+    )
+    return joined.select(
+        "click_id",
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+    )
+
+
 def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
     """The per-user running totals operator on the transformWithState API
     (Spark 4's successor to applyInPandasWithState): a StatefulProcessor

@@ -68,16 +68,15 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_backend():
-    """Fallback backend for payloads no real decoder recognizes: an
-    imaging library if one exists, else the deterministic byte-mean stub.
-    Recognized raster formats (24-bit BMP, binary PPM) always take the
-    stdlib decode path first — see ``decode_image``."""
-    try:  # pragma: no cover - not installed in this environment
-        import PIL.Image  # noqa: F401
-
-        return "pillow"
-    except Exception:
-        return "stub"
+    """Backend label for payloads no real decoder recognizes. Always
+    'stub': the fallback features ARE the deterministic byte-mean stub
+    whatever libraries happen to be importable — labeling by mere
+    importability would make the output column environment-dependent and
+    misstate which code produced the features. A genuine third-party
+    decode path (Pillow/cv2) would slot in as another recognized format
+    in ``extract_features`` with its own honest label, exactly like the
+    stdlib BMP/PPM path ('stdlib') does."""
+    return "stub"
 
 
 def decode_image(payload: bytes):
@@ -205,7 +204,13 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 nbytes.append(len(arr))
-                img = decode_image(bytes(payload))
+                # magic-byte probe on a 2-byte slice BEFORE any full-buffer
+                # copy: the common case (non-image payload) pays nothing
+                img = (
+                    decode_image(payload)
+                    if bytes(payload[:2]) in (b"BM", b"P6")
+                    else None
+                )
                 if img is not None:
                     feats.append(image_features(img, dim))
                     backends.append("stdlib")

@@ -251,6 +251,19 @@ def cosine_neardup_pairs(
     )
 
 
+def _cell_assigned(
+    vectors: DataFrame, n_planes: int | None, dim: int
+) -> DataFrame:
+    """Coarse cell assignment shared by the index build AND delta append —
+    one owner for the (vectors -> cell) mapping, so the two write paths
+    cannot drift."""
+    if n_planes is None:
+        n_planes = IVF_PLANES
+    return srp_signature(vectors, n_planes, dim).withColumnRenamed(
+        "srp_sig", "cell"
+    )
+
+
 def write_ivf_index(
     vectors: DataFrame,
     path: str,
@@ -266,12 +279,7 @@ def write_ivf_index(
     every in-memory search pays."""
     from ..sources.layout import write_partitioned
 
-    if n_planes is None:
-        n_planes = IVF_PLANES
-    cells = srp_signature(vectors, n_planes, dim).withColumnRenamed(
-        "srp_sig", "cell"
-    )
-    write_partitioned(cells, path, ["cell"])
+    write_partitioned(_cell_assigned(vectors, n_planes, dim), path, ["cell"])
 
 
 def append_ivf_index(
@@ -288,13 +296,14 @@ def append_ivf_index(
     to a full rebuild (gated by ann_ivf_index_upsert). At 100 TB this is
     the daily-ingest path: index cost is one partitioned write per batch,
     and compaction of small per-batch files is an independent, per-cell
-    concern."""
-    if n_planes is None:
-        n_planes = IVF_PLANES
-    cells = srp_signature(new_vectors, n_planes, dim).withColumnRenamed(
-        "srp_sig", "cell"
+    concern. Uses the SAME physical sink as the base build
+    (layout.write_partitioned) so a layout-convention change applies to
+    both paths."""
+    from ..sources.layout import write_partitioned
+
+    write_partitioned(
+        _cell_assigned(new_vectors, n_planes, dim), path, ["cell"], "append"
     )
-    cells.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def ivf_topk_from_index(

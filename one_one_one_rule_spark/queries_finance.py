@@ -709,12 +709,23 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(
+            # sums ride 128-bit decimal(38,0) — DuckDB's SUM(BIGINT) is
+            # HUGEINT, so plain int64 sums would be the silent-wrap
+            # divergence class events_cusum_drift guards against; the
+            # per-row products stay int64 (safe to |dc| ~ 3e9 cents,
+            # identical per-row type on both engines)
             F.count(F.lit(1)).alias("n"),
-            F.sum("da").alias("sa"),
-            F.sum("db").alias("sb"),
-            F.sum(F.col("da") * F.col("da")).alias("saa"),
-            F.sum(F.col("db") * F.col("db")).alias("sbb"),
-            F.sum(F.col("da") * F.col("db")).alias("sab"),
+            F.sum(F.col("da").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("db").cast("decimal(38,0)")).alias("sb"),
+            F.sum(
+                (F.col("da") * F.col("da")).cast("decimal(38,0)")
+            ).alias("saa"),
+            F.sum(
+                (F.col("db") * F.col("db")).cast("decimal(38,0)")
+            ).alias("sbb"),
+            F.sum(
+                (F.col("da") * F.col("db")).cast("decimal(38,0)")
+            ).alias("sab"),
         )
     )
     n_d = F.col("n").cast("double")
@@ -849,12 +860,23 @@ def events_pairwise_correlation_blocked(
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b", "blk")
         .agg(
+            # sums ride 128-bit decimal(38,0) — DuckDB's SUM(BIGINT) is
+            # HUGEINT, so plain int64 sums would be the silent-wrap
+            # divergence class events_cusum_drift guards against; the
+            # per-row products stay int64 (safe to |dc| ~ 3e9 cents,
+            # identical per-row type on both engines)
             F.count(F.lit(1)).alias("n"),
-            F.sum("da").alias("sa"),
-            F.sum("db").alias("sb"),
-            F.sum(F.col("da") * F.col("da")).alias("saa"),
-            F.sum(F.col("db") * F.col("db")).alias("sbb"),
-            F.sum(F.col("da") * F.col("db")).alias("sab"),
+            F.sum(F.col("da").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("db").cast("decimal(38,0)")).alias("sb"),
+            F.sum(
+                (F.col("da") * F.col("da")).cast("decimal(38,0)")
+            ).alias("saa"),
+            F.sum(
+                (F.col("db") * F.col("db")).cast("decimal(38,0)")
+            ).alias("sbb"),
+            F.sum(
+                (F.col("da") * F.col("db")).cast("decimal(38,0)")
+            ).alias("sab"),
         )
     )
     n_d = F.col("n").cast("double")

@@ -220,6 +220,20 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     agrees exactly with DuckDB's, so the gate is a full hash match. For
     heavily skewed block sizes the block key gains a salt on the
     build of candidate pairs (same recipe as operators/skew.py)."""
+    pairs = _er_match_pairs(spark, sf_dir)
+    return pairs.groupBy(F.col("kb").alias("p_partkey")).agg(
+        F.min("ka").alias("canonical_partkey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+    )
+
+
+def _er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE blocked edit-distance-1 match-pair generator — single source of
+    truth shared by the one-hop report (part_entity_resolution) and its
+    transitive closure (part_entity_resolution_closed), so a tuning of
+    the match predicate can never make the two disagree about which
+    records match. Returns (ka, kb, dist) with ka < kb."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_type", "p_name"
     )
@@ -237,7 +251,7 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         F.length("p_name").alias("len_b"),
     )
-    pairs = (
+    return (
         a.join(b, ["p_brand", "p_type"])
         .filter(
             (F.col("ka") < F.col("kb"))
@@ -245,11 +259,7 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 1)
-    )
-    return pairs.groupBy(F.col("kb").alias("p_partkey")).agg(
-        F.min("ka").alias("canonical_partkey"),
-        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-        F.min("dist").cast("bigint").alias("min_dist"),
+        .select("ka", "kb", "dist")
     )
 
 
@@ -2295,32 +2305,8 @@ def part_entity_resolution_closed(
     (DuckDB WITH RECURSIVE reachability + min-label group), so the gate
     is a full value-hash match on (member, canonical, cluster_size,
     is_canonical)."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_type", "p_name"
-    )
-    a = p.select(
-        F.col("p_partkey").alias("ka"),
-        "p_brand",
-        "p_type",
-        F.col("p_name").alias("name_a"),
-        F.length("p_name").alias("len_a"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("kb"),
-        "p_brand",
-        "p_type",
-        F.col("p_name").alias("name_b"),
-        F.length("p_name").alias("len_b"),
-    )
-    pairs = (
-        a.join(b, ["p_brand", "p_type"])
-        .filter(
-            (F.col("ka") < F.col("kb"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= 1)
-        )
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 1)
-        .select(F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b"))
+    pairs = _er_match_pairs(spark, sf_dir).select(
+        F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b")
     )
     cc = dup_clusters(pairs)
     return cc.select(

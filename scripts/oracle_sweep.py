@@ -62,14 +62,18 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    from pyspark.sql import SparkSession
+    # the engine's session factory, NOT a bare builder: the evidence
+    # artifact must be produced under the same pinned conventions
+    # (AQE/skew flags, Arrow, parquet reader pins) the driver and bench
+    # run with, or a config-dependent regression could pass here and
+    # break there
+    sys.path.insert(0, REPO)
+    from one_one_one_rule_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(args.master)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    # (console progress bars are a static conf — they go to stderr, which
+    # callers redirect; don't try to set it on a live session)
+    spark = get_spark(
+        "oracle_sweep", master=args.master, shuffle_partitions=8
     )
 
     import duckdb
@@ -94,10 +98,14 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             entry["spark_rows"] = len(srows)
             if name not in osql:
-                # weaker rows-only gate, same as the driver records
-                entry["rows_match"] = len(srows) >= 0
+                # weaker rows-only gate: a query with no oracle must at
+                # least produce rows — zero rows is recorded as a FAILURE
+                # so the committed artifact can never carry vacuous
+                # evidence for a broken oracle-less query
+                entry["rows_match"] = len(srows) > 0
                 n_rows_only += 1
-                status = "rows-only"
+                n_fail += not entry["rows_match"]
+                status = "rows-only" if entry["rows_match"] else "FAIL"
             else:
                 res = con.sql(osql[name])
                 dcols = [c.lower() for c in res.columns]

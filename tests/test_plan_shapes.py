@@ -6,6 +6,8 @@ pruning holds, dimension joins broadcast, and nothing quadratic (cartesian
 product, row-at-a-time Python eval) sneaks into an operator path.
 """
 
+import re
+
 import pytest
 
 from one_one_one_rule_spark.queries import QUERIES
@@ -133,8 +135,12 @@ def test_q18_semi_join_broadcasts_qualifying_set(spark, sf_dir):
 # bounded on the way up by either
 #   (a) a cardinality-bounding node (Aggregate / Limit / Distinct), e.g.
 #       the 25-nation top-balance relation or a HAVING-gated orderkey set;
-#   (b) a Filter whose condition contains an IN over a pure-literal list
-#       (an explicitly bounded id set, e.g. the ANN query vectors).
+#   (b) a Filter with an IN over a pure-literal list ON A UNIQUE-KEY
+#       column (an explicitly bounded id set, e.g. the ANN query
+#       vectors: vec_id IN (0,1,2,3,4) keeps <= 5 rows). The column-name
+#       check matters: a literal IN over a low-cardinality ATTRIBUTE
+#       (event_type IN ('click')) leaves the relation SF-linear and must
+#       NOT be treated as bounding.
 # Fixed-size dims (region=5, nation=25 rows at every SF) are always fine.
 # ---------------------------------------------------------------------------
 
@@ -148,15 +154,40 @@ _BOUNDING_NODES = {
 }
 
 
+#: Attribute references render as name#exprId; the probed column of an IN
+#: is the LAST reference before it (covers both `vec_id#7L IN (...)` and
+#: the cast form `cast(vec_id#7L as bigint) IN (...)`).
+_ATTR_REF = re.compile(r"(\w+)#\d+")
+
+
 def _filter_is_literal_in(node):
-    """True iff a Filter's rendered condition contains an ``IN (...)``
-    whose list holds only literals — attribute references render with a
-    ``#exprId`` suffix, so a paren group without ``#`` is literal-only."""
+    """True iff a Filter's rendered condition contains ``<key-col> IN
+    (literals)`` where the column is a unique key (name ending in _id or
+    key) and the list holds only literals — attribute references render
+    with a ``#exprId`` suffix, so a paren group without ``#`` is
+    literal-only (cast(0 as bigint) literals included). An IN over a
+    non-key column (event_type IN ('click')) is rejected: it filters an
+    attribute, not a bounded id set, and leaves the relation SF-linear."""
     head = str(node).splitlines()[0]
     i = head.find(" IN (")
     while i >= 0:
         j = head.find(")", i)
-        if j > i and "#" not in head[i + 5 : j]:
+        if "cast(" in head[i + 5 :]:
+            # find the matching close of the whole IN list, not the first
+            # inner cast's paren: scan for balance
+            depth, k = 1, i + 5
+            while k < len(head) and depth:
+                depth += head[k] == "("
+                depth -= head[k] == ")"
+                k += 1
+            j = k - 1
+        refs = _ATTR_REF.findall(head[: i])
+        if (
+            j > i
+            and "#" not in head[i + 5 : j]
+            and refs
+            and (refs[-1].endswith("_id") or refs[-1].endswith("key"))
+        ):
             return True
         i = head.find(" IN (", i + 1)
     return False

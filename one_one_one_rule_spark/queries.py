@@ -5495,6 +5495,7 @@ from . import queries_embeddings  # noqa: E402,F401
 from . import queries_scaleops  # noqa: E402,F401
 from . import queries_finance  # noqa: E402,F401
 from . import queries_quality  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -2315,3 +2315,83 @@ def part_entity_resolution_closed(
         "cluster_size",
         "is_canonical",
     )
+
+
+@register(
+    "parts_copurchase_reachability",
+    """
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+eu AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+),
+e AS (
+  SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu
+),
+walk(part, depth) AS (
+  SELECT l_partkey AS part, 0 AS depth
+  FROM (SELECT DISTINCT l_partkey FROM lineitem) s
+  WHERE l_partkey % 100 = 0
+  UNION ALL
+  SELECT e.v AS part, walk.depth + 1 AS depth
+  FROM walk JOIN e ON walk.part = e.u
+  WHERE walk.depth < 3
+)
+SELECT part, CAST(MIN(depth) AS BIGINT) AS hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM walk GROUP BY part
+""",
+)
+def parts_copurchase_reachability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-depth BFS over the co-purchase graph from a seed part set
+    — "customers who bought X eventually buy Y" market-basket reach,
+    expressed with Spark 4's native ``WITH RECURSIVE`` (the recursive-CTE
+    execution surface, exercised nowhere else in the registry). Returns
+    every part within 3 hops of a seed with its minimum hop distance and
+    the exact ≤3-hop walk count.
+
+    Scale shape: the graph (shared ``_copurchase_edges`` rule, min 2
+    co-orders — the same single-source edge definition as the triangle
+    census and PageRank) and the seed set are built ONCE as DataFrames
+    and ``localCheckpoint``-ed before the recursion, so each of the 3
+    recursive steps is a keyed join against a materialized edge relation
+    — without this, Spark re-evaluates every non-recursive CTE (the full
+    fact-table distinct + pair self-join) once per iteration, measured
+    3x slower at sf0.1. Recursion depth is a hard bound, so frontier
+    growth is capped at seeds x avg_degree^3 — the sparsified (min 2
+    co-orders) graph keeps that polynomial small at any SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    eu = _copurchase_edges(li, _TRI_MIN_COPURCHASES)
+    e = eu.union(
+        eu.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        li.select("l_partkey")
+        .distinct()
+        .filter(F.col("l_partkey") % 100 == 0)
+        .localCheckpoint(eager=True)
+    )
+    e.createOrReplaceTempView("copurchase_reach_e_tmp")
+    seeds.createOrReplaceTempView("copurchase_reach_seeds_tmp")
+    return spark.sql(
+        """
+WITH RECURSIVE walk(part, depth) AS (
+  SELECT l_partkey AS part, 0 AS depth FROM copurchase_reach_seeds_tmp
+  UNION ALL
+  SELECT e.v AS part, walk.depth + 1 AS depth
+  FROM walk JOIN copurchase_reach_e_tmp e ON walk.part = e.u
+  WHERE walk.depth < 3
+)
+SELECT part, CAST(MIN(depth) AS BIGINT) AS hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM walk GROUP BY part
+"""
+    )

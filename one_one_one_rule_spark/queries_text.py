@@ -41,3 +41,165 @@ def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("freq").alias("n_weighted"))
     )
+
+
+@register(
+    "docs_bigram_lm_score",
+    """
+WITH toks AS (
+  SELECT doc_id, w, CAST(k AS BIGINT) AS k FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w,
+           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS k
+    FROM documents
+  ) t WHERE regexp_matches(w, '^[a-z]+$')
+),
+seq AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY k) AS r
+  FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.r = a.r + 1
+),
+model AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY w1, w2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
+scored AS (
+  SELECT big.doc_id, model.c
+  FROM big JOIN model ON big.w1 = model.w1 AND big.w2 = model.w2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
+         AS avg_bigram_prob
+FROM scored GROUP BY doc_id
+""",
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document —
+    the classic model-based junk filter: train word-bigram counts over
+    the WHOLE corpus, then score each document by its mean bigram
+    relative frequency (documents whose word transitions are rare under
+    the corpus model surface as outliers/noise).
+
+    Determinism: the score is (Σ count(bigram)) / (n_bigrams · N_total) —
+    a ratio of exact BIGINT aggregates, computed with linear probability
+    mass instead of log-likelihood (the repo-wide no-transcendentals
+    convention; ordering is monotone-equivalent for fixed n_bigrams).
+
+    Scale shape: bigram extraction is WINDOW-FREE on the Spark side — a
+    JVM ``zip_with`` of the token array against its shifted self (the
+    oracle's row_number formulation would shuffle every token row twice);
+    the model is a combinable groupBy over bigram keys; scoring is a
+    keyed join of the corpus bigrams against the model — both sides
+    bigram-keyed, co-partitioned by the same shuffle, no broadcast of
+    anything corpus-linear (the model is vocab²-bounded but the plan
+    does not rely on it fitting in memory). The bigram relation is
+    checkpointed because it feeds the model, the total AND the scoring
+    join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split("text", "\\s+"), lambda w: w.rlike("^[a-z]+$")
+    )
+    bi = F.zip_with(
+        toks,
+        F.slice(
+            F.concat(toks, F.array(F.lit(None).cast("string"))),
+            2,
+            F.greatest(F.size(toks), F.lit(1)),
+        ),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        docs.select("doc_id", F.explode(bi).alias("t"))
+        .select("doc_id", "t.w1", "t.w2")
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    model = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = big.join(model, ["w1", "w2"]).join(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (
+            F.sum("c").cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.first("n").cast("double")
+            )
+        ).alias("avg_bigram_prob"),
+    )
+
+
+@register(
+    "docs_source_temperature_resample",
+    """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+targets AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 8.0e0) AS BIGINT)
+           AS target
+  FROM counts
+),
+keep AS (
+  SELECT d.doc_id, d.source, t.n_docs, t.target
+  FROM documents d JOIN targets t ON d.source = t.source
+  WHERE ((d.doc_id * 2654435761) % 1000000007) % t.n_docs < t.target
+)
+SELECT source, CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+       CAST(MIN(target) AS BIGINT) AS target,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM keep GROUP BY source
+""",
+)
+def docs_source_temperature_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based (α = 0.5) mixture rebalancing across sources —
+    the data-mixing step of a training pipeline: over-represented
+    sources are down-sampled toward √n so no single domain dominates
+    the mixture, with the per-source keep decision made by a
+    deterministic multiplicative-hash threshold.
+
+    Contrast with docs_stratified_sample (fixed quota via per-stratum
+    window rank): here the quota is DERIVED from the source counts and
+    selection is WINDOW-FREE — ``hash(doc_id) mod n_source < target``
+    needs no per-stratum sort, so the corpus streams through a broadcast
+    join against the tiny per-source target table and a map-side filter;
+    the only corpus-sized shuffle is the final per-source audit
+    aggregate. Sampled counts concentrate at the target (binomial, not
+    exact-quota) — the production trade for removing the stratum sort.
+    sqrt-of-integer→floor is IEEE-exact and identical on both engines.
+    The output audits the resample: per source, the incoming count, the
+    target, the achieved count, and the exact id checksum of the kept
+    set (proves both engines kept the SAME documents, not just the same
+    number).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tgt = cnts.withColumn(
+        "target",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 8.0).cast(
+            "bigint"
+        ),
+    )
+    keep = docs.join(F.broadcast(tgt), "source").filter(
+        ((F.col("doc_id") * 2654435761) % 1000000007) % F.col("n_docs")
+        < F.col("target")
+    )
+    return keep.groupBy("source").agg(
+        F.min("n_docs").cast("bigint").alias("n_docs"),
+        F.min("target").cast("bigint").alias("target"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

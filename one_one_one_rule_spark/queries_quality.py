@@ -2395,3 +2395,41 @@ SELECT part, CAST(MIN(depth) AS BIGINT) AS hops,
 FROM walk GROUP BY part
 """
     )
+
+
+_LATERAL_TOP2_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n JOIN LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t ON TRUE
+"""
+
+
+@register("nation_top2_customers_lateral", _LATERAL_TOP2_SQL)
+def nation_top2_customers_lateral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation top-2 customers via a correlated LATERAL subquery with
+    ORDER BY ... LIMIT — the lateral-join surface of Spark 4's SQL
+    dialect, exercised nowhere else in the registry. The SQL text is
+    byte-identical on both engines (``JOIN LATERAL ... ON TRUE``).
+
+    Scale shape (verified via .explain): Catalyst decorrelates the
+    lateral limit into WindowGroupLimit — a map-side PARTIAL top-2 per
+    partition before the single exchange, then the final per-key top-2
+    and a broadcast join of the fixed-25-row nation dim. No per-outer-row
+    re-execution, no nested loop: the plan is the same shape a
+    hand-written two-phase top-k (operators/skew.py) produces, derived
+    automatically from the declarative form. Tie-break (c_acctbal DESC,
+    c_name) is total, so the row set is deterministic on both engines.
+    """
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(
+            f"lateral_{t}_tmp"
+        )
+    return spark.sql(
+        _LATERAL_TOP2_SQL.replace("FROM nation n", "FROM lateral_nation_tmp n")
+        .replace("FROM customer c", "FROM lateral_customer_tmp c")
+    )

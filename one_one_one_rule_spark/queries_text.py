@@ -203,3 +203,84 @@ def docs_source_temperature_resample(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "docs_bigram_novelty",
+    """
+WITH toks AS (
+  SELECT doc_id, w, CAST(k AS BIGINT) AS k FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w,
+           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS k
+    FROM documents
+  ) t WHERE regexp_matches(w, '^[a-z]+$')
+),
+seq AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY k) AS r
+  FROM toks
+),
+dbig AS (
+  SELECT DISTINCT a.doc_id, a.w AS w1, b.w AS w2
+  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.r = a.r + 1
+),
+firsts AS (
+  SELECT w1, w2, MIN(doc_id) AS first_doc FROM dbig GROUP BY w1, w2
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(COUNT(*) FILTER (WHERE f.first_doc = d.doc_id) AS BIGINT)
+         AS n_first_seen,
+       CAST(COUNT(*) FILTER (WHERE f.first_doc = d.doc_id) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM dbig d JOIN firsts f ON d.w1 = f.w1 AND d.w2 = f.w2
+GROUP BY d.doc_id
+""",
+)
+def docs_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty under doc_id ingestion order — what
+    fraction of a document's distinct word bigrams had never appeared in
+    any earlier document. The corpus-diversity curve this traces is the
+    standard diminishing-returns diagnostic for continued crawling /
+    dataset growth.
+
+    Scale shape: distinct (doc, bigram) pairs from the window-free
+    zip_with extraction (shared with docs_bigram_lm_score), a combinable
+    MIN(doc_id) per bigram, and a bigram-keyed join back — both sides
+    keyed identically so the first-occurrence relation and the per-doc
+    membership co-partition under one shuffle scheme; nothing
+    corpus-linear is broadcast. The ratio is exact-integer-over-integer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split("text", "\\s+"), lambda w: w.rlike("^[a-z]+$")
+    )
+    bi = F.zip_with(
+        toks,
+        F.slice(
+            F.concat(toks, F.array(F.lit(None).cast("string"))),
+            2,
+            F.greatest(F.size(toks), F.lit(1)),
+        ),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    dbig = (
+        docs.select("doc_id", F.explode(bi).alias("t"))
+        .select("doc_id", "t.w1", "t.w2")
+        .filter(F.col("w2").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    firsts = dbig.groupBy("w1", "w2").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    j = dbig.join(firsts, ["w1", "w2"])
+    new = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+        new.cast("bigint").alias("n_first_seen"),
+        (new.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "novelty_ratio"
+        ),
+    )

@@ -279,7 +279,13 @@ def embeddings_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's per-pair sums, so parity is exact. Measured 3.2x faster than
     the join formulation at sf0.1.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    return dim_correlation_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+def dim_correlation_matrix(e: DataFrame) -> DataFrame:
+    """Core of ``embeddings_dim_correlation`` over any embedding relation
+    (also driven at 10x corpus scale by tests/test_scale_probe.py)."""
+    spark = e.sparkSession
     qarr = F.transform(
         F.col("embedding"),
         lambda v: F.round(v.cast("double") * 1000.0).cast("bigint"),

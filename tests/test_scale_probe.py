@@ -145,3 +145,53 @@ def test_ann_ivf_completes_at_10x(spark, sf_dir):
 def test_probe_threshold_is_finite(spark):
     # the probe is vacuous if someone disables the broadcast threshold
     assert _threshold(spark) > 0
+
+
+def test_bpe_training_completes_at_10x(spark, sf_dir):
+    from one_one_one_rule_spark.operators.bpe import (
+        train_bpe,
+        word_dictionary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_merges, _ = train_bpe(word_dictionary(docs), n_merges=4)
+    scaled = _scaled(docs, "doc_id")
+    merges, sym = train_bpe(word_dictionary(scaled), n_merges=4)
+    # the id salt replicates text verbatim: the word DICTIONARY has the
+    # same keys with 10x counts, so the learned rules are identical and
+    # every weighted count scales exactly by COPIES
+    assert merges == [(x, y, c * COPIES) for x, y, c in base_merges]
+    vocab = (
+        sym.select("freq", F.explode("s").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_weighted"))
+    )
+    rows, sizes = _executed_broadcast_sizes(vocab)
+    _assert_bounded(spark, sizes)
+    assert len(rows) > 0
+
+
+def test_dim_correlation_completes_at_10x(spark, sf_dir):
+    from one_one_one_rule_spark.queries_embeddings import (
+        dim_correlation_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {
+        (r["i"], r["j"]): r["corr"]
+        for r in dim_correlation_matrix(emb).collect()
+    }
+    scaled = _scaled(emb, "vec_id")
+    rows, sizes = _executed_broadcast_sizes(dim_correlation_matrix(scaled))
+    _assert_bounded(spark, sizes)
+    got = {(r["i"], r["j"]): (r["n_vecs"], r["corr"]) for r in rows}
+    n = emb.count()
+    # replicating every vector 10x leaves each dimension pair's Pearson
+    # correlation mathematically unchanged (every moment scales linearly);
+    # the integer moments themselves stay exact, but the final
+    # integer->double casts round 100x-larger values, so the comparison
+    # is near-ulp, not bit-for-bit
+    assert set(got) == set(base)
+    for k, (nv, corr) in got.items():
+        assert nv == n * COPIES
+        assert corr == pytest.approx(base[k], rel=1e-12, abs=1e-15)

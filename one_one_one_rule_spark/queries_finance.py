@@ -931,3 +931,89 @@ def events_pairwise_correlation_blocked(
             (num / den).alias("corr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# the streaming Python Data Source inside the correctness gate
+# ---------------------------------------------------------------------------
+
+_QUOTES_TICKS = 48
+_QUOTES_TPB = 16
+
+
+def _quotes_ohlc_oracle_sql() -> str:
+    """Constant generated oracle: the quote stream is a PURE integer
+    function of (symbol, tick) — sources/quote_stream_datasource.py:
+    quote_price_cents — so the oracle simply re-evaluates that function in
+    Python, embeds the 192 quotes as VALUES, and aggregates the same OHLC
+    in SQL. No table dependence: identical at every sf_dir."""
+    from .sources.quote_stream_datasource import (
+        DEFAULT_SYMBOLS,
+        quote_price_cents,
+    )
+
+    symbols = DEFAULT_SYMBOLS.split(",")
+    rows = ", ".join(
+        f"({t}, '{s}', {quote_price_cents(i, t)})"
+        for t in range(_QUOTES_TICKS)
+        for i, s in enumerate(symbols)
+    )
+    return f"""
+WITH q(tick, symbol, price_cents) AS (VALUES {rows})
+SELECT symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(arg_min(price_cents, tick) AS BIGINT) AS open_cents,
+       CAST(MAX(price_cents) AS BIGINT) AS high_cents,
+       CAST(MIN(price_cents) AS BIGINT) AS low_cents,
+       CAST(arg_max(price_cents, tick) AS BIGINT) AS close_cents
+FROM q GROUP BY symbol
+"""
+
+
+@register("quotes_stream_ohlc", _quotes_ohlc_oracle_sql())
+def quotes_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles computed THROUGH the custom streaming Python Data
+    Source (sources/quote_stream_datasource.py) — the source-side twin of
+    the file-stream gates: 48 deterministic ticks arrive over 3
+    micro-batches (ticks_per_batch=16) and the complete-mode aggregate
+    must equal the oracle's closed-form OHLC over the same pure price
+    function. Drained with processAllAvailable because availableNow
+    snapshots only the simple stream reader's PREFETCHED first batch —
+    the finite source (max_ticks) makes full drain deterministic.
+    sf_dir is unused by construction: the source is synthetic, so the
+    gate checks the streaming DataSource path itself (offset management,
+    batch planning, replay), not table ingestion."""
+    import uuid
+
+    from .sources.quote_stream_datasource import QuoteStreamDataSource
+
+    spark.dataSource.register(QuoteStreamDataSource)
+    name = "quotes_ohlc_" + uuid.uuid4().hex[:12]
+    df = (
+        spark.readStream.format("ticker_quotes_stream")
+        .option("ticks_per_batch", str(_QUOTES_TPB))
+        .option("max_ticks", str(_QUOTES_TICKS))
+        .load()
+    )
+    ohlc = df.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.min_by("price_cents", "tick").cast("bigint").alias("open_cents"),
+        F.max("price_cents").cast("bigint").alias("high_cents"),
+        F.min("price_cents").cast("bigint").alias("low_cents"),
+        F.max_by("price_cents", "tick").cast("bigint").alias("close_cents"),
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            ohlc.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)

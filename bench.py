@@ -37,7 +37,10 @@ HEADLINE = list(QUERIES)
 # two subtotals separately; `value` stays the all-in total for
 # round-over-round comparability.
 GATE_ORCHESTRATION = {n for n in HEADLINE if n.startswith("events_stream_")} | {
-    "events_sketch_profile"
+    "events_sketch_profile",
+    # micro-batch drain through the custom streaming Python Data Source —
+    # stream orchestration, same class as the events_stream_* gates
+    "quotes_stream_ohlc",
 }
 
 

@@ -106,7 +106,7 @@ def merge_pair_in_arrays(s: Column, x: str, y: str) -> Column:
 
 
 def train_bpe(
-    words: DataFrame, n_merges: int
+    words: DataFrame, n_merges: int, checkpoint_every: int = 2
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn up to ``n_merges`` BPE merges over a ``(w, freq)`` word
     dictionary.
@@ -119,6 +119,13 @@ def train_bpe(
     Tie-break is total and deterministic: highest weighted count, then
     lexicographically smallest (left, right) — ASCII tokens, so Spark's
     binary string ordering equals the reference's Python ordering.
+
+    ``checkpoint_every`` trades lineage depth against materialization
+    jobs: each skipped checkpoint nests one more fold lambda into the
+    next round's pair-count plan (re-executed from the last
+    materialization). The default (2) halves the per-round job overhead
+    at gate scale; a corpus with a huge dictionary would set 1 so no
+    fold ever re-runs.
     """
     sym = words.select(
         "freq",
@@ -127,7 +134,7 @@ def train_bpe(
         ),
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for round_no in range(1, n_merges + 1):
         pairs = (
             sym.filter(F.size("s") >= 2)
             .select(
@@ -155,5 +162,7 @@ def train_bpe(
         merges.append((x, y, cnt))
         sym = sym.select(
             "freq", merge_pair_in_arrays(F.col("s"), x, y).alias("s")
-        ).localCheckpoint(eager=True)
+        )
+        if round_no % checkpoint_every == 0:
+            sym = sym.localCheckpoint(eager=True)
     return merges, sym

@@ -146,3 +146,82 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def plan_compaction(
+    file_sizes: list[tuple[str, int]], target_bytes: int
+) -> list[list[str]]:
+    """Bin-pack small files into compaction groups of ~``target_bytes``
+    (first-fit-decreasing). Pure planning — unit-testable without Spark;
+    at cluster scale the (path, size) list comes from the table manifest
+    or a parallel FileSystem listing, never a local walk.
+
+    Files at or above the target are left alone (singleton bins): a
+    compaction that rewrites already-right-sized files pays full I/O for
+    zero layout gain."""
+    big = [(p, s) for p, s in file_sizes if s >= target_bytes]
+    small = sorted(
+        ((p, s) for p, s in file_sizes if s < target_bytes),
+        key=lambda ps: (-ps[1], ps[0]),
+    )
+    paths_by_bin: list[list[str]] = []
+    free_by_bin: list[int] = []
+    for p, s in small:
+        for i, free in enumerate(free_by_bin):
+            if s <= free:
+                paths_by_bin[i].append(p)
+                free_by_bin[i] -= s
+                break
+        else:
+            paths_by_bin.append([p])
+            free_by_bin.append(target_bytes - s)
+    return [[p] for p, _ in big] + paths_by_bin
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, dst: str, target_bytes: int
+) -> dict:
+    """Small-files compaction — the table-maintenance pass that keeps a
+    streaming/micro-batch sink's output readable at scale (thousands of
+    kilobyte files turn a scan into a listing+open storm and starve
+    row-group pruning).
+
+    Multi-file bins are rewritten with ONE task per output file
+    (coalesce(1) over only that bin's files — no shuffle, no decode of
+    right-sized files); singleton bins are planned but skipped (their
+    file already meets the target, rewriting would be pure I/O waste —
+    production would hardlink/copy the file into the new layout instead).
+    Returns audit stats; callers verify equivalence with a table checksum
+    (tests use the lineitem_table_checksum recipe)."""
+    import os
+
+    sizes = []
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                sizes.append((p, os.path.getsize(p)))
+    bins = plan_compaction(sizes, target_bytes)
+    os.makedirs(dst, exist_ok=True)
+    n_rewritten = n_kept = 0
+    for i, paths in enumerate(bins):
+        if len(paths) == 1 and os.path.getsize(paths[0]) >= target_bytes:
+            # already right-sized: carry over without decode
+            import shutil
+
+            shutil.copy(paths[0], os.path.join(dst, f"kept-{i:05d}.parquet"))
+            n_kept += 1
+            continue
+        (
+            spark.read.parquet(*paths)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dst)
+        )
+        n_rewritten += 1
+    return {
+        "n_input_files": len(sizes),
+        "n_bins": len(bins),
+        "n_rewritten_bins": n_rewritten,
+        "n_kept_files": n_kept,
+    }

@@ -135,3 +135,57 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
         z = mean_file_span(zpath, col)
         nat = mean_file_span(npath, col)
         assert z < nat * 0.7, (col, z, nat)
+
+
+def test_plan_compaction_first_fit_decreasing():
+    from one_one_one_rule_spark.sources.layout import plan_compaction
+
+    sizes = [("a", 90), ("b", 60), ("c", 50), ("d", 40), ("e", 10), ("big", 150)]
+    bins = plan_compaction(sizes, target_bytes=100)
+    # oversized file untouched as a singleton; FFD packs 90+10, 60+40, 50
+    assert ["big"] in bins
+    packed = sorted(sorted(b) for b in bins if b != ["big"])
+    assert packed == [["a", "e"], ["b", "d"], ["c"]]
+    # every input appears exactly once
+    flat = [p for b in bins for p in b]
+    assert sorted(flat) == sorted(p for p, _ in sizes)
+
+
+def test_compact_parquet_dir_preserves_table(spark, sf_dir, tmp_path):
+    from one_one_one_rule_spark.sources.layout import compact_parquet_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    src = str(tmp_path / "fragmented")
+    li.repartition(40).write.parquet(src)
+    import os
+
+    n_src = sum(
+        1
+        for root, _d, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_src >= 40
+    dst = str(tmp_path / "compacted")
+    stats = compact_parquet_dir(spark, src, dst, target_bytes=512 * 1024)
+    assert stats["n_input_files"] == n_src
+    assert stats["n_bins"] < n_src
+    # exact content preservation: same multiset of rows
+    def checksum(path):
+        df = spark.read.parquet(path)
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_orderkey") * F.col("l_partkey")).alias("s1"),
+            F.sum((F.col("l_quantity") * 100).cast("bigint")).alias("s2"),
+        ).collect()[0]
+
+    assert tuple(checksum(src)) == tuple(checksum(dst))
+    n_dst = sum(
+        1
+        for root, _d, fs in os.walk(dst)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_dst == stats["n_bins"] or n_dst <= stats["n_bins"] + 1

@@ -86,3 +86,41 @@ def test_dim_correlation_rejects_ragged_vectors(spark, tmp_path):
     ).write.parquet(p + "/embeddings.parquet")
     with pytest.raises(ValueError, match="fixed-length"):
         QUERIES["embeddings_dim_correlation"](spark, p).collect()
+
+
+def test_merge_fold_matches_python_reference_on_random_arrays(spark):
+    """Randomized equivalence: the JVM aggregate-fold merge scan must
+    equal the sequential Python reference (oracles_text.py trainer's
+    rewrite) on arbitrary symbol arrays — one Spark job over 300 cases."""
+    import random
+
+    def py_merge(syms, x, y):
+        out, k = [], 0
+        while k < len(syms):
+            if k + 1 < len(syms) and syms[k] == x and syms[k + 1] == y:
+                out.append(x + y)
+                k += 2
+            else:
+                out.append(syms[k])
+                k += 1
+        return out
+
+    rng = random.Random(20260814)
+    alphabet = ["a", "b", "ab", "ba", "c"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randrange(0, 12))]
+        for _ in range(300)
+    ]
+    x, y = "a", "b"
+    df = spark.createDataFrame(
+        [(i, arr) for i, arr in enumerate(cases)],
+        "case_id bigint, s array<string>",
+    )
+    got = {
+        r["case_id"]: r["m"]
+        for r in df.select(
+            "case_id", merge_pair_in_arrays(F.col("s"), x, y).alias("m")
+        ).collect()
+    }
+    for i, arr in enumerate(cases):
+        assert got[i] == py_merge(arr, x, y), (i, arr)

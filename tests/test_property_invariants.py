@@ -122,3 +122,52 @@ def test_multipart_media_recoverable(media, name):
     end = body.rindex(f"\r\n--{MULTIPART_BOUNDARY}--".encode())
     assert body[start:end] == media
     assert MULTIPART_BOUNDARY in ctype
+
+
+# ---------------------------------------------------------------------------
+# compaction planner (sources/layout.py:plan_compaction)
+# ---------------------------------------------------------------------------
+
+from one_one_one_rule_spark.sources.layout import plan_compaction  # noqa: E402
+
+file_lists = st.lists(
+    st.tuples(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    max_size=40,
+    unique_by=lambda ps: ps[0],
+)
+
+
+@given(file_lists, st.integers(min_value=1, max_value=5_000))
+@settings(max_examples=200)
+def test_plan_compaction_partitions_input_exactly(files, target):
+    bins = plan_compaction(files, target)
+    flat = sorted(p for b in bins for p in b)
+    assert flat == sorted(p for p, _ in files)
+
+
+@given(file_lists, st.integers(min_value=1, max_value=5_000))
+@settings(max_examples=200)
+def test_plan_compaction_bins_respect_target(files, target):
+    sizes = dict(files)
+    for b in plan_compaction(files, target):
+        total = sum(sizes[p] for p in b)
+        if len(b) > 1:
+            # multi-file bins never exceed the target
+            assert total <= target
+        else:
+            # singletons are oversized files, or small files that simply
+            # opened a new bin — both are <= target or >= target trivially
+            assert total <= target or sizes[b[0]] >= target
+
+
+@given(file_lists, st.integers(min_value=1, max_value=5_000))
+@settings(max_examples=100)
+def test_plan_compaction_is_deterministic(files, target):
+    assert plan_compaction(files, target) == plan_compaction(files, target)

@@ -114,7 +114,8 @@ def train_bpe(
     Returns ``(merges, symbolized)`` where ``merges`` is the ordered list
     of ``(left, right, weighted_count)`` rules and ``symbolized`` is the
     dictionary with each word rewritten to its post-merge symbol array
-    (columns ``freq``, ``s``).
+    (columns ``w``, ``freq``, ``s`` — the word key stays so encoders can
+    join the trained segmentation back onto a corpus).
 
     Tie-break is total and deterministic: highest weighted count, then
     lexicographically smallest (left, right) — ASCII tokens, so Spark's
@@ -128,6 +129,7 @@ def train_bpe(
     fold ever re-runs.
     """
     sym = words.select(
+        "w",
         "freq",
         F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")).alias(
             "s"
@@ -161,7 +163,7 @@ def train_bpe(
         x, y, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((x, y, cnt))
         sym = sym.select(
-            "freq", merge_pair_in_arrays(F.col("s"), x, y).alias("s")
+            "w", "freq", merge_pair_in_arrays(F.col("s"), x, y).alias("s")
         )
         if round_no % checkpoint_every == 0:
             sym = sym.localCheckpoint(eager=True)

@@ -79,14 +79,12 @@ def train_bpe_reference(
     return merges
 
 
-def bpe_vocab_oracle_sql(sf_dir: str | None = None) -> str | None:
-    """Generated oracle for ``docs_bpe_vocab``: word dict in SQL, learned
-    merges applied via chained recursive-CTE scans, vocabulary
-    re-aggregated — only the merge rules are embedded literals."""
-    sf_dir = sf_dir or GATE_SF_DIR
-    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
-        return None
-    merges = train_bpe_reference(sf_dir)
+def _merge_chain_parts(
+    merges: list[tuple[str, str, int]]
+) -> tuple[list[str], str]:
+    """Shared CTE chain: SQL word dict -> space-joined symbol strings ->
+    one recursive-CTE left-to-right merge scan per learned rule. Returns
+    (CTE parts, name of the final symbolized relation)."""
     parts = [
         "WITH w0 AS (" + _WORD_DICT_SQL.format(docs="documents") + "),",
         # ' c a t ' — leading/trailing separators so every token is
@@ -117,6 +115,17 @@ def bpe_vocab_oracle_sql(sf_dir: str | None = None) -> str | None:
 ),s{r} AS (SELECT word, freq, s FROM r{r})"""
         )
         prev = f"s{r}"
+    return parts, prev
+
+
+def bpe_vocab_oracle_sql(sf_dir: str | None = None) -> str | None:
+    """Generated oracle for ``docs_bpe_vocab``: word dict in SQL, learned
+    merges applied via chained recursive-CTE scans, vocabulary
+    re-aggregated — only the merge rules are embedded literals."""
+    sf_dir = sf_dir or GATE_SF_DIR
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        return None
+    parts, prev = _merge_chain_parts(train_bpe_reference(sf_dir))
     parts.append(
         f"""
 SELECT tok AS token, CAST(SUM(freq) AS BIGINT) AS n_weighted FROM (
@@ -127,4 +136,40 @@ SELECT tok AS token, CAST(SUM(freq) AS BIGINT) AS n_weighted FROM (
     return "\n".join(parts)
 
 
+def bpe_compression_oracle_sql(sf_dir: str | None = None) -> str | None:
+    """Generated oracle for ``docs_bpe_compression``: the same merge-CTE
+    chain produces each word's trained segmentation; the corpus is then
+    re-exploded WITH its source column, every token joins to its word's
+    token count, and the per-source compression audit aggregates exact
+    integers."""
+    sf_dir = sf_dir or GATE_SF_DIR
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        return None
+    parts, prev = _merge_chain_parts(train_bpe_reference(sf_dir))
+    parts.append(
+        f""",wt AS (
+  SELECT word,
+         CAST(len(regexp_split_to_array(trim(s), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM {prev}
+),
+corpus AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w
+    FROM documents
+  ) t WHERE regexp_matches(w, '^[a-z]+$')
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(c.w)) AS BIGINT) AS total_chars,
+       CAST(SUM(wt.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(c.w)) AS DOUBLE) / CAST(SUM(wt.n_tokens) AS DOUBLE)
+         AS chars_per_token
+FROM corpus c JOIN wt ON c.w = wt.word
+GROUP BY c.source"""
+    )
+    return "\n".join(parts)
+
+
 GENERATORS["docs_bpe_vocab"] = bpe_vocab_oracle_sql
+GENERATORS["docs_bpe_compression"] = bpe_compression_oracle_sql

@@ -284,3 +284,44 @@ def docs_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio"
         ),
     )
+
+
+@register("docs_bpe_compression", _ora_text.bpe_compression_oracle_sql())
+def docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer lifecycle closed: train BPE (same 8 rounds as
+    docs_bpe_vocab), ENCODE the corpus with the trained segmentation, and
+    audit per-source compression — chars per token is the number a
+    tokenizer team actually tracks per domain before committing a vocab.
+
+    Scale shape: training runs over the vocabulary-sized dictionary
+    (operators/bpe.py); encoding never re-segments the corpus — each
+    corpus token joins its word's PRE-SEGMENTED token count from the
+    trained dictionary (word-keyed join, dictionary side vocab-bounded
+    but not broadcast-hinted), then one combinable per-source aggregate.
+    All audited quantities are exact BIGINTs; the ratio is the only
+    double."""
+    from .operators.bpe import train_bpe, word_dictionary
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, sym = train_bpe(
+        word_dictionary(docs), n_merges=_ora_text.N_MERGES
+    )
+    wt = sym.select(
+        "w", F.size("s").cast("bigint").alias("n_tokens")
+    )
+    corpus = docs.select(
+        "source", F.explode(F.split("text", "\\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    return (
+        corpus.join(wt, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("total_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.sum(F.length("w")).cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )

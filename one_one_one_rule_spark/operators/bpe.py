@@ -23,9 +23,11 @@ Scale shape (the part that matters at 100 TB):
 * The rewrite is an exact left-to-right non-overlapping merge scan
   (``aggregate`` fold over the symbol array with one-token lookahead) —
   pure JVM expression work, no Python in the loop.
-* The dictionary is ``localCheckpoint``-ed per round so round r+1's pair
-  count re-reads materialized arrays instead of replaying r nested fold
-  lambdas (lineage control, same convention as the dedup cluster loop).
+* The dictionary is ``localCheckpoint``-ed every ``checkpoint_every``
+  rounds (default 2) so pair counts re-read materialized arrays instead
+  of replaying an unbounded stack of fold lambdas — lineage control,
+  same convention as the dedup cluster loop, with the cadence trading
+  materialization jobs against one replayed fold per skipped round.
 
 Reference behavior derived from the reference repo's text-processing
 surface (it has none — this is part of the training-data extension tier,

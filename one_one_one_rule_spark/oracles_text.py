@@ -42,12 +42,21 @@ GROUP BY w
 """
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
 def train_bpe_reference(
     sf_dir: str, n_merges: int = N_MERGES
 ) -> list[tuple[str, str, int]]:
     """Sequential pure-Python BPE trainer over the DuckDB word dict —
     the engine-independent reference implementation the distributed
-    trainer (operators/bpe.py:train_bpe) must reproduce exactly."""
+    trainer (operators/bpe.py:train_bpe) must reproduce exactly.
+
+    Memoized per (sf_dir, n_merges): BOTH generated oracles (vocab and
+    compression) need the identical merge list at registry-import time —
+    without the cache each import would scan the parquet and train
+    twice."""
     import duckdb
 
     con = duckdb.connect()

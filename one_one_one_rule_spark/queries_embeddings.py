@@ -313,6 +313,13 @@ def dim_correlation_matrix(e: DataFrame) -> DataFrame:
             "corpus or widen the moment sums to decimal(38,0)"
         )
     d = guard["dmax"]
+    if n_vecs == 0 or d is None or d < 2:
+        # empty table / single-dimension vectors: no dimension PAIRS
+        # exist — return the empty result the oracle produces instead of
+        # building a degenerate descending sequence() expression
+        return spark.createDataFrame(
+            [], "i int, j int, n_vecs bigint, corr double"
+        )
 
     dim = (
         base.select(F.posexplode("q").alias("pos", "qv"))

@@ -1004,6 +1004,7 @@ def quotes_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = None
     try:
         q = (
             ohlc.writeStream.format("memory")
@@ -1012,8 +1013,14 @@ def quotes_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
     finally:
+        # stop even when the drain raises mid-batch — a leaked
+        # default-trigger query would keep polling the drained source for
+        # the rest of the sweep (same convention as _drain_stream)
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

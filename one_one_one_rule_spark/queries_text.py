@@ -43,6 +43,31 @@ def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_bigram_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct-free (doc_id, w1, w2) word-bigram relation via the
+    window-free zip_with of the filtered token array against its shifted
+    self — shared by the LM scorer and the novelty curve so the
+    extraction (and its padding/slice arithmetic) cannot drift between
+    them."""
+    toks = F.filter(
+        F.split("text", "\\s+"), lambda w: w.rlike("^[a-z]+$")
+    )
+    bi = F.zip_with(
+        toks,
+        F.slice(
+            F.concat(toks, F.array(F.lit(None).cast("string"))),
+            2,
+            F.greatest(F.size(toks), F.lit(1)),
+        ),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.select("doc_id", F.explode(bi).alias("t"))
+        .select("doc_id", "t.w1", "t.w2")
+        .filter(F.col("w2").isNotNull())
+    )
+
+
 @register(
     "docs_bigram_lm_score",
     """
@@ -100,24 +125,7 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split("text", "\\s+"), lambda w: w.rlike("^[a-z]+$")
-    )
-    bi = F.zip_with(
-        toks,
-        F.slice(
-            F.concat(toks, F.array(F.lit(None).cast("string"))),
-            2,
-            F.greatest(F.size(toks), F.lit(1)),
-        ),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    big = (
-        docs.select("doc_id", F.explode(bi).alias("t"))
-        .select("doc_id", "t.w1", "t.w2")
-        .filter(F.col("w2").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    big = _word_bigram_pairs(docs).localCheckpoint(eager=True)
     model = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
@@ -151,7 +159,8 @@ targets AS (
 keep AS (
   SELECT d.doc_id, d.source, t.n_docs, t.target
   FROM documents d JOIN targets t ON d.source = t.source
-  WHERE ((d.doc_id * 2654435761) % 1000000007) % t.n_docs < t.target
+  WHERE (((d.doc_id % 1000000007) * 2654435761) % 1000000007)
+          % t.n_docs < t.target
 )
 SELECT source, CAST(MIN(n_docs) AS BIGINT) AS n_docs,
        CAST(MIN(target) AS BIGINT) AS target,
@@ -193,8 +202,12 @@ def docs_source_temperature_resample(
             "bigint"
         ),
     )
+    # doc_id is reduced mod p BEFORE the multiply so the product is
+    # bounded by p * 2654435761 < 2^62 — overflow-safe at ANY corpus id
+    # range (a raw doc_id * 2654435761 wraps past doc_id ~ 3.5e9)
     keep = docs.join(F.broadcast(tgt), "source").filter(
-        ((F.col("doc_id") * 2654435761) % 1000000007) % F.col("n_docs")
+        (((F.col("doc_id") % 1000000007) * 2654435761) % 1000000007)
+        % F.col("n_docs")
         < F.col("target")
     )
     return keep.groupBy("source").agg(
@@ -251,24 +264,8 @@ def docs_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-linear is broadcast. The ratio is exact-integer-over-integer.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split("text", "\\s+"), lambda w: w.rlike("^[a-z]+$")
-    )
-    bi = F.zip_with(
-        toks,
-        F.slice(
-            F.concat(toks, F.array(F.lit(None).cast("string"))),
-            2,
-            F.greatest(F.size(toks), F.lit(1)),
-        ),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
     dbig = (
-        docs.select("doc_id", F.explode(bi).alias("t"))
-        .select("doc_id", "t.w1", "t.w2")
-        .filter(F.col("w2").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
+        _word_bigram_pairs(docs).distinct().localCheckpoint(eager=True)
     )
     firsts = dbig.groupBy("w1", "w2").agg(
         F.min("doc_id").alias("first_doc")

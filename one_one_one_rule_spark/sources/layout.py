@@ -205,8 +205,10 @@ def compact_parquet_dir(
     os.makedirs(dst, exist_ok=True)
     n_rewritten = n_kept = 0
     for i, paths in enumerate(bins):
-        if len(paths) == 1 and os.path.getsize(paths[0]) >= target_bytes:
-            # already right-sized: carry over without decode
+        if len(paths) == 1:
+            # singleton bin — oversized, or a small file no companion
+            # fit next to: either way rewriting one file into one file
+            # is pure decode/encode waste, so carry it over verbatim
             import shutil
 
             shutil.copy(paths[0], os.path.join(dst, f"kept-{i:05d}.parquet"))

@@ -2433,3 +2433,152 @@ def nation_top2_customers_lateral(
         _LATERAL_TOP2_SQL.replace("FROM nation n", "FROM lateral_nation_tmp n")
         .replace("FROM customer c", "FROM lateral_customer_tmp c")
     )
+
+
+@register(
+    "schema_fk_inference",
+    """
+WITH cand AS (
+  SELECT 'lineitem.l_orderkey' AS child_col, 'orders.o_orderkey' AS parent_col,
+         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_child,
+         (SELECT COUNT(DISTINCT l.l_orderkey) FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey) AS n_contained
+  UNION ALL
+  SELECT 'orders.o_custkey', 'customer.c_custkey',
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+         (SELECT COUNT(DISTINCT o.o_custkey) FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey)
+  UNION ALL
+  SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+         (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+         (SELECT COUNT(DISTINCT c.c_nationkey) FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+  UNION ALL
+  SELECT 'lineitem.l_partkey', 'part.p_partkey',
+         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+         (SELECT COUNT(DISTINCT l.l_partkey) FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey)
+  UNION ALL
+  SELECT 'orders.o_orderkey', 'customer.c_custkey',
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+         (SELECT COUNT(DISTINCT o.o_orderkey) FROM orders o
+            JOIN customer c ON o.o_orderkey = c.c_custkey)
+)
+SELECT child_col, parent_col,
+       CAST(n_child AS BIGINT) AS n_child_distinct,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       CAST(n_contained AS DOUBLE) / CAST(n_child AS DOUBLE)
+         AS containment,
+       n_contained = n_child AS is_fk_candidate
+FROM cand
+""",
+)
+def schema_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key discovery by containment profiling — the metadata-
+    inference pass a catalog runs over an undocumented lake: for each
+    candidate (child column, parent column) pair, what fraction of the
+    child's distinct values exists in the parent. Containment 1.0 marks
+    an FK candidate; the deliberately-wrong pair (o_orderkey vs
+    c_custkey) shows the discriminating low score.
+
+    Scale shape: per candidate, a distinct-projection of each side (map-
+    side combinable) and one keyed semi-join between the two distinct
+    sets — the join operates on deduplicated key relations, never the
+    raw fact tables; candidates are independent branches unioned into
+    one plan, so Spark schedules them concurrently. Exact integer counts
+    and an exact ratio; no sampling (the sketch-based swap at extreme
+    scale is approx_count_distinct + a Bloom membership probe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+
+    def containment(label, child_df, child_col, parent_label, parent_df,
+                    parent_col):
+        ch = child_df.select(F.col(child_col).alias("k")).distinct()
+        pa = parent_df.select(F.col(parent_col).alias("k")).distinct()
+        return (
+            ch.join(pa, "k", "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_contained"))
+            .crossJoin(
+                ch.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_child")
+                )
+            )
+            .select(
+                F.lit(label).alias("child_col"),
+                F.lit(parent_label).alias("parent_col"),
+                F.col("n_child").alias("n_child_distinct"),
+                "n_contained",
+                (
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child").cast("double")
+                ).alias("containment"),
+                (F.col("n_contained") == F.col("n_child")).alias(
+                    "is_fk_candidate"
+                ),
+            )
+        )
+
+    cands = [
+        containment("lineitem.l_orderkey", li, "l_orderkey",
+                    "orders.o_orderkey", o, "o_orderkey"),
+        containment("orders.o_custkey", o, "o_custkey",
+                    "customer.c_custkey", c, "c_custkey"),
+        containment("customer.c_nationkey", c, "c_nationkey",
+                    "nation.n_nationkey", n, "n_nationkey"),
+        containment("lineitem.l_partkey", li, "l_partkey",
+                    "part.p_partkey", p, "p_partkey"),
+        containment("orders.o_orderkey", o, "o_orderkey",
+                    "customer.c_custkey", c, "c_custkey"),
+    ]
+    out = cands[0]
+    for df in cands[1:]:
+        out = out.union(df)
+    return out
+
+
+@register(
+    "events_path_trigrams",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS e1, e2, e3,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY event_type, e2, e3
+""",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 behavioral sequence mining: counts of every consecutive
+    3-step event-type path per user timeline — the raw material for
+    funnel discovery and next-action models (the order-2 generalization
+    of events_markov_transitions' order-1 matrix).
+
+    One user-keyed window shuffle produces both lookaheads (two lead()
+    calls share the frame, Spark evaluates them in a single Window
+    node); the trigram count is a combinable aggregate over a key space
+    bounded by |event_types|^3, so the shuffle after the window carries
+    at most that many rows per partition. Tie-break (ts, event_id) makes
+    the per-user ordering total on both engines."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )

@@ -136,3 +136,65 @@ def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert merged.count() == 2 * n
     assert merged.filter(F.col("ingest_version").isNull()).count() == n
     assert merged.filter(F.col("ingest_version") == "v2").count() == n
+
+
+def test_xml_roundtrip_preserves_values(spark, sf_dir, tmp_path):
+    """Spark 4 ships the XML source natively (merged spark-xml): a
+    row-tagged roundtrip of the nation dim must preserve every value —
+    the ingestion leg for feed-style XML drops."""
+    nation = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_xml")
+    (
+        nation.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(p)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(p)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    want = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in nation.select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).collect()
+    }
+    got = {
+        (r.n_nationkey, r.n_name, r.n_regionkey) for r in back.collect()
+    }
+    assert got == want
+
+
+def test_text_format_with_regexp_extraction(spark, sf_dir, tmp_path):
+    """Log-file ingestion path: write delimited lines via the text
+    source, read them back as raw lines and parse with regexp_extract —
+    the unstructured-to-structured on-ramp (reference's CSV-with-
+    conventions ingestion generalized to arbitrary line formats)."""
+    nation = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_lines")
+    nation.select(
+        F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(p)
+    lines = spark.read.text(p)
+    parsed = lines.select(
+        F.regexp_extract("value", r"^(\d+)\|", 1).cast("int").alias("k"),
+        F.regexp_extract("value", r"^\d+\|([^|]*)\|", 1).alias("name"),
+        F.regexp_extract("value", r"\|(\d+)$", 1).cast("int").alias("r"),
+    )
+    want = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in nation.select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).collect()
+    }
+    got = {(r.k, r.name, r.r) for r in parsed.collect()}
+    assert got == want

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     HASH_P,
@@ -639,5 +640,95 @@ def incremental_lsh_dedup(
             F.col("base_id").isNotNull().alias("is_dup"),
             F.col("base_id").alias("match_doc_id"),
             "jaccard",
+        )
+    )
+
+
+def ppjoin_pairs(
+    docs: DataFrame, n: int = 3, t_num: int = 1, t_den: int = 2
+) -> DataFrame:
+    """Tier 2b — prefix-filtered set-similarity join (PPJoin / SSJoin,
+    Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) over the hashed shingle
+    sets, Jaccard threshold ``t = t_num/t_den``.
+
+    The scale alternative to the df-capped inverted index
+    (:func:`jaccard_pairs`): instead of dropping hot shingles, sort every
+    doc's shingles by GLOBAL rarest-first order (df asc, hash asc — a
+    total order) and index only each doc's first
+    ``p = n_doc - ceil(t * n_doc) + 1`` shingles. Soundness: if
+    ``J(A,B) >= t`` then the first common shingle in global order sits
+    within both prefixes (the common count c >= ceil(t*n) on each side,
+    so a doc's last ``ceil(t*n) - 1`` positions cannot hold all of them).
+    Hot boilerplate shingles sort LAST, so they almost never enter a
+    prefix — the quadratic hot-key fan-out of a plain inverted index
+    disappears without changing the answer (verified equal to the
+    brute-force threshold join in tests).
+
+    Plan: df aggregate (map-combinable) -> per-doc row_number window (one
+    shuffle on doc_id) -> prefix self-join on shingle hash + symmetric
+    length filter ``t*na <= nb <= na/t`` -> exact verify join restricted
+    to candidates. The threshold compare is exact integer
+    cross-multiplication (``c*(t_den+t_num) >= t_num*(na+nb)`` <=>
+    ``c/(na+nb-c) >= t``); the reported jaccard is a single final
+    divide."""
+    sh = doc_shingle_hashes(docs, n).localCheckpoint(eager=True)
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        sh.join(dfreq, "h")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(f"(n * {t_num} + {t_den} - 1) div {t_den}")
+        + 1
+    ).select("doc_id", "h", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("b.n") * t_den >= F.col("a.n") * t_num)
+            & (F.col("a.n") * t_den >= F.col("b.n") * t_num)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    fb = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b"
+        )
+        .filter(
+            F.col("c") * (t_den + t_num)
+            >= (F.col("na") + F.col("nb")) * t_num
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("jaccard"),
         )
     )

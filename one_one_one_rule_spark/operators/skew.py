@@ -98,3 +98,65 @@ def exact_heavy_hitters(
         .filter(F.col("cnt") >= F.lit(theta) * F.col("n").cast("double"))
         .select(col, "cnt")
     )
+
+
+# Portable count-min-sketch hash family: a_r * (key mod P) + b_r mod P
+# mod width, with P = 2^31 - 1 (the engine-wide portable hash modulus,
+# functions/text.py:HASH_P). Seeds are fixed odd multipliers (Knuth /
+# xxhash primes reduced mod P) so the DuckDB oracle reproduces every
+# cell address bit-for-bit.
+CMS_P = 2147483647
+CMS_SEEDS = (
+    (2654435761 % CMS_P, 40503),
+    (2246822519 % CMS_P, 3266489917 % CMS_P),
+    (3266489917 % CMS_P, 668265263 % CMS_P),
+)
+
+
+def _cms_cell(key: Column, a: int, b: int, width: int) -> Column:
+    return F.pmod(F.lit(a) * F.pmod(key, F.lit(CMS_P)) + F.lit(b), F.lit(CMS_P)) % width
+
+
+def cms_build(df: DataFrame, key: str, width: int = 512) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) of an integer key
+    column: ``len(CMS_SEEDS)`` hash rows × ``width`` cells, built as ONE
+    map-side-combinable aggregate per row (a union of d cheap projections
+    feeding a (r, cell) groupBy whose output is bounded at d*width rows
+    regardless of input size — the mergeable-summary property that lets a
+    100 TB pipeline keep per-partition / per-day sketches and OR them
+    together without rescanning).
+
+    Returns (r, cell, cnt). Point estimate = min over r of the addressed
+    cells — an overestimate by construction (collisions only ADD), with
+    the classic eps*N / delta guarantees at w = e/eps, d = ln(1/delta)."""
+    parts = [
+        df.select(
+            F.lit(r).alias("r"),
+            _cms_cell(F.col(key), a, b, width).alias("cell"),
+        )
+        for r, (a, b) in enumerate(CMS_SEEDS)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("r", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key: str, width: int = 512
+) -> DataFrame:
+    """Join-based point lookup: for each candidate key, the min over the d
+    sketch rows of its addressed cell. The sketch is bounded at d*width
+    rows by construction, so each of the d joins is a legitimate
+    broadcast — the fact side streams once."""
+    out = keys
+    for r, (a, b) in enumerate(CMS_SEEDS):
+        sk = sketch.filter(F.col("r") == r).select(
+            F.col("cell").alias(f"cell{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        out = out.withColumn(
+            f"cell{r}", _cms_cell(F.col(key), a, b, width)
+        ).join(F.broadcast(sk), f"cell{r}")
+    return out.withColumn(
+        "cms_est", F.least(*[F.col(f"c{r}") for r in range(len(CMS_SEEDS))])
+    ).drop(*[c for r in range(len(CMS_SEEDS)) for c in (f"cell{r}", f"c{r}")])

@@ -396,3 +396,59 @@ def dim_correlation_matrix(e: DataFrame) -> DataFrame:
             ).alias("corr"),
         )
     )
+
+
+def _ivf_recall_sql() -> str:
+    from .queries import _ann_sql, _ivf_sql
+
+    return f"""
+WITH ex AS (SELECT qid, vec_id FROM ({_ann_sql()}) t),
+ivf AS (SELECT qid, vec_id FROM ({_ivf_sql()}) t),
+j AS (
+  SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS k_exact,
+         CAST(COUNT(ivf.vec_id) AS BIGINT) AS hits
+  FROM ex LEFT JOIN ivf ON ex.qid = ivf.qid AND ex.vec_id = ivf.vec_id
+  GROUP BY ex.qid
+)
+SELECT qid, k_exact, hits, CAST(hits AS DOUBLE) / k_exact AS recall
+FROM j
+"""
+
+
+@register("ann_ivf_recall_eval", _ivf_recall_sql())
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN tier against the brute-force exact top-k —
+    the evaluation harness that must accompany any approximate index
+    before it replaces an exact scan (the ANN analogue of
+    docs_lsh_recall_eval): runs BOTH registered tiers (ann_ivf_topk,
+    ann_cosine_topk) and reports per-query hit counts and recall. The
+    oracle composes the two tiers' own SQL, so a drift in either tier OR
+    in the join shows up as a hash mismatch. Both sides are 25-row
+    relations at any corpus size (k x |query set|) — the eval overhead
+    beyond the two searches themselves is nil."""
+    from .operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, qids, k=5).select("qid", "vec_id")
+    ivf = (
+        ivf_topk(emb, qids, k=5)
+        .select("qid", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits"),
+        )
+        .select(
+            "qid",
+            "k_exact",
+            "hits",
+            (F.col("hits").cast("double") / F.col("k_exact")).alias("recall"),
+        )
+    )

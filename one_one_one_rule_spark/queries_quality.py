@@ -2582,3 +2582,61 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("e1", "e2", "e3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity risk audit (data governance)
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+@register(
+    "customer_k_anonymity",
+    f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(n) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT) AS rows_below_k,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS DOUBLE)
+         / SUM(n) AS at_risk_fraction
+FROM g
+""",
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (c_nationkey, c_mktsegment)
+    quasi-identifier set — the release-gate check a pipeline runs before
+    publishing a table containing person-level rows: every equivalence
+    class of quasi-identifier values must hold >= k individuals, else
+    those rows are re-identifiable by linkage. One map-combinable groupBy
+    (the class histogram) + a 1-row rollup; at 100 TB the class count is
+    bounded by the quasi-identifier domain, not the row count, so the
+    second aggregate is trivially small. Reports the class-size floor,
+    the violating class/row counts, and the at-risk row fraction (single
+    final divide)."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return g.groupBy().agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("n").cast("bigint").alias("min_class_size"),
+        F.sum((F.col("n") < K_ANON).cast("bigint"))
+        .cast("bigint")
+        .alias("classes_below_k"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_below_k"),
+        (
+            F.sum(
+                F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("n")
+        ).alias("at_risk_fraction"),
+    )

@@ -128,3 +128,258 @@ def events_hll_partitioned_rollup(
             ).alias("hll_within_5sigma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional clustering layout
+# ---------------------------------------------------------------------------
+
+_Z_PRED = "bd BETWEEN 4 AND 7 AND bp BETWEEN 8 AND 11"
+
+
+def _zorder_sql() -> str:
+    morton = " + ".join(
+        f"((bd // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + ((bp // {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(4)
+    )
+    return f"""
+WITH li AS (
+  SELECT datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS d,
+         l_partkey AS p
+  FROM lineitem
+),
+b AS (
+  SELECT MIN(d) AS dmin, MAX(d) AS dmax, MIN(p) AS pmin, MAX(p) AS pmax FROM li
+),
+g AS (
+  SELECT ((d - dmin) * 16) // (dmax - dmin + 1) AS bd,
+         ((p - pmin) * 16) // (pmax - pmin + 1) AS bp
+  FROM li, b
+),
+cells AS (SELECT bd, bp, ({morton}) AS z FROM g),
+zf AS (
+  SELECT z // 4 AS file_id, COUNT(*) AS n,
+         SUM(CASE WHEN {_Z_PRED} THEN 1 ELSE 0 END) AS m
+  FROM cells GROUP BY 1
+),
+lf AS (
+  SELECT bd AS file_id, COUNT(*) AS n,
+         SUM(CASE WHEN {_Z_PRED} THEN 1 ELSE 0 END) AS m
+  FROM cells GROUP BY 1
+)
+SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS files_total,
+       CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(CASE WHEN m > 0 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(m) AS BIGINT) AS rows_matched
+FROM zf
+UNION ALL
+SELECT 'date_linear', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN m > 0 THEN n ELSE 0 END) AS BIGINT),
+       CAST(SUM(m) AS BIGINT)
+FROM lf
+"""
+
+
+@register("lineitem_zorder_layout", _zorder_sql())
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering layout planner + pruning audit —
+    the multi-dimensional file-clustering technique (Delta OPTIMIZE
+    ZORDER / Iceberg sort orders) that makes min-max file skipping work
+    for predicates on MORE THAN ONE column at 100 TB.
+
+    Buckets (l_shipdate day-number, l_partkey) into a 16x16 grid using a
+    1-row min/max aggregate (broadcast), interleaves the two 4-bit bucket
+    ids into a Morton code with pure integer arithmetic (bit math is
+    engine-portable via div/mod), and assigns each row to a "file" of 4
+    adjacent z-cells (a 2x2 block of the grid — 64 files total). The
+    audit compares, for one 4x4 2-D predicate box, how many files (and
+    rows) a min-max-pruning scan would touch under the z-order layout vs
+    a single-dimension date-sorted layout: z-order touches the 4 files
+    covering the box; the date-linear layout touches 4x fewer files but
+    each holds a full partkey stripe, so it SCANS ~4x the rows. The
+    whole query is two scans + bounded aggregates — the planner itself
+    is the thing a writer would run before `write.partitionBy`."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("d"),
+        F.col("l_partkey").alias("p"),
+    )
+    b = li.groupBy().agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax"),
+        F.min("p").alias("pmin"), F.max("p").alias("pmax"),
+    )
+    g = li.crossJoin(F.broadcast(b)).select(
+        F.expr("((d - dmin) * 16) div (dmax - dmin + 1)").alias("bd"),
+        F.expr("((p - pmin) * 16) div (pmax - pmin + 1)").alias("bp"),
+    )
+    morton = F.expr(
+        " + ".join(
+            f"((bd div {1 << i}) % 2) * {1 << (2 * i + 1)}"
+            f" + ((bp div {1 << i}) % 2) * {1 << (2 * i)}"
+            for i in range(4)
+        )
+    )
+    cells = g.select("bd", "bp", morton.alias("z"))
+    pred = (
+        (F.col("bd") >= 4) & (F.col("bd") <= 7)
+        & (F.col("bp") >= 8) & (F.col("bp") <= 11)
+    )
+
+    def roll(files: DataFrame, layout: str) -> DataFrame:
+        return files.groupBy().agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum((F.col("m") > 0).cast("bigint")).alias("files_touched"),
+            F.sum(
+                F.when(F.col("m") > 0, F.col("n")).otherwise(F.lit(0))
+            ).alias("rows_scanned"),
+            F.sum("m").alias("rows_matched"),
+        )
+
+    zfiles = cells.withColumn("file_id", F.expr("z div 4")).groupBy(
+        "file_id"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(pred.cast("bigint")).alias("m"))
+    lfiles = cells.withColumn("file_id", F.col("bd")).groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(pred.cast("bigint")).alias("m")
+    )
+    return roll(zfiles, "zorder").unionByName(roll(lfiles, "date_linear"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _cms_sql() -> str:
+    from .operators.skew import CMS_P, CMS_SEEDS
+
+    w = 512
+    hashes = [
+        f"((({a} * ((user_id % {CMS_P} + {CMS_P}) % {CMS_P}) + {b})"
+        f" % {CMS_P}) % {w})"
+        for a, b in CMS_SEEDS
+    ]
+    rows_union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {hashes[r]} AS cell FROM events"
+        for r in range(len(CMS_SEEDS))
+    )
+    cells = ", ".join(
+        f"{hashes[r]} AS cell{r}" for r in range(len(CMS_SEEDS))
+    )
+    joins = "\n".join(
+        f"JOIN sketch s{r} ON s{r}.r = {r} AND s{r}.cell = k.cell{r}"
+        for r in range(len(CMS_SEEDS))
+    )
+    least = ", ".join(f"s{r}.cnt" for r in range(len(CMS_SEEDS)))
+    return f"""
+WITH hashed AS ({rows_union}),
+sketch AS (SELECT r, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM hashed GROUP BY r, cell),
+k AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt, {cells}
+      FROM events GROUP BY user_id)
+SELECT k.user_id, k.exact_cnt, LEAST({least}) AS cms_est,
+       LEAST({least}) >= k.exact_cnt AS overestimates
+FROM k
+{joins}
+ORDER BY cms_est DESC, exact_cnt DESC, user_id ASC
+LIMIT 20
+"""
+
+
+@register("events_cms_heavy_hitters", _cms_sql())
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch top-20 heavy users (operators/skew.py:cms_build).
+
+    The MERGEABLE alternative to the exact two-phase heavy hitters
+    (docs_heavy_hitter_tokens): the sketch is a fixed d x 512 grid built
+    by one map-combinable aggregate, so per-day / per-partition sketches
+    sum cell-wise into the global sketch — a 100 TB stream keeps O(KB)
+    state per window and never revisits raw events. The gate joins the
+    estimate back to the exact per-key counts (gate-scale verification
+    only) and hash-checks both the estimates and the CMS overestimate
+    invariant (est >= exact, collisions only add). Top-20 selection is
+    made deterministic by the (est desc, exact desc, user_id) total
+    order; the candidate-keys relation here is the exact groupBy (at
+    production scale it is the previous window's heavy-hitter list)."""
+    from .operators.skew import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id", width=512)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    est = cms_estimate(sketch, exact, "user_id", width=512)
+    return (
+        est.withColumn(
+            "overestimates", F.col("cms_est") >= F.col("exact_cnt")
+        )
+        .select("user_id", "exact_cnt", "cms_est", "overestimates")
+        .orderBy(
+            F.desc("cms_est"), F.desc("exact_cnt"), F.asc("user_id")
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix-filtered set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def _ppjoin_sql() -> str:
+    from .functions import text as T
+    from .queries import _shingle_hash_ctes
+
+    t_num, t_den = 1, 2
+    return f"""
+WITH {_shingle_hash_ctes().strip()},
+dfreq AS (SELECT h, COUNT(*) AS df FROM hashed GROUP BY h),
+ranked AS (
+  SELECT hashed.doc_id, hashed.h, sizes.n,
+         ROW_NUMBER() OVER (PARTITION BY hashed.doc_id
+                            ORDER BY df ASC, hashed.h ASC) AS rk
+  FROM hashed JOIN dfreq USING (h) JOIN sizes USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, h, n FROM ranked
+  WHERE rk <= n - ((n * {t_num} + {t_den} - 1) // {t_den}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE b.n * {t_den} >= a.n * {t_num}
+    AND a.n * {t_den} >= b.n * {t_num}
+),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS c
+  FROM cand
+  JOIN hashed fa ON fa.doc_id = cand.doc_a
+  JOIN hashed fb ON fb.doc_id = cand.doc_b AND fb.h = fa.h
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE c * {t_den + t_num} >= (sa.n + sb.n) * {t_num}
+"""
+
+
+@register("docs_ppjoin_pairs", _ppjoin_sql())
+def docs_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join at Jaccard >= 1/2
+    (operators/dedup.py:ppjoin_pairs) — the hot-key-immune exact tier:
+    rarest-first global ordering puts boilerplate shingles at the END of
+    every doc's list, so they never enter the indexed prefixes and the
+    quadratic hot-shingle fan-out of the plain inverted index vanishes
+    with NO approximation (tests assert equality with the brute-force
+    threshold join)."""
+    from .operators.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(
+        load_table(spark, sf_dir, "documents"), 3, t_num=1, t_den=2
+    )

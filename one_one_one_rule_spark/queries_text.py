@@ -322,3 +322,112 @@ def docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (curation model scoring)
+# ---------------------------------------------------------------------------
+
+# Integer-scaled linear model over deterministic text features — stands in
+# for a fastText-style quality classifier whose weights ship as literals
+# with the pipeline. Score and features are exact integers, so the gate is
+# a value check, and scoring is a pure projection (no shuffle, no UDF).
+_QC_W_LEN = 8        # per token, saturated at 64 tokens
+_QC_W_STOP = 3       # per mille of stopword tokens (fluency evidence)
+_QC_W_DIGIT = -5     # per mille of digit chars (boilerplate/IDs penalty)
+_QC_HIGH = 900
+_QC_MED = 500
+
+
+def _qc_sql() -> str:
+    from .queries import _STOP_SQL
+
+    return f"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         least(CAST(len(string_split(text, ' ')) AS BIGINT), 64) AS f_len,
+         (1000 * CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x IN ({_STOP_SQL}))) AS BIGINT))
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS f_stop_milli,
+         (1000 * CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT))
+           // CAST(length(text) AS BIGINT) AS f_digit_milli
+  FROM documents WHERE length(text) > 0
+),
+scored AS (
+  SELECT lang,
+         {_QC_W_LEN} * f_len + {_QC_W_STOP} * f_stop_milli
+           + {_QC_W_DIGIT} * f_digit_milli AS score
+  FROM feat
+)
+SELECT lang,
+       CASE WHEN score >= {_QC_HIGH} THEN 'high'
+            WHEN score >= {_QC_MED} THEN 'medium'
+            ELSE 'low' END AS quality,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score,
+       CAST(SUM(score) AS BIGINT) AS sum_score
+FROM scored GROUP BY 1, 2
+"""
+
+
+@register("docs_quality_classifier", _qc_sql())
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring curation stage: an integer-weighted linear quality
+    classifier (length saturation + stopword-fluency evidence - digit/
+    boilerplate penalty) applied as a pure projection, then bucketed into
+    high/medium/low and profiled per language.
+
+    The shape every learned quality filter takes at 100 TB: weights are
+    literals compiled into the plan (broadcast-free), features are
+    scan-stage expressions, and the only shuffle is the final bounded
+    groupBy over (lang, bucket). Swapping in real fastText/classifier
+    weights changes the literals, not the plan. Feature arithmetic is
+    exact integer (per-mille ratios via integer div), so the gate is a
+    value-level hash check."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    f_len = F.least(
+        F.expr("cast(size(split(text, ' ')) as bigint)"), F.lit(64)
+    )
+    f_stop = F.expr(
+        f"(1000 * cast({_qc_stop_hits_expr()} as bigint))"
+        " div cast(size(split(text, ' ')) as bigint)"
+    )
+    f_digit = F.expr(
+        "(1000 * cast(length(regexp_replace(text, '[^0-9]', '')) as bigint))"
+        " div cast(length(text) as bigint)"
+    )
+    score = (
+        F.lit(_QC_W_LEN) * f_len
+        + F.lit(_QC_W_STOP) * f_stop
+        + F.lit(_QC_W_DIGIT) * f_digit
+    )
+    scored = docs.select(
+        "lang",
+        score.alias("score"),
+    )
+    quality = (
+        F.when(F.col("score") >= _QC_HIGH, "high")
+        .when(F.col("score") >= _QC_MED, "medium")
+        .otherwise("low")
+    )
+    return (
+        scored.withColumn("quality", quality)
+        .groupBy("lang", "quality")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+    )
+
+
+def _qc_stop_hits_expr() -> str:
+    """SQL-expression form of functions/text.py:hits for EN stopwords."""
+    from .functions.text import EN_STOPWORDS
+
+    arr = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"size(filter(split(text, ' '), x -> x IN ({arr})))"

@@ -1,0 +1,158 @@
+"""Unit tests for the round-5 scale-technique operators: PPJoin
+prefix-filtered set-similarity join, count-min-sketch heavy hitters,
+and the Z-order clustering layout audit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from one_one_one_rule_spark.operators.dedup import (
+    doc_shingle_hashes,
+    ppjoin_pairs,
+)
+from one_one_one_rule_spark.operators.skew import (
+    CMS_SEEDS,
+    cms_build,
+    cms_estimate,
+)
+from one_one_one_rule_spark.queries import QUERIES
+from one_one_one_rule_spark.sources.fixtures import load_table
+
+
+# ---------------------------------------------------------------------------
+# PPJoin
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_pairs(sh, t_num, t_den):
+    """Plain inverted-index threshold join over the same hashed sets —
+    the unfiltered reference PPJoin must reproduce exactly."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b"
+        )
+        .filter(
+            F.col("c") * (t_den + t_num)
+            >= (F.col("na") + F.col("nb")) * t_num
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+def test_ppjoin_equals_brute_force_threshold_join(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in ppjoin_pairs(docs, 3, 1, 2).collect()
+    )
+    sh = doc_shingle_hashes(docs, 3)
+    want = sorted(tuple(r) for r in _brute_force_pairs(sh, 1, 2).collect())
+    assert got == want
+    assert len(got) > 0  # fixture contains near-dup pairs above 1/2
+
+
+def test_ppjoin_prefix_index_is_smaller_than_full_index(spark, sf_dir):
+    """The point of the prefix filter: the indexed relation is a strict
+    subset of the full inverted index (p = n - ceil(t*n) + 1 < n for
+    every doc with n >= 2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingle_hashes(docs, 3)
+    full = sh.count()
+    # replicate the operator's prefix selection
+    from pyspark.sql.window import Window
+
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        sh.join(dfreq, "h")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr("(n * 1 + 1) div 2") + 1
+    )
+    assert prefix.count() < full
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_overestimates_every_key(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id", width=512)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    est = cms_estimate(sketch, exact, "user_id", width=512)
+    viol = est.filter(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert viol == 0
+
+
+def test_cms_size_bounded_by_grid(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id", width=512)
+    assert sketch.count() <= len(CMS_SEEDS) * 512
+
+
+def test_cms_is_mergeable_cellwise(spark, sf_dir):
+    """sketch(A union B) == cellwise sum of sketch(A) and sketch(B) —
+    the property that lets per-day sketches roll up without rescans."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("user_id")
+    whole = cms_build(ev.select("user_id"), "user_id", width=512)
+    merged = (
+        cms_build(a, "user_id", width=512)
+        .unionByName(cms_build(b, "user_id", width=512))
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = (
+        whole.withColumnsRenamed({"cnt": "w"})
+        .join(merged, ["r", "cell"], "full")
+        .filter(
+            F.coalesce(F.col("w"), F.lit(-1))
+            != F.coalesce(F.col("cnt"), F.lit(-2))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# z-order layout audit
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_scans_fewer_rows_for_2d_predicate(spark, sf_dir):
+    rows = {
+        r["layout"]: r
+        for r in QUERIES["lineitem_zorder_layout"](spark, sf_dir).collect()
+    }
+    z, lin = rows["zorder"], rows["date_linear"]
+    # both layouts partition ALL rows and agree on the matched count
+    assert z["rows_matched"] == lin["rows_matched"]
+    assert z["files_total"] == 64
+    assert lin["files_total"] <= 16
+    # the clustering payoff: fewer rows scanned for the 2-D box
+    assert z["rows_scanned"] < lin["rows_scanned"]

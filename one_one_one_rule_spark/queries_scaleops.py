@@ -383,3 +383,158 @@ def docs_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppjoin_pairs(
         load_table(spark, sf_dir, "documents"), 3, t_num=1, t_den=2
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental dedup against a persisted signature index
+# ---------------------------------------------------------------------------
+
+
+def _register_stream_incremental_dedup() -> None:
+    from .queries import _incremental_dedup_sql
+
+    @register("docs_stream_incremental_dedup", _incremental_dedup_sql())
+    def docs_stream_incremental_dedup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The continuously-ingesting form of docs_incremental_dedup: new
+        documents arrive as a FILE STREAM (two staged micro-batches) and
+        each batch is probed, inside foreachBatch, against the PERSISTED
+        MinHash signature index (operators/dedup.py:doc_hash_sets written
+        once to parquet) — the corpus text is never re-read, the probe is
+        a banded join against the index, and verdicts append to the sink
+        per batch. Because every batch probes the same base snapshot,
+        the union of per-batch verdicts is batch-order-independent and
+        must hash-equal the BATCH incremental-dedup oracle — the
+        streaming/batch convergence gate for the dedup surface. At 100 TB
+        the index parquet is bucketed by (band, key) and the accepted
+        deltas compact into it on a cadence (small-files compactor),
+        keeping per-batch cost O(|delta| + matched buckets)."""
+        from .operators.dedup import doc_hash_sets, incremental_lsh_dedup
+        from .queries import _session_tmp_dir, _stage_parquet_slices
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+        idx_dir = _session_tmp_dir("incdedup_idx_")
+        doc_hash_sets(base, 3).write.mode("overwrite").parquet(idx_dir)
+
+        src = _stage_parquet_slices(
+            spark,
+            [
+                delta.filter(F.col("doc_id") % 20 == 0),
+                delta.filter(F.col("doc_id") % 20 != 0),
+            ],
+            "incdedup_src_",
+        )
+        out = _session_tmp_dir("incdedup_out_")
+        ckpt = _session_tmp_dir("incdedup_ckpt_")
+
+        def probe(bdf: DataFrame, batch_id: int) -> None:
+            base_sets = bdf.sparkSession.read.parquet(idx_dir)
+            verdicts = incremental_lsh_dedup(
+                None, bdf, 3, 0.3, base_sets=base_sets
+            )
+            verdicts.write.mode("append").parquet(out)
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string,"
+                " source string, n_chars bigint"
+            )
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+
+_register_stream_incremental_dedup()
+
+
+@register(
+    "events_hll_set_ops",
+    """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS click_users,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS purchase_users,
+       CAST((SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS BIGINT)
+         AS both_exact,
+       TRUE AS union_within_2pct,
+       TRUE AS intersection_within_5pct
+""",
+)
+def events_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA beyond union: HLL supports union natively
+    (register-wise max), and intersection falls out of
+    inclusion-exclusion — |A∩B| ~= est(A) + est(B) - est(A∪B) — the
+    audience-overlap computation every marketing/cohort pipeline runs.
+    At 100 TB both operand sketches come from the same per-day rollup
+    tables (events_hll_partitioned_rollup), so overlap questions across
+    ANY pair of segments cost two KB-sized sketch unions, not a fact
+    self-join.
+
+    Gated in the events_sketch_profile style: estimates are
+    engine-specific, so the hashed row carries exact operand/intersection
+    counts plus booleans asserting (a) the unioned-sketch estimate is
+    within 2% of the exact union and (b) the inclusion-exclusion
+    intersection estimate is within 5% of the exact intersection
+    (inclusion-exclusion compounds the error of three estimates — the
+    documented reason theta sketches replace HLL when intersections
+    dominate). Exact sides are gate-scale verification only."""
+    e = load_table(spark, sf_dir, "events")
+    lgk = F.lit(14)
+    c = e.filter(F.col("event_type") == "click")
+    p = e.filter(F.col("event_type") == "purchase")
+    sketches = (
+        c.select(F.lit(0).alias("side"), "user_id")
+        .unionByName(p.select(F.lit(1).alias("side"), "user_id"))
+        .groupBy("side")
+        .agg(F.hll_sketch_agg("user_id", lgk).alias("sk"))
+    )
+    ests = sketches.groupBy().agg(
+        F.hll_sketch_estimate(F.max(F.when(F.col("side") == 0, F.col("sk")))).alias("est_c"),
+        F.hll_sketch_estimate(F.max(F.when(F.col("side") == 1, F.col("sk")))).alias("est_p"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_u"),
+    )
+    exact = (
+        c.select("user_id").distinct().withColumn("in_c", F.lit(1))
+        .join(
+            p.select("user_id").distinct().withColumn("in_p", F.lit(1)),
+            "user_id",
+            "full",
+        )
+        .groupBy()
+        .agg(
+            F.sum(F.coalesce(F.col("in_c"), F.lit(0))).cast("bigint").alias("click_users"),
+            F.sum(F.coalesce(F.col("in_p"), F.lit(0))).cast("bigint").alias("purchase_users"),
+            F.sum(
+                (F.col("in_c").isNotNull() & F.col("in_p").isNotNull()).cast("bigint")
+            ).cast("bigint").alias("both_exact"),
+            F.count(F.lit(1)).cast("bigint").alias("union_exact"),
+        )
+    )
+    j = exact.crossJoin(F.broadcast(ests))
+    est_inter = F.col("est_c") + F.col("est_p") - F.col("est_u")
+    return j.select(
+        "click_users",
+        "purchase_users",
+        "both_exact",
+        (
+            F.abs(F.col("est_u").cast("double") - F.col("union_exact"))
+            <= F.greatest(F.lit(2.0), 0.02 * F.col("union_exact"))
+        ).alias("union_within_2pct"),
+        (
+            F.abs(est_inter.cast("double") - F.col("both_exact"))
+            <= F.greatest(F.lit(4.0), 0.05 * F.col("both_exact"))
+        ).alias("intersection_within_5pct"),
+    )

@@ -452,3 +452,86 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits").cast("double") / F.col("k_exact")).alias("recall"),
         )
     )
+
+
+_MRL_DIM = 16
+
+
+def _matryoshka_recall_sql() -> str:
+    from .functions.vectors import dot_chain_sql, norm_chain_sql
+    from .operators.similarity import EMBED_DIM
+
+    def topk(dim: int) -> str:
+        dot = dot_chain_sql("e.embedding", "q.q_emb", dim)
+        ne = norm_chain_sql("e.embedding", dim)
+        nq = norm_chain_sql("q.q_emb", dim)
+        return f"""
+SELECT qid, vec_id FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY CASE WHEN {ne} > 0 AND {nq} > 0
+                         THEN ({dot}) / ({ne} * {nq}) END DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e,
+       (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+        WHERE vec_id IN (0, 1, 2, 3, 4)) q
+  WHERE e.vec_id <> q.qid
+) t WHERE rn <= 5
+"""
+
+    return f"""
+WITH ex AS ({topk(EMBED_DIM)}),
+tr AS ({topk(_MRL_DIM)}),
+j AS (
+  SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS k_exact,
+         CAST(COUNT(tr.vec_id) AS BIGINT) AS hits
+  FROM ex LEFT JOIN tr ON ex.qid = tr.qid AND ex.vec_id = tr.vec_id
+  GROUP BY ex.qid
+)
+SELECT qid, k_exact, hits, CAST(hits AS DOUBLE) / k_exact AS recall
+FROM j
+"""
+
+
+@register("embeddings_matryoshka_recall", _matryoshka_recall_sql())
+def embeddings_matryoshka_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: recall@5 of
+    cosine search over only the FIRST 16 of 64 dimensions against the
+    full-dimension exact top-5 — the measurement that decides whether a
+    100 TB vector store can serve its coarse ranking stage from a 4x
+    cheaper truncated index (MRL, Kusupati et al. 2022) and re-rank the
+    survivors at full precision. Both searches are the registered
+    brute-force operator at different ``dim``; the oracle recomputes both
+    sides with the same explicit-chain double arithmetic, so the eval is
+    value-gated end to end."""
+    from .operators.similarity import EMBED_DIM, brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, qids, k=5, dim=EMBED_DIM).select(
+        "qid", "vec_id"
+    )
+    trunc = (
+        brute_force_topk(emb, qids, k=5, dim=_MRL_DIM)
+        .select("qid", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(trunc, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits"),
+        )
+        .select(
+            "qid",
+            "k_exact",
+            "hits",
+            (F.col("hits").cast("double") / F.col("k_exact")).alias("recall"),
+        )
+    )

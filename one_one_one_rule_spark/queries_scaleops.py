@@ -538,3 +538,72 @@ def events_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(4.0), 0.05 * F.col("both_exact"))
         ).alias("intersection_within_5pct"),
     )
+
+
+@register("events_stream_cms_heavy_hitters", _cms_sql())
+def events_stream_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min sketch built INCREMENTALLY over a two-batch event
+    stream — the production deployment shape of
+    events_cms_heavy_hitters: each micro-batch emits its own d x 512
+    partial sketch inside foreachBatch (bounded KBs regardless of batch
+    size), partial sketches append to the sketch store, and the final
+    estimate reads the store and sums cell-wise. Because CMS cells are
+    counters, per-batch sketches merged by + EQUAL the single-pass
+    sketch over the union — so this query is gated by the SAME oracle as
+    the batch CMS query: any drift in the streaming merge breaks the
+    hash. The exact per-key counts joined for the gate come from the
+    batch table (gate-scale verification; production keeps only the
+    sketch store and the previous window's candidate list)."""
+    from .operators.skew import cms_build, cms_estimate
+    from .queries import _session_tmp_dir, _stage_parquet_slices
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    src = _stage_parquet_slices(
+        spark,
+        [
+            e.filter(F.col("event_id") % 2 == 0).select("user_id"),
+            e.filter(F.col("event_id") % 2 == 1).select("user_id"),
+        ],
+        "cms_src_",
+    )
+    store = _session_tmp_dir("cms_store_")
+    ckpt = _session_tmp_dir("cms_ckpt_")
+
+    def sketch_batch(bdf: DataFrame, batch_id: int) -> None:
+        cms_build(bdf, "user_id", width=512).write.mode("append").parquet(
+            store
+        )
+
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sketch = (
+        spark.read.parquet(store)
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    est = cms_estimate(sketch, exact, "user_id", width=512)
+    return (
+        est.withColumn(
+            "overestimates", F.col("cms_est") >= F.col("exact_cnt")
+        )
+        .select("user_id", "exact_cnt", "cms_est", "overestimates")
+        .orderBy(F.desc("cms_est"), F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(20)
+    )

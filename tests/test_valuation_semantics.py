@@ -252,3 +252,62 @@ def test_markdown_to_html_matches_reference_rewrites(spark):
     # the pattern anchors on the replace order, not line starts — parity
     # means we reproduce that quirk, not fix it.
     assert body.count("<h3") == 2  # reference quirk: mid-text ## also fires
+
+
+# ---------------------------------------------------------------------------
+# SQL UDF surface (functions/sql_udfs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sql_udfs_match_column_functions(spark, sf_dir):
+    """The Spark 4 SQL scalar UDFs must agree row-for-row with the Column
+    implementations they mirror — and being RETURN-expression UDFs they
+    inline into the plan (no PythonUDF / ScalaUDF node)."""
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.functions import valuation as V
+    from one_one_one_rule_spark.functions.sql_udfs import register_sql_udfs
+    from one_one_one_rule_spark.operators.cleanse import cleanse_fundamentals
+    from one_one_one_rule_spark.sources.fixtures import synthetic_fundamentals
+
+    register_sql_udfs(spark)
+    d = cleanse_fundamentals(
+        synthetic_fundamentals(spark, sf_dir), order_col="k"
+    )
+    d.createOrReplaceTempView("f_sqludf")
+
+    g = V.graham_value(F.col("trailing_eps"), F.col("book_value_per_share"))
+    col_side = d.select(
+        "ticker",
+        g.alias("g"),
+        V.peg_ratio(
+            F.col("peg_ratio"), F.col("trailing_pe"), F.col("earnings_growth")
+        ).alias("peg"),
+        V.margin_of_safety(g, F.col("price")).alias("mos"),
+        V.pct_diff(F.col("price"), g).alias("pd"),
+    )
+
+    sql_side = spark.sql(
+        """
+        SELECT ticker,
+               graham_value(trailing_eps, book_value_per_share) AS g,
+               peg_ratio(peg_ratio, trailing_pe, earnings_growth) AS peg,
+               margin_of_safety(
+                 graham_value(trailing_eps, book_value_per_share), price
+               ) AS mos,
+               pct_diff(
+                 price, graham_value(trailing_eps, book_value_per_share)
+               ) AS pd
+        FROM f_sqludf
+        """
+    )
+    a = {r["ticker"]: (r["g"], r["peg"], r["mos"], r["pd"])
+         for r in col_side.collect()}
+    b = {r["ticker"]: (r["g"], r["peg"], r["mos"], r["pd"])
+         for r in sql_side.collect()}
+    assert a == b and len(a) > 0
+
+    # scalar SQL UDFs inline: no black-box UDF node survives in the plan
+    plan = sql_side._jdf.queryExecution().optimizedPlan().toString()
+    assert "UDF" not in plan or "ScalaUDF" not in plan
+    assert "PythonUDF" not in plan

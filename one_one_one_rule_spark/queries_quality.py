@@ -413,26 +413,29 @@ def docs_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MIN_COPURCHASES = 2
 
 
-def _copurchase_edges(li: DataFrame, min_co: int) -> DataFrame:
+def _copurchase_edges(
+    li: DataFrame, min_co: int, keep_weight: bool = False
+) -> DataFrame:
     """Undirected edge list (u < v) of the part co-purchase graph:
     parts co-occurring in >= ``min_co`` orders. Shared by the triangle
-    census and PageRank so the graph definition cannot drift between
-    them (same single-source rule as dedup.band_keys). Candidate-pair
-    volume is Σ (order width choose 2) — linear in the fact table; the
-    result is eagerly checkpointed because every caller fans it into
-    multiple join branches."""
+    census, PageRank, rules and SSSP so the graph definition cannot
+    drift between them (same single-source rule as dedup.band_keys).
+    Candidate-pair volume is Σ (order width choose 2) — linear in the
+    fact table; the result is eagerly checkpointed because every caller
+    fans it into multiple join branches. ``keep_weight`` retains the
+    co-purchase count column for the weighted consumers."""
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
-    return (
+    agg = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_copurchases"))
         .filter(F.col("n_copurchases") >= min_co)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
     )
+    cols = ["u", "v"] + (["n_copurchases"] if keep_weight else [])
+    return agg.select(*cols).localCheckpoint(eager=True)
 
 
 @register(
@@ -2640,3 +2643,204 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n")
         ).alias("at_risk_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# association rules (market-basket confidence / lift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_copurchase_rules",
+    f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY 1
+),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_MIN_COPURCHASES}
+),
+dir AS (
+  SELECT u AS antecedent, v AS consequent, c FROM e
+  UNION ALL
+  SELECT v AS antecedent, u AS consequent, c FROM e
+)
+SELECT d.antecedent, d.consequent, d.c AS n_co,
+       ia.n_item AS n_antecedent, ic.n_item AS n_consequent,
+       CAST(d.c AS DOUBLE) / ia.n_item AS confidence,
+       CAST(d.c * n.n_orders AS DOUBLE) / (ia.n_item * ic.n_item) AS lift
+FROM dir d
+JOIN item ia ON d.antecedent = ia.l_partkey
+JOIN item ic ON d.consequent = ic.l_partkey
+CROSS JOIN n
+""",
+)
+def parts_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the co-purchase graph (the A-priori
+    second pass): every directed rule antecedent -> consequent with pair
+    support >= 2 orders, scored with exact-integer sufficient statistics
+    — confidence = c/n(antecedent), lift = c*N / (n(a)*n(c)) — each a
+    SINGLE final divide over exact ints, so the gate is value-level.
+
+    Scale shape: pair supports come from the same within-order self-join
+    as every co-purchase consumer (fact-linear, basket-width-bounded);
+    item supports are one map-combinable groupBy; the rule join is two
+    keyed joins of the pair relation against the item-support relation
+    plus a broadcast 1-row total. This is the full frequent-PAIR rule
+    surface; longer itemsets iterate the same join pattern with the
+    support filter pruning the lattice (A-priori monotonicity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    n = op.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    item = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    e = _copurchase_edges(li, _TRI_MIN_COPURCHASES, keep_weight=True).select(
+        "u", "v", F.col("n_copurchases").cast("bigint").alias("c")
+    )
+    direct = e.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "c"
+    ).unionByName(
+        e.select(
+            F.col("v").alias("antecedent"),
+            F.col("u").alias("consequent"),
+            "c",
+        )
+    )
+    return (
+        direct.join(
+            item.withColumnsRenamed(
+                {"l_partkey": "antecedent", "n_item": "n_antecedent"}
+            ),
+            "antecedent",
+        )
+        .join(
+            item.withColumnsRenamed(
+                {"l_partkey": "consequent", "n_item": "n_consequent"}
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c").alias("n_co"),
+            "n_antecedent",
+            "n_consequent",
+            (F.col("c").cast("double") / F.col("n_antecedent")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("c") * F.col("n_orders")).cast("double")
+                / (F.col("n_antecedent") * F.col("n_consequent"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded-hop weighted shortest path (min-plus semiring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_copurchase_sssp",
+    f"""
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+eu AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_MIN_COPURCHASES}
+),
+e AS (
+  SELECT u, v, greatest(1, 10 - c) AS w FROM eu
+  UNION ALL
+  SELECT v AS u, u AS v, greatest(1, 10 - c) AS w FROM eu
+),
+walk(part, dist, depth) AS (
+  SELECT l_partkey AS part, CAST(0 AS BIGINT) AS dist, 0 AS depth
+  FROM (SELECT DISTINCT l_partkey FROM lineitem) s
+  WHERE l_partkey % 100 = 0
+  UNION ALL
+  SELECT e.v AS part, walk.dist + e.w AS dist, walk.depth + 1 AS depth
+  FROM walk JOIN e ON walk.part = e.u
+  WHERE walk.depth < 3
+)
+SELECT part, CAST(MIN(dist) AS BIGINT) AS min_dist
+FROM walk GROUP BY part
+""",
+)
+def parts_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest path, bounded at 3 hops, over the
+    co-purchase graph — the MIN-PLUS semiring Pregel kernel, completing
+    the set next to reachability (boolean OR) and PageRank (sum-times).
+    Edge weight = max(1, 10 - co-purchase count): stronger co-purchase,
+    shorter distance — the "related products" ranking signal.
+
+    Spark side runs 3 rounds of distributed relaxation: frontier ⋈ edges
+    -> (neighbor, dist + w), union with the standing distances, then one
+    combinable MIN aggregate per round; each round's result is
+    localCheckpoint-ed so lineage stays flat and the edge relation is
+    reused checkpointed across rounds. Per-round traffic is frontier x
+    avg-degree — no whole-graph materialization beyond the distance table.
+    The oracle re-derives the identical relaxation with a recursive CTE
+    accumulating path weights and taking MIN per vertex; distances are
+    exact integers, so the gate is a full value match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    eu = _copurchase_edges(li, _TRI_MIN_COPURCHASES, keep_weight=True)
+    w = F.greatest(F.lit(1), F.lit(10) - F.col("n_copurchases")).cast(
+        "bigint"
+    )
+    e = (
+        eu.select("u", "v", w.alias("w"))
+        .unionByName(
+            eu.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), w.alias("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        li.select("l_partkey")
+        .distinct()
+        .filter(F.col("l_partkey") % 100 == 0)
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(3):
+        relaxed = (
+            frontier.join(e, frontier["part"] == e["u"])
+            .select(
+                F.col("v").alias("part"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("part")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = relaxed.groupBy("part").agg(
+            F.min("dist").alias("dist")
+        ).localCheckpoint(eager=True)
+    return dist.select("part", F.col("dist").alias("min_dist"))

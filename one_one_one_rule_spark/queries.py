@@ -5766,3 +5766,154 @@ def events_stream_click_purchase_fullouter(
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 5b: audio codec tier + cogrouped-pandas attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_wav_frame_energy",
+    """
+WITH au AS (
+  SELECT doc_id AS media_id, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT media_id, t.i,
+         ((media_id*31 + t.i*17) * 2654435761) % 65536 - 32768 AS v,
+         t.i // 64 AS frame_idx
+  FROM au, LATERAL (SELECT unnest(range(au.n)) AS i) t
+)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(v*v) AS BIGINT) AS energy, 'stdlib' AS backend
+FROM s
+GROUP BY media_id, frame_idx
+""",
+)
+def media_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec tier: deterministic PCM16 mono WAV payloads are
+    built executor-side (operators/multimodal.py:synthesize_wav — byte-
+    valid RIFF/WAVE containers), then a SECOND Arrow-batched pass
+    strict-parses the container back (decode_wav: magic, RIFF size, fmt
+    fields, data length all verified) and emits per-frame Σs² energies
+    as exact int64.
+
+    The oracle knows only the signal FORMULA, not the codec — so a hash
+    match proves the full encode→container→parse→frame pipeline is
+    byte-correct, upgrading the audio leg of the multimodal tier from
+    deterministic-fake to real stdlib codec exactly as the image leg
+    (decode_image) was in round 5a. Shape: two map-only mapInPandas
+    passes (the deliberate Arrow-batched slow-path exception the PLANS
+    audit tracks), zero shuffles until the tiny frame aggregate; at
+    100 TB the payloads never leave their partition."""
+    from .operators.multimodal import synthesize_wav, wav_frame_energy
+
+    d = load_table(spark, sf_dir, "documents")
+    return wav_frame_energy(synthesize_wav(d), frame_len=64)
+
+
+@register(
+    "events_cogroup_attribution",
+    """
+WITH c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+att AS (
+  SELECT p.user_id, p.ts,
+         (SELECT max(c.ts) FROM c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS prior_click
+  FROM p
+),
+pa AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(CASE WHEN prior_click IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_attributed,
+         CAST(COALESCE(sum(
+           CASE WHEN prior_click IS NOT NULL
+                THEN epoch_us(ts) - epoch_us(prior_click) END), 0)
+              AS BIGINT) AS gap_us_total
+  FROM att GROUP BY user_id
+),
+ca AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks FROM c
+  GROUP BY user_id
+)
+SELECT COALESCE(ca.user_id, pa.user_id) AS user_id,
+       COALESCE(ca.n_clicks, 0) AS n_clicks,
+       COALESCE(pa.n_purchases, 0) AS n_purchases,
+       COALESCE(pa.n_attributed, 0) AS n_attributed,
+       COALESCE(pa.gap_us_total, 0) AS gap_us_total
+FROM ca FULL JOIN pa ON ca.user_id = pa.user_id
+""",
+)
+def events_cogroup_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-click purchase attribution via COGROUPED ``applyInPandas`` —
+    the one Spark pandas API the registry didn't yet exercise: the click
+    and purchase streams are grouped on user_id independently and each
+    user's two frames meet in ONE Arrow batch, where a vectorized
+    searchsorted finds every purchase's latest prior click.
+
+    This is the escape hatch for per-key merge logic that built-ins
+    can't express; THIS particular metric can be (the oracle is the
+    correlated-subquery formulation, and events_asof_purchase_click is
+    the native as-of tier), which is exactly what makes it hash-gateable
+    end-to-end: gap sums are exact integer microseconds, so the pandas
+    path must agree with the SQL path to the bit. Scale shape: one
+    co-partitioned shuffle on user_id, then purely partition-local
+    pandas; state per task is one user's events, never the stream."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def merge(key, cdf, pdf):
+        import numpy as np
+        import pandas as pd
+
+        # normalize to exact integer MICROseconds whatever resolution
+        # Arrow handed pandas (datetime64[ns] vs [us] differs by pandas
+        # version; astype to [us] first makes the int64 unit explicit)
+        c_us = np.sort(
+            cdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        p_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        n_att = 0
+        gap_total = 0
+        if len(p_us) and len(c_us):
+            idx = np.searchsorted(c_us, p_us, side="right")
+            mask = idx > 0
+            n_att = int(mask.sum())
+            gap_total = int(
+                (p_us[mask] - c_us[idx[mask] - 1]).sum()
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_clicks": [len(c_us)],
+                "n_purchases": [len(p_us)],
+                "n_attributed": [n_att],
+                "gap_us_total": [gap_total],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id bigint, n_clicks bigint, n_purchases bigint,"
+            " n_attributed bigint, gap_us_total bigint",
+        )
+    )

@@ -535,3 +535,112 @@ def embeddings_matryoshka_recall(
             (F.col("hits").cast("double") / F.col("k_exact")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 5b)
+# ---------------------------------------------------------------------------
+
+
+def _hard_neg_sql() -> str:
+    from .functions.vectors import dot_chain_sql, norm_chain_sql
+    from .operators.similarity import EMBED_DIM, IVF_PLANES
+    from .queries import _srp_sig_sql
+
+    dot = dot_chain_sql("e.embedding", "q.q_emb", EMBED_DIM)
+    ne = norm_chain_sql("e.embedding", EMBED_DIM)
+    nq = norm_chain_sql("q.q_emb", EMBED_DIM)
+    return f"""
+WITH cells AS (
+  SELECT vec_id, label, embedding,
+         {_srp_sig_sql(IVF_PLANES, "embedding")} AS cell
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, label AS q_label, embedding AS q_emb, cell
+  FROM cells WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.qid, e.vec_id, e.label,
+         CASE WHEN {ne} > 0 AND {nq} > 0
+              THEN ({dot}) / ({ne} * {nq}) END AS cosine
+  FROM cells e JOIN q ON e.cell = q.cell
+  WHERE e.vec_id <> q.qid AND e.label <> q.q_label
+)
+SELECT qid, vec_id AS neg_id, CAST(label AS BIGINT) AS neg_label,
+       cosine, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) t
+WHERE rn <= 3
+"""
+
+
+@register("embeddings_hard_negatives", _hard_neg_sql())
+def embeddings_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor vector (deterministic 1/50 keyset), the 3 most-similar
+    vectors with a DIFFERENT label — the semi-hard negatives that teach
+    a metric model its decision boundary (random negatives, by
+    contrast, are docs_negative_sampling's lexical tier).
+
+    Scale shape: the O(n²) different-label cross join is bounded by the
+    same SRP sign-bit cells the IVF tier uses (operators/similarity.py:
+    srp_signature, 16 cells) — each anchor scores ONLY its own cell,
+    i.e. the vectors most likely to be hard, which is exactly the
+    candidate set the mining wants anyway. The anchors side is
+    SF-linear (1/50 of the corpus), so it is a PLAIN keyed join on
+    cell — no broadcast hint, AQE sizes the build (the r4-verdict
+    forced-broadcast lesson); the per-anchor top-3 is one row_number
+    window, map-side-pruned by WindowGroupLimit. Cosines are the repo's
+    explicit left-associated double chains — bit-identical across
+    engines, so ranking and values hash-match without tolerance."""
+    from .operators.similarity import IVF_PLANES, srp_signature
+    from .functions.vectors import (
+        dot_chain_spark,
+        norm_chain_spark,
+    )
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = srp_signature(e, IVF_PLANES).withColumnRenamed(
+        "srp_sig", "cell"
+    )
+    q = cells.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        "cell",
+    )
+    pairs = cells.join(q, "cell").filter(
+        (F.col("vec_id") != F.col("qid"))
+        & (F.col("label") != F.col("q_label"))
+    )
+    dim = 64
+    dot = dot_chain_spark("embedding", "q_emb", dim)
+    nv = norm_chain_spark("embedding", dim)
+    nq = norm_chain_spark("q_emb", dim)
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        "label",
+        F.when((nv > 0) & (nq > 0), dot / (nv * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").cast("bigint").alias("neg_label"),
+            "cosine",
+            "rn",
+        )
+    )

@@ -1024,3 +1024,81 @@ def quotes_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
+
+
+@register(
+    "events_histogram_drift",
+    """
+WITH binned AS (
+  SELECT CAST(floor(value / 32) AS BIGINT) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END
+           AS w
+  FROM events
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM binned
+)
+SELECT b.bin,
+       CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+       CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b,
+       CAST(abs(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) * t.n_b
+                - sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) * t.n_a)
+            AS BIGINT) AS drift_term
+FROM binned b, tot t
+GROUP BY b.bin, t.n_a, t.n_b
+""",
+)
+def events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two time windows of the value
+    stream — the PSI-class check a model-serving pipeline runs before
+    trusting this week's features against last week's training
+    distribution, reported as per-bin L1 drift terms.
+
+    Exactness: bin edges are the binary fraction value/32 (one exact
+    IEEE divide by a power of two + floor — identical bits on both
+    engines); the drift statistic avoids per-bin proportions (c_a/n_a
+    would be an engine-ordered float) by cross-multiplying to the
+    common denominator: |c_a·n_b − c_b·n_a| is an exact BIGINT, and
+    Σterm/(n_a·n_b) — the actual L1 distance — is one final divide the
+    consumer applies (the classic log-based PSI is a one-expression
+    swap where cross-engine hashing isn't needed). Shape: single scan,
+    map-side combinable two-way conditional counts per bin (≤16
+    groups), 1-row totals broadcast back — no shuffle wider than the
+    bin cardinality at any SF."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        F.floor(F.col("value") / 32).cast("bigint").alias("bin"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("w"),
+    )
+    tot = binned.agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "c_a",
+        "c_b",
+        F.abs(
+            F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")
+        )
+        .cast("bigint")
+        .alias("drift_term"),
+    )

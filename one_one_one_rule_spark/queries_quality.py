@@ -2844,3 +2844,274 @@ def parts_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("dist").alias("dist")
         ).localCheckpoint(eager=True)
     return dist.select("part", F.col("dist").alias("min_dist"))
+
+
+# ---------------------------------------------------------------------------
+# Compliance / metadata ops (round 5b): GDPR deletion cascade, functional-
+# dependency discovery, sampling-based join-cardinality estimation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_deletion_cascade",
+    """
+WITH del_c AS (
+  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 97 = 0
+),
+del_o AS (
+  SELECT o.o_orderkey, d.c_nationkey
+  FROM orders o JOIN del_c d ON o.o_custkey = d.c_custkey
+),
+del_l AS (
+  SELECT o.c_nationkey,
+         CAST(count(*) AS BIGINT) AS n_lineitems,
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+           AS revenue_e4
+  FROM lineitem l JOIN del_o o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.c_nationkey
+)
+SELECT n.n_name,
+       CAST(cnt.n_customers AS BIGINT) AS n_customers,
+       CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(dl.n_lineitems, 0) AS BIGINT) AS n_lineitems,
+       CAST(COALESCE(dl.revenue_e4, 0) AS BIGINT) AS revenue_removed_e4
+FROM (SELECT c_nationkey, count(*) AS n_customers
+      FROM del_c GROUP BY c_nationkey) cnt
+JOIN nation n ON n.n_nationkey = cnt.c_nationkey
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_orders
+           FROM del_o GROUP BY c_nationkey) oc
+  ON oc.c_nationkey = cnt.c_nationkey
+LEFT JOIN del_l dl ON dl.c_nationkey = cnt.c_nationkey
+""",
+)
+def customer_deletion_cascade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) impact report: given a deletion
+    list of customers (deterministic 1/97 keyset standing in for the
+    request table), count the full referential cascade — orders, line
+    items — and the exact revenue the erasure removes, grouped by the
+    deleted customers' nation.
+
+    Production shape for a 100 TB store: the deletion list is
+    request-bounded but treated as SF-linear here (no broadcast hint —
+    every hop is a plain keyed join AQE sizes at runtime). customer →
+    orders joins on custkey, orders → lineitem on orderkey; both
+    aggregates are combinable counts/sums of exact integer cents
+    (cents × discount-cents = 1e-4 units, the repo's cross-engine
+    convention), so the cascade costs two fact-linear shuffles and the
+    final per-nation rollup is dimension-bounded (25 rows). The same
+    plan with the counts replaced by DELETE writes is the actual
+    erasure job; the report IS its dry-run audit."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+
+    del_c = c.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    del_o = o.join(del_c, o.o_custkey == del_c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast(
+        "bigint"
+    ) * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+    del_l = (
+        li.join(del_o, li.l_orderkey == del_o.o_orderkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.sum(rev_e4).alias("revenue_e4"),
+        )
+    )
+    cnt = del_c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    oc = del_o.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return (
+        cnt.join(n, cnt.c_nationkey == n.n_nationkey)
+        .join(oc, "c_nationkey", "left")
+        .join(del_l, "c_nationkey", "left")
+        .select(
+            "n_name",
+            "n_customers",
+            F.coalesce(F.col("n_orders"), F.lit(0))
+            .cast("bigint")
+            .alias("n_orders"),
+            F.coalesce(F.col("n_lineitems"), F.lit(0))
+            .cast("bigint")
+            .alias("n_lineitems"),
+            F.coalesce(F.col("revenue_e4"), F.lit(0))
+            .cast("bigint")
+            .alias("revenue_removed_e4"),
+        )
+    )
+
+
+@register(
+    "orders_fd_violations",
+    """
+WITH f1 AS (
+  SELECT 'o_custkey->o_orderpriority' AS fd,
+         CAST(count(*) AS BIGINT) AS lhs_groups,
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_lhs,
+         CAST(max(nd) AS BIGINT) AS max_rhs
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+        FROM orders GROUP BY o_custkey)
+),
+f2 AS (
+  SELECT 'p_partkey->p_brand', count(*),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd)
+  FROM (SELECT p_partkey, count(DISTINCT p_brand) AS nd
+        FROM part GROUP BY p_partkey)
+),
+f3 AS (
+  SELECT 'p_brand->p_type', count(*),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd)
+  FROM (SELECT p_brand, count(DISTINCT p_type) AS nd
+        FROM part GROUP BY p_brand)
+),
+f4 AS (
+  SELECT 'c_nationkey->n_regionkey', count(*),
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd)
+  FROM (SELECT c.c_nationkey, count(DISTINCT n.n_regionkey) AS nd
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_nationkey)
+),
+u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+SELECT fd, lhs_groups, violating_lhs, max_rhs,
+       CASE WHEN violating_lhs = 0 THEN 'holds' ELSE 'violated' END
+         AS verdict
+FROM u
+""",
+)
+def orders_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate FDs — the
+    profiling pass schema-inference and data-contract tools run before
+    trusting a column as a key or a derivable attribute (complements
+    schema_fk_inference, which checks CROSS-table containment; this
+    checks WITHIN-row determination).
+
+    Each candidate FD lhs→rhs is one groupBy(lhs) countDistinct(rhs):
+    map-side partial distinct then a keyed shuffle on lhs — never a
+    pair join. The four verdict rows include a true key
+    (p_partkey→p_brand), a dimension-derived FD that genuinely holds
+    (c_nationkey→n_regionkey through the nation join), and two that the
+    data violates, so both verdict branches are exercised under the
+    hash gate. At 100 TB, candidate-FD checking stays one shuffle per
+    FD over combinable partial aggregates; the summary is 4 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def fd(name: str, grouped: DataFrame) -> DataFrame:
+        return grouped.agg(
+            F.count(F.lit(1)).cast("bigint").alias("lhs_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("violating_lhs"),
+            F.max("nd").cast("bigint").alias("max_rhs"),
+        ).select(F.lit(name).alias("fd"), "*")
+
+    f1 = fd(
+        "o_custkey->o_orderpriority",
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("nd"))
+        .groupBy(),
+    )
+    f2 = fd(
+        "p_partkey->p_brand",
+        p.groupBy("p_partkey")
+        .agg(F.countDistinct("p_brand").alias("nd"))
+        .groupBy(),
+    )
+    f3 = fd(
+        "p_brand->p_type",
+        p.groupBy("p_brand")
+        .agg(F.countDistinct("p_type").alias("nd"))
+        .groupBy(),
+    )
+    f4 = fd(
+        "c_nationkey->n_regionkey",
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("n_regionkey").alias("nd"))
+        .groupBy(),
+    )
+    u = f1.unionByName(f2).unionByName(f3).unionByName(f4)
+    return u.select(
+        "fd",
+        "lhs_groups",
+        "violating_lhs",
+        "max_rhs",
+        F.when(F.col("violating_lhs") == 0, "holds")
+        .otherwise("violated")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "lineitem_join_size_estimate",
+    """
+WITH pk AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey
+),
+exact AS (SELECT SUM(c * c) AS exact_size FROM pk),
+est AS (
+  SELECT 101 * SUM(c * c) AS est_size
+  FROM pk WHERE (l_partkey * 2654435761) % 101 = 0
+)
+SELECT CAST(exact.exact_size AS BIGINT) AS exact_size,
+       CAST(est.est_size AS BIGINT) AS est_size,
+       CAST(abs(est.est_size - exact.exact_size) * 1000000
+            // exact.exact_size AS BIGINT) AS abs_err_ppm
+FROM exact, est
+""",
+)
+def lineitem_join_size_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampling-based join-cardinality estimation — the
+    optimizer-statistics problem: |R ⋈_k R| = Σ_k c(k)² for the
+    lineitem self-join on partkey, estimated from a deterministic 1/101
+    hash sample OF KEYS (not rows — per-key counts must stay complete,
+    or c(k)² is biased low) and compared against the exact size, with
+    the relative error reported in exact ppm.
+
+    The key-sample estimator is what cost-based optimizers and
+    skew-detection passes actually compute before choosing a join
+    strategy; keeping per-key counts exact makes the estimate an
+    unbiased Horvitz–Thompson scale-up. Shape: ONE combinable
+    groupBy(partkey) count feeds both the exact and sampled sums
+    (localCheckpoint — the fact table is scanned once), then two 1-row
+    aggregates broadcast-cross into the comparison row. The ppm error
+    is integer: |est−exact|·10⁶ div exact — no float accumulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    exact = pk.agg(F.sum(F.col("c") * F.col("c")).alias("exact_size"))
+    est = pk.filter((F.col("l_partkey") * 2654435761) % 101 == 0).agg(
+        (F.lit(101) * F.sum(F.col("c") * F.col("c"))).alias("est_size")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            F.col("exact_size").cast("bigint").alias("exact_size"),
+            F.col("est_size").cast("bigint").alias("est_size"),
+            F.expr(
+                "CAST(abs(est_size - exact_size) * 1000000 div exact_size"
+                " AS BIGINT)"
+            ).alias("abs_err_ppm"),
+        )
+    )

@@ -431,3 +431,275 @@ def _qc_stop_hits_expr() -> str:
 
     arr = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return f"size(filter(split(text, ' '), x -> x IN ({arr})))"
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / sampling (round 5b)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "slow", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "docs_bm25_topk",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+         (SELECT sum(dl)::BIGINT FROM dl) AS t
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           (1000000::HUGEINT * (2*s.n - 2*df.df + 1) * 36 * s.t * tf.tf)
+           // ((2*df.df + 1)::HUGEINT
+               * (16*s.t*tf.tf + 5*s.t + 15*dl.dl*s.n))
+         )::BIGINT AS bm25_scaled,
+         count(*)::BIGINT AS n_terms
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25_scaled, n_terms FROM scored
+ORDER BY bm25_scaled DESC, doc_id ASC LIMIT 5
+""",
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval for a fixed 4-term query over the documents
+    corpus — the lexical ranking function behind every production search
+    / RAG-retrieval tier, with Okapi parameters k1=5/4, b=3/4 (exact
+    binary fractions).
+
+    Exactness: the per-term score idf·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    is cleared of ALL divisions by multiplying through by 16·T (T = total
+    corpus tokens): numerator 36·T·tf·(2N−2df+1), denominator
+    (2df+1)·(16·T·tf + 5·T + 15·dl·N) — exact integers in decimal(38,0)
+    (HUGEINT on the oracle; products reach ~1e22, past int64), combined
+    with ONE integral division per (doc,term) quantized to 1e6 units
+    (floor — same truncation both engines), then summed as BIGINT. The
+    idf is the repo's linear (N−df+½)/(df+½) — log() is libm-dependent
+    in the last ulp (docs_tfidf_top_terms sets the precedent).
+
+    Scale shape: dl is one combinable count per doc; T derives from dl
+    (no second corpus pass); tf/df exist ONLY for the 4 query terms —
+    the filter lands directly on the exploded stream, so the scoring
+    join is query-bounded, df (≤4 rows) and the 1-row stats broadcast,
+    and the top-5 is a TakeOrderedAndProject, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = n_docs.crossJoin(
+        F.broadcast(dl.agg(F.sum("dl").cast("bigint").alias("t")))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.lit(1000000).cast(dec)
+        * (2 * F.col("n") - 2 * F.col("df") + 1)
+        * 36
+        * F.col("t")
+        * F.col("tf")
+    )
+    den = (2 * F.col("df") + 1).cast(dec) * (
+        16 * F.col("t") * F.col("tf")
+        + 5 * F.col("t")
+        + 15 * F.col("dl") * F.col("n")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            num.alias("num"),
+            den.alias("den"),
+        )
+        .select(
+            "doc_id", F.expr("CAST(num div den AS BIGINT)").alias("contrib")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").cast("bigint").alias("bm25_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("bm25_scaled"), F.asc("doc_id")
+    ).limit(5)
+
+
+@register(
+    "docs_negative_sampling",
+    """
+WITH anchors AS (
+  SELECT doc_id AS anchor_id, source AS a_src FROM documents
+  WHERE doc_id % 20 = 0
+),
+cands AS (
+  SELECT doc_id AS cand_id, source AS c_src,
+         (doc_id * 2654435761) % 8 AS bucket
+  FROM documents
+),
+paired AS (
+  SELECT a.anchor_id, c.cand_id, c.c_src,
+         (((a.anchor_id % 1000000007) * 97
+           + (c.cand_id % 1000000007) * 31) % 1000000007
+          * 2654435761) % 9973 AS h
+  FROM anchors a JOIN cands c
+    ON c.bucket = (a.anchor_id * 2654435761) % 8
+  WHERE c.cand_id <> a.anchor_id AND c.c_src <> a.a_src
+),
+ranked AS (
+  SELECT anchor_id, cand_id, c_src, h,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY h, cand_id)
+           AS rn
+  FROM paired
+)
+SELECT anchor_id, CAST(rn AS BIGINT) AS rn, cand_id AS neg_id,
+       c_src AS neg_source, CAST(h AS BIGINT) AS h
+FROM ranked WHERE rn <= 3
+""",
+)
+def docs_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    for each anchor document, draw 3 pseudo-random negatives from OTHER
+    sources (same-source docs are excluded as likely near-duplicates —
+    the standard in-batch-negative contamination guard).
+
+    Scale shape: the naive formulation is an anchors × corpus cross
+    join; here candidates are pre-bucketed by a multiplicative hash
+    (B=8) and each anchor probes exactly its own bucket — a plain keyed
+    join whose fan-out is |corpus|/B per anchor, with B scaled up at
+    higher SF (B≈corpus/1e4 keeps per-anchor work constant). The
+    per-pair priority is an overflow-safe mod-p mix (operands stay
+    under 2^63 at ANY key magnitude: reduce mod 1e9+7 BEFORE the
+    multiplies — the queries_quality.py CUSUM lesson), then a
+    row_number window per anchor picks the 3 smallest: one shuffle on
+    anchor_id, map-side WindowGroupLimit prunes the rest."""
+    d = load_table(spark, sf_dir, "documents")
+    anchors = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("a_src"),
+        ((F.col("doc_id") * 2654435761) % 8).alias("bucket"),
+    )
+    cands = d.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("source").alias("c_src"),
+        ((F.col("doc_id") * 2654435761) % 8).alias("bucket"),
+    )
+    M = 1000000007
+    h = (
+        (
+            (F.col("anchor_id") % M) * 97 + (F.col("cand_id") % M) * 31
+        )
+        % M
+        * 2654435761
+    ) % 9973
+    paired = (
+        anchors.join(cands, "bucket")
+        .filter(
+            (F.col("cand_id") != F.col("anchor_id"))
+            & (F.col("c_src") != F.col("a_src"))
+        )
+        .select("anchor_id", "cand_id", "c_src", h.alias("h"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.asc("h"), F.asc("cand_id")
+    )
+    return (
+        paired.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "anchor_id",
+            "rn",
+            F.col("cand_id").alias("neg_id"),
+            F.col("c_src").alias("neg_source"),
+            F.col("h").cast("bigint").alias("h"),
+        )
+    )
+
+
+@register(
+    "docs_boolean_retrieval",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_join,
+         CAST(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_vector,
+         CAST(sum(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_slow
+  FROM toks
+  WHERE term IN ('join', 'vector', 'slow')
+  GROUP BY doc_id
+)
+SELECT doc_id, c_join, c_vector, c_slow
+FROM hits
+WHERE c_join > 0 AND c_vector > 0 AND c_slow = 0
+""",
+)
+def docs_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean inverted-index retrieval: docs matching the query
+    ``join AND vector AND NOT slow`` — the posting-list set algebra that
+    precedes ranked retrieval (docs_bm25_topk is the ranked tier over
+    the same index).
+
+    Shape: the term filter lands on the exploded stream (only the three
+    query terms' postings survive the map side), one combinable
+    conditional-count aggregate per doc builds all three posting
+    membership counts in a single shuffle, and the AND/AND-NOT predicate
+    is a residual filter on the aggregate — intersection and negation
+    never materialize separate posting lists or join them. The NOT term
+    costs nothing extra: its count is just another conditional sum that
+    must be zero."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    hits = (
+        toks.filter(F.col("term").isin("join", "vector", "slow"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c_{t}")
+                for t in ("join", "vector", "slow")
+            ]
+        )
+    )
+    return hits.filter(
+        (F.col("c_join") > 0)
+        & (F.col("c_vector") > 0)
+        & (F.col("c_slow") == 0)
+    )

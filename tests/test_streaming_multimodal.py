@@ -491,3 +491,106 @@ def test_stdlib_decode_rejects_near_misses(spark):
     assert decode_image(b"BM" + bmp[2:52]) is None  # truncated header
     assert decode_image(b"P6 text not numbers") is None
     assert decode_image("BMarbitrary text payload".encode()) is None
+
+
+# --- WAV codec tier (round 5b) ---------------------------------------------
+
+
+def test_wav_decode_roundtrip_and_strictness():
+    """decode_wav must byte-exactly invert synthesize_wav's container and
+    reject every malformed variant (truncation, bad magic, wrong RIFF
+    size, stereo fmt) — the strictness contract that keeps arbitrary
+    payloads out of the decode path (same as decode_image's)."""
+    import struct
+
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _wav_samples,
+        decode_wav,
+    )
+
+    def build(mid: int, n: int) -> bytes:
+        pcm = _wav_samples(mid, n).tobytes()
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(pcm))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(pcm))
+            + pcm
+        )
+
+    for mid in (1, 4, 97):
+        n = 64 + mid % 64
+        payload = build(mid, n)
+        s = decode_wav(payload)
+        assert s is not None
+        assert np.array_equal(s, _wav_samples(mid, n))
+        # strictness: every corruption must be rejected, not best-effort
+        assert decode_wav(payload[:-1]) is None  # truncated data
+        assert decode_wav(b"RIFX" + payload[4:]) is None  # bad magic
+        bad_size = payload[:4] + struct.pack("<I", 0) + payload[8:]
+        assert decode_wav(bad_size) is None  # RIFF size disagrees
+        stereo = bytearray(payload)
+        stereo[22:24] = struct.pack("<H", 2)
+        assert decode_wav(bytes(stereo)) is None  # non-mono fmt
+
+
+def test_wav_frame_energy_matches_formula(spark, sf_dir):
+    """The distributed two-pass pipeline (encode mapInPandas → strict
+    decode mapInPandas → int64 frame energies) must reproduce the signal
+    formula computed directly — including the partial last frame."""
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _wav_samples,
+        synthesize_wav,
+        wav_frame_energy,
+    )
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = wav_frame_energy(synthesize_wav(docs), frame_len=64).collect()
+    assert out and all(r.backend == "stdlib" for r in out)
+    got = {(r.media_id, r.frame_idx): (r.n_samples, r.energy) for r in out}
+    mids = sorted({r.media_id for r in out})
+    for mid in mids[:5]:
+        n = 64 + mid % 64
+        sq = _wav_samples(mid, n).astype(np.int64) ** 2
+        for f in range(0, n, 64):
+            chunk = sq[f : f + 64]
+            assert got[(mid, f // 64)] == (len(chunk), int(chunk.sum()))
+
+
+def test_cogroup_attribution_tie_counts_as_prior(spark):
+    """A click at exactly the purchase timestamp attributes with gap 0
+    (searchsorted side='right' semantics == the oracle's c.ts <= p.ts)."""
+    import datetime as dt
+
+    from one_one_one_rule_spark.queries import QUERIES
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0, None),
+        (2, t0, 7, "purchase", 2.0, None),  # same ts as the click
+        (3, t0 + dt.timedelta(seconds=5), 8, "purchase", 3.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.user_id: r
+            for r in QUERIES["events_cogroup_attribution"](
+                spark, d
+            ).collect()
+        }
+    assert out[7].n_attributed == 1 and out[7].gap_us_total == 0
+    assert out[8].n_purchases == 1 and out[8].n_attributed == 0

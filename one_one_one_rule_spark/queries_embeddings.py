@@ -599,6 +599,14 @@ def embeddings_hard_negatives(
     window, map-side-pruned by WindowGroupLimit. Cosines are the repo's
     explicit left-associated double chains — bit-identical across
     engines, so ranking and values hash-match without tolerance."""
+    return hard_negative_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def hard_negative_topk(
+    e: DataFrame, anchor_mod: int = 50, k: int = 3
+) -> DataFrame:
+    """Operator form of embeddings_hard_negatives (shared with the 10x
+    scale probe, tests/test_scale_probe.py)."""
     from .operators.similarity import IVF_PLANES, srp_signature
     from .functions.vectors import (
         dot_chain_spark,
@@ -606,11 +614,10 @@ def embeddings_hard_negatives(
     )
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
     cells = srp_signature(e, IVF_PLANES).withColumnRenamed(
         "srp_sig", "cell"
     )
-    q = cells.filter(F.col("vec_id") % 50 == 0).select(
+    q = cells.filter(F.col("vec_id") % anchor_mod == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
@@ -635,7 +642,7 @@ def embeddings_hard_negatives(
     )
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .select(
             "qid",
             F.col("vec_id").alias("neg_id"),

@@ -3115,3 +3115,146 @@ def lineitem_join_size_estimate(
             ).alias("abs_err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (round 5b): fixed-round peeling on the co-purchase
+# graph — the degree-constrained-subgraph class next to PageRank (mass
+# propagation), CC (label propagation) and SSSP (distance relaxation)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """GENERATED oracle: the peel loop unrolled into explicit CTE levels
+    (one degree + remove + induced-subgraph triple per round), so DuckDB
+    re-executes the identical fixed-round semantics without recursion."""
+    ctes = [
+        f"""e0 AS (
+  WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_COPURCHASES}
+)""",
+        "v0 AS (SELECT u AS part FROM e0 UNION SELECT v FROM e0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes += [
+            f"""d{r} AS (
+  SELECT x, count(*) AS deg
+  FROM (SELECT u AS x FROM e{p} UNION ALL SELECT v FROM e{p})
+  GROUP BY x
+)""",
+            f"""dd{r} AS (
+  SELECT v{p}.part, COALESCE(d{r}.deg, 0) AS deg
+  FROM v{p} LEFT JOIN d{r} ON d{r}.x = v{p}.part
+)""",
+            f"rm{r} AS (SELECT part FROM dd{r} WHERE deg < {k})",
+            f"v{r} AS (SELECT part FROM dd{r} WHERE deg >= {k})",
+            f"""e{r} AS (
+  SELECT e.u, e.v FROM e{p} e
+  JOIN v{r} a ON e.u = a.part JOIN v{r} b ON e.v = b.part
+)""",
+        ]
+    ctes.append(
+        f"""dfin AS (
+  SELECT x, count(*) AS deg
+  FROM (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+  GROUP BY x
+)"""
+    )
+    removed = "\nUNION ALL\n".join(
+        f"SELECT part, CAST({r} AS BIGINT) AS removed_round,"
+        f" CAST(0 AS BIGINT) AS final_degree FROM rm{r}"
+        for r in range(1, rounds + 1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+{removed}
+UNION ALL
+SELECT v{rounds}.part, CAST(0 AS BIGINT) AS removed_round,
+       CAST(COALESCE(dfin.deg, 0) AS BIGINT) AS final_degree
+FROM v{rounds} LEFT JOIN dfin ON dfin.x = v{rounds}.part
+"""
+
+
+@register("parts_copurchase_kcore", _kcore_sql())
+def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3, 3 synchronous peel rounds) of the
+    co-purchase graph: each round computes in-subgraph degrees, removes
+    every vertex below k, and induces the surviving subgraph — the
+    degree-constrained peeling kernel behind community cores, spam/bot
+    subgraph mining and graph sparsification.
+
+    Fixed-round contract (like parts_copurchase_pagerank's 3 rounds):
+    the output labels each vertex with its removal round (1-3) or 0 for
+    the round-3 survivors together with their remaining degree —
+    survivors below k simply haven't been peeled YET, which the
+    generated unrolled oracle reproduces exactly.
+
+    Scale shape: per round, one combinable degree aggregate over the
+    live edge list plus two semi-join-shaped keyed joins to induce the
+    subgraph — all edge-linear, no broadcast hints (AQE sizes the
+    shrinking vertex sets), each round's frontier localCheckpoint-ed so
+    the lineage stays flat across rounds (the SSSP/PageRank
+    convention). Removed-vertex sets are dimension-bounded outputs,
+    never collected to the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li, _TRI_MIN_COPURCHASES)
+    verts = (
+        edges.select(F.col("u").alias("part"))
+        .union(edges.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    removed_parts = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        dd = verts.join(deg, verts.part == deg.x, "left").select(
+            "part", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+        )
+        rm = dd.filter(F.col("deg") < _KCORE_K).select("part")
+        removed_parts.append(
+            rm.select(
+                "part",
+                F.lit(r).cast("bigint").alias("removed_round"),
+                F.lit(0).cast("bigint").alias("final_degree"),
+            ).localCheckpoint(eager=True)
+        )
+        verts = (
+            dd.filter(F.col("deg") >= _KCORE_K)
+            .select("part")
+            .localCheckpoint(eager=True)
+        )
+        a = verts.select(F.col("part").alias("u"))
+        b = verts.select(F.col("part").alias("v"))
+        edges = (
+            edges.join(a, "u").join(b, "v").localCheckpoint(eager=True)
+        )
+    dfin = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    survivors = verts.join(dfin, verts.part == dfin.x, "left").select(
+        "part",
+        F.lit(0).cast("bigint").alias("removed_round"),
+        F.coalesce(F.col("deg"), F.lit(0))
+        .cast("bigint")
+        .alias("final_degree"),
+    )
+    out = survivors
+    for rm in removed_parts:
+        out = out.unionByName(rm)
+    return out

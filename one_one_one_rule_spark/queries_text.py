@@ -494,7 +494,15 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter lands directly on the exploded stream, so the scoring
     join is query-bounded, df (≤4 rows) and the 1-row stats broadcast,
     and the top-5 is a TakeOrderedAndProject, never a global sort."""
-    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def bm25_topk(
+    d: DataFrame, terms: tuple = _BM25_TERMS, k: int = 5
+) -> DataFrame:
+    """Operator form of docs_bm25_topk (shared with the 10x scale probe,
+    tests/test_scale_probe.py) — see the query docstring for the exact
+    all-integer scoring derivation."""
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -508,7 +516,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dl.agg(F.sum("dl").cast("bigint").alias("t")))
     )
     tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        toks.filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .localCheckpoint(eager=True)
@@ -549,7 +557,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.orderBy(
         F.desc("bm25_scaled"), F.asc("doc_id")
-    ).limit(5)
+    ).limit(k)
 
 
 @register(

@@ -195,3 +195,46 @@ def test_dim_correlation_completes_at_10x(spark, sf_dir):
     for k, (nv, corr) in got.items():
         assert nv == n * COPIES
         assert corr == pytest.approx(base[k], rel=1e-12, abs=1e-15)
+
+
+def test_bm25_completes_at_10x(spark, sf_dir):
+    """BM25 at 10x: every replica of a doc shares its text, so the global
+    stats scale exactly (N→10N, T→10T, df→10df) and each base doc's
+    replicas tie on score — the top-k must be k id-ordered replicas of
+    the base corpus' top-1 doc."""
+    from one_one_one_rule_spark.queries_text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_top = bm25_topk(docs, k=1).collect()[0]
+    scaled = _scaled(docs, "doc_id")
+    rows, sizes = _executed_broadcast_sizes(bm25_topk(scaled, k=5))
+    _assert_bounded(spark, sizes)
+    assert len(rows) == 5
+    assert all(r.doc_id % OFFSET == base_top.doc_id for r in rows)
+    # replicas are id-ordered: copy 0,1,2,... of the same base doc
+    assert [r.doc_id for r in rows] == [
+        base_top.doc_id + i * OFFSET for i in range(5)
+    ]
+
+
+def test_hard_negatives_complete_at_10x(spark, sf_dir):
+    """Hard-negative mining at 10x: OFFSET % anchor_mod == 0, so anchors
+    are exactly the base anchors' replicas (10x as many), each cell's
+    candidate pool is 10x, and every anchor's best-negative cosine is
+    unchanged (replicated content, identical SRP cells)."""
+    from one_one_one_rule_spark.queries_embeddings import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = hard_negative_topk(emb, anchor_mod=50, k=3).collect()
+    base_top1 = {r.qid: r.cosine for r in base if r.rn == 1}
+    scaled = _scaled(emb, "vec_id")
+    rows, sizes = _executed_broadcast_sizes(
+        hard_negative_topk(scaled, anchor_mod=50, k=3)
+    )
+    _assert_bounded(spark, sizes)
+    n_anchors_base = len(base_top1)
+    assert len(rows) == n_anchors_base * COPIES * 3
+    # every replica-anchor's best negative matches its base anchor's
+    for r in rows:
+        if r.rn == 1:
+            assert r.cosine == base_top1[r.qid % OFFSET]

@@ -600,3 +600,121 @@ def test_default_opener_sends_hardened_headers():
 
     assert "Mozilla" in FETCH_HEADERS["User-Agent"]  # browser UA, not urllib
     assert "Accept-Language" in FETCH_HEADERS
+
+
+def test_pipeline_job_entry_point(spark, tmp_path):
+    """Entry point #1 end-to-end (pipeline_job.run_pipeline, mirroring
+    reference pipeline_job.py:83-186): pinned clock, fixture source,
+    single-file CSV + dated copy, upsert post-sink, perf-logged stages."""
+    from one_one_one_rule_spark.pipeline_job import run_pipeline
+    from one_one_one_rule_spark.schemas import OUTPUT_ORDER
+    from one_one_one_rule_spark.sources.sinks import LocalCopySink
+
+    out_dir = str(tmp_path / "data")
+    upsert_dir = str(tmp_path / "drive")
+    manifest = run_pipeline(
+        spark,
+        "/root/testdata/sf0.001",
+        out_dir,
+        as_of_date="2026-01-01",
+        run_ts_utc="2026-01-01T00:00:00Z",
+        post_sink=LocalCopySink(upsert_dir),
+        upload_log=True,
+    )
+    assert manifest["n_rows"] > 0
+    with open(manifest["latest_csv"], encoding="utf-8") as fh:
+        header = fh.readline().strip().split(",")
+        n_lines = sum(1 for _ in fh)
+    # P1+P2 contract: run metadata first, then the canonical order
+    assert header == [c for c in OUTPUT_ORDER if c in header]
+    assert header[:3] == ["as_of_date", "run_ts_utc", "ticker"]
+    assert n_lines == manifest["n_rows"]
+    # dated copy + upsert-by-name post-sink both materialized
+    assert manifest["dated_csv"].endswith(
+        "nasdaq100_valuations_2026-01-01.csv"
+    )
+    assert os.path.exists(manifest["dated_csv"])
+    assert os.path.exists(
+        os.path.join(upsert_dir, "nasdaq100_valuations_2026-01-01.csv")
+    )
+    # S10: dated log shipped too, with U7 perf lines inside
+    log_copy = os.path.join(upsert_dir, "pipeline_2026-01-01.log")
+    assert os.path.exists(log_copy)
+    text = open(log_copy, encoding="utf-8").read()
+    assert "perf transform wall_ms=" in text
+    # the log ships BEFORE the final line (reference order: upload then
+    # "Pipeline finished"), so assert on the last pre-ship stage instead
+    assert "Post-sink upsert:" in text
+    assert "Pipeline finished" in open(
+        manifest["log_path"], encoding="utf-8"
+    ).read()
+
+
+def test_pipeline_job_main_cli(tmp_path):
+    """The argparse surface: python -m one_one_one_rule_spark.pipeline_job
+    (in-process to reuse the test JVM)."""
+    from one_one_one_rule_spark.pipeline_job import main
+
+    out_dir = str(tmp_path / "cli_out")
+    manifest = main(
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--output-dir", out_dir,
+            "--as-of-date", "2026-02-02",
+            "--run-ts-utc", "2026-02-02T00:00:00Z",
+            "--no-dated-copy",
+        ]
+    )
+    assert manifest["dated_csv"] is None
+    assert os.path.exists(manifest["latest_csv"])
+
+
+def test_report_job_latest_file_and_render(spark, tmp_path):
+    """Entry point #3 (report_job): dated-file max-by-parsed-date pick
+    (S11/D3), sector Markdown + HTML rendering (F19) — end-to-end over
+    two dated snapshots; the newer must win."""
+    from one_one_one_rule_spark.pipeline_job import run_pipeline
+    from one_one_one_rule_spark.report_job import run_report
+
+    out_dir = str(tmp_path / "data")
+    for day in ("2026-01-01", "2026-01-02"):
+        run_pipeline(
+            spark,
+            "/root/testdata/sf0.001",
+            out_dir,
+            as_of_date=day,
+            run_ts_utc=f"{day}T00:00:00Z",
+        )
+    manifest = run_report(spark, out_dir)
+    assert manifest["as_of_date"] == "2026-01-02"
+    assert manifest["source_csv"].endswith(
+        "nasdaq100_valuations_2026-01-02.csv"
+    )
+    md = open(manifest["report_md"], encoding="utf-8").read()
+    html = open(manifest["report_html"], encoding="utf-8").read()
+    assert md.startswith("## ") and "- tickers: " in md
+    assert "<h3" in html and "<b>hunter pass</b>" in html
+    assert manifest["n_sectors"] > 0
+
+
+def test_ticker_job_writes_symbol_csv(spark, tmp_path, ticker_csv):
+    """Entry point #2 (ticker_job): S4 chain -> F3/D2 normalize ->
+    'Symbol'-headed single CSV; the >=80 gate must reject short lists."""
+    import pytest as _pytest
+
+    from one_one_one_rule_spark.ticker_job import main
+
+    out = str(tmp_path / "nasdaq100_tickers.csv")
+    # the shared ticker_csv fixture is short — the P7 gate must trip
+    with _pytest.raises(ValueError, match=">=80"):
+        main(["--fallback-csv", ticker_csv, "--out", out])
+    # a >=80-symbol list passes and writes the exact header
+    big = str(tmp_path / "big.csv")
+    with open(big, "w", encoding="utf-8") as fh:
+        fh.write("symbol\n")
+        fh.writelines(f"T{i:03d}\n" for i in range(90))
+    manifest = main(["--fallback-csv", big, "--out", out])
+    assert manifest["n_tickers"] == 90
+    lines = open(out, encoding="utf-8").read().splitlines()
+    assert lines[0] == "Symbol"
+    assert len(lines) == 91 and lines[1] == "T000"

@@ -73,3 +73,32 @@ def plan_metrics(df) -> dict[str, int]:
         "python_evals": plan.count("EvalPython")
         + plan.count("InPandas"),  # MapInPandas / FlatMapGroupsInPandas
     }
+
+
+def observed(df, name: str, **metric_exprs):
+    """Attach named ``observe()`` metrics to a DataFrame — Spark's
+    zero-extra-pass accumulator channel: the metric expressions are
+    evaluated DURING the action that consumes the DataFrame (no second
+    job, unlike a separate ``agg()``), which is how a production run
+    reports row counts / null rates / sums per stage without doubling
+    its I/O (the lazy-engine upgrade of the reference's post-stage
+    ``len(df)`` logging, pipeline_job.py:112-118).
+
+    Returns ``(df, fetch)`` where ``fetch()`` yields the metrics dict
+    after the first action on ``df``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[v.alias(k) for k, v in metric_exprs.items()])
+
+    def fetch() -> dict:
+        got = obs.get
+        logger.info(
+            "observe %s %s",
+            name,
+            " ".join(f"{k}={got[k]}" for k in sorted(got)),
+        )
+        return got
+
+    return out, fetch

@@ -607,3 +607,59 @@ def events_stream_cms_heavy_hitters(
         .orderBy(F.desc("cms_est"), F.desc("exact_cnt"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "orders_sql_script_threshold",
+    """
+WITH tot AS (SELECT count(*) AS total FROM orders),
+cand AS (SELECT 25000*g AS t FROM generate_series(1, 200) s(g)),
+cnt AS (
+  SELECT c.t,
+         (SELECT count(*) FROM orders o WHERE o.o_totalprice > c.t)
+           AS n_above
+  FROM cand c
+)
+SELECT t AS threshold, n_above, (SELECT total FROM tot) AS total
+FROM cnt, tot WHERE n_above * 10 < total ORDER BY t LIMIT 1
+""",
+)
+def orders_sql_script_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE/SET) as a first-class
+    gated surface: an iterative threshold search — raise a price cutoff
+    in fixed steps until fewer than 10% of orders exceed it — written as
+    a procedural script whose loop runs on the COORDINATOR while every
+    per-step probe is a distributed aggregate (the same
+    control-at-driver / data-on-cluster split as the PageRank and BPE
+    convergence loops, here expressed in pure SQL).
+
+    The 10%-of-total test is the integer cross-multiplication
+    ``n_above * 10 >= total`` — no float fraction, so the loop exit is
+    engine-exact; the oracle re-derives the fixpoint declaratively
+    (first step value whose count drops below total/10). ~18 iterations
+    of a 1-row count aggregate at any SF — coordinator state is three
+    scalars, never data."""
+    o = load_table(spark, sf_dir, "orders")
+    view = "v_orders_sql_script"
+    o.createOrReplaceTempView(view)
+    try:
+        out = spark.sql(f"""
+BEGIN
+  DECLARE t BIGINT DEFAULT 0;
+  DECLARE n_above BIGINT;
+  DECLARE total BIGINT;
+  SET total = (SELECT count(*) FROM {view});
+  SET n_above = total;
+  WHILE n_above * 10 >= total DO
+    SET t = t + 25000;
+    SET n_above = (SELECT count(*) FROM {view}
+                   WHERE o_totalprice > t);
+  END WHILE;
+  SELECT t AS threshold, n_above, total;
+END
+""")
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)

@@ -718,3 +718,109 @@ def test_ticker_job_writes_symbol_csv(spark, tmp_path, ticker_csv):
     lines = open(out, encoding="utf-8").read().splitlines()
     assert lines[0] == "Symbol"
     assert len(lines) == 91 and lines[1] == "T000"
+
+
+def test_declarative_pipeline_graph_construction(spark, tmp_path):
+    """Spark 4.1 Declarative Pipelines (pyspark.pipelines): the valuation
+    DAG registers real MaterializedView outputs + Flows into a concrete
+    GraphElementRegistry, and executing the captured query functions in
+    dependency order reproduces the imperative pipeline exactly. Only
+    the Spark Connect-backed runner is environment-gated (same contract
+    as the TWS wire protocol)."""
+    from pyspark.pipelines.graph_element_registry import (
+        GraphElementRegistry,
+        graph_element_registration_context,
+    )
+
+    from one_one_one_rule_spark.config import DEFAULT_THRESHOLDS
+    from one_one_one_rule_spark.operators.cleanse import (
+        cleanse_fundamentals,
+    )
+    from one_one_one_rule_spark.operators.valuate import apply_valuation
+    from one_one_one_rule_spark.plans.declarative import define_pipeline
+    from one_one_one_rule_spark.sources.fixtures import (
+        synthetic_fundamentals,
+    )
+
+    class LocalRegistry(GraphElementRegistry):
+        def __init__(self):
+            self.outputs, self.flows, self.sql = [], [], []
+
+        def register_output(self, output):
+            self.outputs.append(output)
+
+        def register_flow(self, flow):
+            self.flows.append(flow)
+
+        def register_sql(self, sql_text, file_path):
+            self.sql.append((sql_text, file_path))
+
+    reg = LocalRegistry()
+    sf_dir = "/root/testdata/sf0.001"
+    with graph_element_registration_context(reg):
+        order = define_pipeline(spark, sf_dir)
+
+    # one MaterializedView output + one Flow per dataset, names aligned
+    assert [o.name for o in reg.outputs] == order
+    from pyspark.pipelines.output import MaterializedView
+
+    assert all(isinstance(o, MaterializedView) for o in reg.outputs)
+    flows = {f.name: f for f in reg.flows}
+    assert set(flows) == set(order)
+
+    # execute the captured graph in dependency order (what the runner
+    # does through its catalog; temp views stand in for it here)
+    for name in order:
+        flows[name].func().createOrReplaceTempView(name)
+    got = {
+        r.sector: r for r in spark.table("sector_screen_stats").collect()
+    }
+
+    # bit-for-bit identical to the imperative formulation
+    valued = apply_valuation(
+        cleanse_fundamentals(
+            synthetic_fundamentals(spark, sf_dir), order_col="k"
+        ),
+        DEFAULT_THRESHOLDS,
+    )
+    from pyspark.sql import functions as F
+
+    exp = {
+        r.sector: r
+        for r in valued.groupBy("sector")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tickers"),
+            F.sum(
+                F.when(F.col("valuation_hunter") == "pass", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hunter_pass"),
+            F.sum(
+                F.when(F.col("valuation") == "undervalued", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_undervalued"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for s in got:
+        assert (
+            got[s].n_tickers,
+            got[s].n_hunter_pass,
+            got[s].n_undervalued,
+        ) == (exp[s].n_tickers, exp[s].n_hunter_pass, exp[s].n_undervalued)
+    for name in order:
+        spark.catalog.dropTempView(name)
+
+
+def test_declarative_definitions_require_active_registry():
+    """Outside a registration context the SDP decorators must refuse —
+    the guard that keeps pipeline definitions from silently no-opping."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkRuntimeError
+
+    from one_one_one_rule_spark.plans.declarative import define_pipeline
+
+    with _pytest.raises(PySparkRuntimeError):
+        define_pipeline(None, "/root/testdata/sf0.001")

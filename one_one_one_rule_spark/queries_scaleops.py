@@ -613,7 +613,7 @@ def events_stream_cms_heavy_hitters(
     "orders_sql_script_threshold",
     """
 WITH tot AS (SELECT count(*) AS total FROM orders),
-cand AS (SELECT 25000*g AS t FROM generate_series(1, 200) s(g)),
+cand AS (SELECT 50000*g AS t FROM generate_series(1, 100) s(g)),
 cnt AS (
   SELECT c.t,
          (SELECT count(*) FROM orders o WHERE o.o_totalprice > c.t)
@@ -640,10 +640,14 @@ def orders_sql_script_threshold(
     engine-exact; the oracle re-derives the fixpoint declaratively
     (first step value whose count drops below total/10). ~18 iterations
     of a 1-row count aggregate at any SF — coordinator state is three
-    scalars, never data."""
+    scalars, never data. The view is the CHECKPOINTED single-column
+    projection, so every loop probe scans the materialized column once
+    in memory instead of re-reading the parquet table per iteration —
+    the driver-loop re-scan trap a 100 TB run cannot afford."""
     o = load_table(spark, sf_dir, "orders")
     view = "v_orders_sql_script"
-    o.createOrReplaceTempView(view)
+    prices = o.select("o_totalprice").localCheckpoint(eager=True)
+    prices.createOrReplaceTempView(view)
     try:
         out = spark.sql(f"""
 BEGIN
@@ -653,7 +657,7 @@ BEGIN
   SET total = (SELECT count(*) FROM {view});
   SET n_above = total;
   WHILE n_above * 10 >= total DO
-    SET t = t + 25000;
+    SET t = t + 50000;
     SET n_above = (SELECT count(*) FROM {view}
                    WHERE o_totalprice > t);
   END WHILE;

@@ -575,10 +575,10 @@ def test_cogroup_attribution_tie_counts_as_prior(spark):
     import tempfile
 
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
-    rows = [
-        (1, t0, 7, "click", 1.0, None),
-        (2, t0, 7, "purchase", 2.0, None),  # same ts as the click
-        (3, t0 + dt.timedelta(seconds=5), 8, "purchase", 3.0, None),
+    rows = [  # user ids inside the gate's %5 cohort
+        (1, t0, 10, "click", 1.0, None),
+        (2, t0, 10, "purchase", 2.0, None),  # same ts as the click
+        (3, t0 + dt.timedelta(seconds=5), 15, "purchase", 3.0, None),
     ]
     df = spark.createDataFrame(
         rows, "event_id bigint, ts timestamp, user_id bigint,"
@@ -592,5 +592,5 @@ def test_cogroup_attribution_tie_counts_as_prior(spark):
                 spark, d
             ).collect()
         }
-    assert out[7].n_attributed == 1 and out[7].gap_us_total == 0
-    assert out[8].n_purchases == 1 and out[8].n_attributed == 0
+    assert out[10].n_attributed == 1 and out[10].gap_us_total == 0
+    assert out[15].n_purchases == 1 and out[15].n_attributed == 0

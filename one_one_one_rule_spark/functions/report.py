@@ -59,3 +59,24 @@ def sector_report_markdown(
         F.lit("- **undervalued**: "), s(n_undervalued),
         F.lit(" of "), s(n_tickers),
     )
+
+
+def sector_screen_agg(valuations):
+    """The per-sector screen summary every report surface consumes —
+    n_tickers / n_hunter_pass / n_undervalued. SINGLE definition shared
+    by the gated ``valuation_report_html`` query, the report_job entry
+    point, and the declarative-pipeline dataset, so the pass/undervalued
+    semantics cannot drift between them."""
+    return valuations.groupBy("sector").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tickers"),
+        F.sum(
+            F.when(F.col("valuation_hunter") == "pass", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hunter_pass"),
+        F.sum(
+            F.when(F.col("valuation") == "undervalued", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_undervalued"),
+    )

@@ -282,8 +282,6 @@ def synthesize_wav(docs: DataFrame) -> DataFrame:
     cycle): a REAL byte-valid WAV container around the deterministic
     signal, built Arrow-batched on the executors — the ingest half of the
     audio codec tier."""
-    from collections.abc import Iterator as _It  # noqa: F401
-
     audio = docs.filter(F.col("doc_id") % 3 == 1).select(
         F.col("doc_id").alias("media_id"),
         (64 + F.col("doc_id") % 64).cast("int").alias("n_samples"),

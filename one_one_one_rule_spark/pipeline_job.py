@@ -58,13 +58,18 @@ def run_metadata(tz_name: str = DEFAULT_TZ) -> tuple[str, str]:
     return as_of, run_ts
 
 
-def _setup_logger(log_path: str) -> logging.Logger:
+def _setup_logger(
+    log_path: str,
+) -> tuple[logging.Logger, logging.Handler]:
     """S10 — file + console logger for the run (pipeline_job.py:64-79).
     Also attaches the file handler to the perf logger so U7 lines land
-    in the shipped log."""
+    in the shipped log; the handler is returned so the caller can detach
+    it from the shared perf logger when the run ends."""
     logger = logging.getLogger("one_one_one_rule_spark.pipeline")
     logger.setLevel(logging.INFO)
-    logger.handlers.clear()
+    for h in logger.handlers[:]:  # close, don't just drop: no fd leak
+        logger.removeHandler(h)
+        h.close()
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
     fh = logging.FileHandler(log_path, encoding="utf-8")
     fh.setFormatter(fmt)
@@ -74,9 +79,10 @@ def _setup_logger(log_path: str) -> logging.Logger:
     logger.addHandler(sh)
     perf = logging.getLogger("one_one_one_rule_spark.perf")
     perf.setLevel(logging.INFO)
-    perf.handlers.clear()
+    for h in perf.handlers[:]:
+        perf.removeHandler(h)
     perf.addHandler(fh)
-    return logger
+    return logger, fh
 
 
 def run_pipeline(
@@ -103,7 +109,7 @@ def run_pipeline(
     log_path = os.path.join(
         output_dir, f"{log_file_prefix}_{as_of_date}.log"
     )
-    logger = _setup_logger(log_path)
+    logger, run_handler = _setup_logger(log_path)
     logger.info("Pipeline start")
     logger.info("as_of_date=%s run_ts_utc=%s", as_of_date, run_ts_utc)
 
@@ -127,8 +133,11 @@ def run_pipeline(
             as_of_date=as_of_date,
             run_ts_utc=run_ts_utc,
         )
-        n = out.count()
-        return out, n
+        # one materialization feeds the count AND both CSV writes —
+        # without it the full fetch->cleanse->valuate plan re-executes
+        # per action (the repo's multi-consumer checkpoint convention)
+        out = out.localCheckpoint(eager=True)
+        return out, out.count()
 
     output, n_rows = transform()
     logger.info("Valuation rows: %d", n_rows)
@@ -160,6 +169,12 @@ def run_pipeline(
             ship(log_path, post_sink, os.path.basename(log_path))
 
     logger.info("Pipeline finished")
+    # detach the per-run file handler from the SHARED perf logger so a
+    # later job in the same process doesn't keep appending U7 lines to
+    # this run's dated log
+    logging.getLogger("one_one_one_rule_spark.perf").removeHandler(
+        run_handler
+    )
     return {
         "as_of_date": as_of_date,
         "run_ts_utc": run_ts_utc,

@@ -21,7 +21,6 @@ scheduler hop is environment-gated.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 
 def define_pipeline(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -55,19 +54,8 @@ def define_pipeline(spark: SparkSession, sf_dir: str) -> list[str]:
 
     @dp.materialized_view(name="sector_screen_stats")
     def sector_screen_stats():
-        v = spark.table("valuations")
-        return v.groupBy("sector").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tickers"),
-            F.sum(
-                F.when(F.col("valuation_hunter") == "pass", 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_hunter_pass"),
-            F.sum(
-                F.when(F.col("valuation") == "undervalued", 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_undervalued"),
-        )
+        from ..functions.report import sector_screen_agg
+
+        return sector_screen_agg(spark.table("valuations"))
 
     return ["fundamentals_cleansed", "valuations", "sector_screen_stats"]

@@ -4585,16 +4585,7 @@ def valuation_report_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a 27-row aggregate here, but the expression is row-parallel — the
     same column renders N million per-document reports with zero Python
     and zero extra shuffles."""
-    v = _valued(spark, sf_dir)
-    agg = v.groupBy("sector").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tickers"),
-        F.sum(F.when(F.col("valuation_hunter") == "pass", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_hunter_pass"),
-        F.sum(F.when(F.col("valuation") == "undervalued", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_undervalued"),
-    )
+    agg = R.sector_screen_agg(_valued(spark, sf_dir))
     md = R.sector_report_markdown(
         F.col("sector"),
         F.col("n_tickers"),

@@ -607,7 +607,11 @@ def hard_negative_topk(
 ) -> DataFrame:
     """Operator form of embeddings_hard_negatives (shared with the 10x
     scale probe, tests/test_scale_probe.py)."""
-    from .operators.similarity import IVF_PLANES, srp_signature
+    from .operators.similarity import (
+        EMBED_DIM,
+        IVF_PLANES,
+        srp_signature,
+    )
     from .functions.vectors import (
         dot_chain_spark,
         norm_chain_spark,
@@ -627,7 +631,7 @@ def hard_negative_topk(
         (F.col("vec_id") != F.col("qid"))
         & (F.col("label") != F.col("q_label"))
     )
-    dim = 64
+    dim = EMBED_DIM  # single source of truth shared with the SQL oracle
     dot = dot_chain_spark("embedding", "q_emb", dim)
     nv = norm_chain_spark("embedding", dim)
     nq = norm_chain_spark("q_emb", dim)

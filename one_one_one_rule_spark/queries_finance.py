@@ -1063,10 +1063,12 @@ def events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     common denominator: |c_a·n_b − c_b·n_a| is an exact BIGINT, and
     Σterm/(n_a·n_b) — the actual L1 distance — is one final divide the
     consumer applies (the classic log-based PSI is a one-expression
-    swap where cross-engine hashing isn't needed). Shape: single scan,
-    map-side combinable two-way conditional counts per bin (≤16
-    groups), 1-row totals broadcast back — no shuffle wider than the
-    bin cardinality at any SF."""
+    swap where cross-engine hashing isn't needed). Shape: single scan —
+    the two-int binned projection is checkpointed because BOTH the
+    totals and the per-bin aggregate consume it (without that the fact
+    table is read twice) — then map-side combinable two-way conditional
+    counts per bin (≤16 groups), 1-row totals broadcast back — no
+    shuffle wider than the bin cardinality at any SF."""
     e = load_table(spark, sf_dir, "events")
     binned = e.select(
         F.floor(F.col("value") / 32).cast("bigint").alias("bin"),
@@ -1075,7 +1077,7 @@ def events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(1)
         .alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     tot = binned.agg(
         F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
         .cast("bigint")

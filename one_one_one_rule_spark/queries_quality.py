@@ -2901,7 +2901,10 @@ def customer_deletion_cascade(
     aggregates are combinable counts/sums of exact integer cents
     (cents × discount-cents = 1e-4 units, the repo's cross-engine
     convention), so the cascade costs two fact-linear shuffles and the
-    final per-nation rollup is dimension-bounded (25 rows). The same
+    final per-nation rollup is dimension-bounded (25 rows). del_c and
+    del_o each feed multiple join branches, so both are checkpointed
+    (the repo's multi-consumer convention) — without that the customer
+    scan runs three times and the orders⋈del_c join twice. The same
     plan with the counts replaced by DELETE writes is the actual
     erasure job; the report IS its dry-run audit."""
     c = load_table(spark, sf_dir, "customer")
@@ -2909,11 +2912,15 @@ def customer_deletion_cascade(
     li = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
 
-    del_c = c.filter(F.col("c_custkey") % 97 == 0).select(
-        "c_custkey", "c_nationkey"
+    del_c = (
+        c.filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey", "c_nationkey")
+        .localCheckpoint(eager=True)
     )
-    del_o = o.join(del_c, o.o_custkey == del_c.c_custkey).select(
-        "o_orderkey", "c_nationkey"
+    del_o = (
+        o.join(del_c, o.o_custkey == del_c.c_custkey)
+        .select("o_orderkey", "c_nationkey")
+        .localCheckpoint(eager=True)
     )
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast(
         "bigint"

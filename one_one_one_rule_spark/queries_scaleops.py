@@ -638,9 +638,13 @@ def orders_sql_script_threshold(
     The 10%-of-total test is the integer cross-multiplication
     ``n_above * 10 >= total`` — no float fraction, so the loop exit is
     engine-exact; the oracle re-derives the fixpoint declaratively
-    (first step value whose count drops below total/10). ~18 iterations
+    (first step value whose count drops below total/10). ~9 iterations
     of a 1-row count aggregate at any SF — coordinator state is three
-    scalars, never data. The view is the CHECKPOINTED single-column
+    scalars, never data, and the loop is HARD-BOUNDED: it stops at the
+    same 5,000,000 cap as the oracle's candidate range and the final
+    SELECT emits a row only when the fixpoint was actually found, so an
+    empty table (or a distribution whose cutoff exceeds the cap) yields
+    0 rows on both engines instead of an unbounded driver loop. The view is the CHECKPOINTED single-column
     projection, so every loop probe scans the materialized column once
     in memory instead of re-reading the parquet table per iteration —
     the driver-loop re-scan trap a 100 TB run cannot afford."""
@@ -656,12 +660,13 @@ BEGIN
   DECLARE total BIGINT;
   SET total = (SELECT count(*) FROM {view});
   SET n_above = total;
-  WHILE n_above * 10 >= total DO
+  WHILE total > 0 AND n_above * 10 >= total AND t < 5000000 DO
     SET t = t + 50000;
     SET n_above = (SELECT count(*) FROM {view}
                    WHERE o_totalprice > t);
   END WHILE;
-  SELECT t AS threshold, n_above, total;
+  SELECT t AS threshold, n_above, total
+  WHERE n_above * 10 < total;
 END
 """)
         return out.localCheckpoint(eager=True)

@@ -24,7 +24,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.report import markdown_to_html, sector_report_markdown
+from .functions.report import (
+    markdown_to_html,
+    sector_report_markdown,
+    sector_screen_agg,
+)
 from .session import get_spark
 
 _DATED_RE = re.compile(r"nasdaq100_valuations_(\d{4}-\d{2}-\d{2})\.csv$")
@@ -48,17 +52,10 @@ def find_latest_dated_csv(data_dir: str) -> tuple[str, str]:
 
 def sector_report(valuations: DataFrame) -> DataFrame:
     """Per-sector Markdown + HTML report over a valuation output table —
-    the same aggregate the registered ``valuation_report_html`` query
-    gates, applied to an arbitrary loaded snapshot."""
-    agg = valuations.groupBy("sector").agg(
-        F.count(F.lit(1)).alias("n_tickers"),
-        F.sum(
-            F.when(F.col("valuation_hunter") == "pass", 1).otherwise(0)
-        ).alias("n_hunter_pass"),
-        F.sum(
-            F.when(F.col("valuation") == "undervalued", 1).otherwise(0)
-        ).alias("n_undervalued"),
-    )
+    literally the same aggregate the registered ``valuation_report_html``
+    query gates (functions/report.py:sector_screen_agg), applied to an
+    arbitrary loaded snapshot."""
+    agg = sector_screen_agg(valuations)
     md = sector_report_markdown(
         F.col("sector"),
         F.col("n_tickers"),

@@ -156,3 +156,23 @@ def test_zorder_scans_fewer_rows_for_2d_predicate(spark, sf_dir):
     assert lin["files_total"] <= 16
     # the clustering payoff: fewer rows scanned for the 2-D box
     assert z["rows_scanned"] < lin["rows_scanned"]
+
+
+def test_sql_script_threshold_bounded_on_empty_orders(spark, tmp_path):
+    """The scripting loop must be hard-bounded: an empty orders table
+    exits immediately (total > 0 guard) and returns 0 rows on BOTH
+    engines — no unbounded driver loop, no spurious fixpoint row."""
+    import os
+
+    from one_one_one_rule_spark.queries import QUERIES
+
+    empty = spark.createDataFrame(
+        [],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    empty.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "orders.parquet")
+    )
+    out = QUERIES["orders_sql_script_threshold"](spark, str(tmp_path))
+    assert out.collect() == []

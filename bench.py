@@ -41,6 +41,11 @@ GATE_ORCHESTRATION = {n for n in HEADLINE if n.startswith("events_stream_")} | {
     # micro-batch drain through the custom streaming Python Data Source —
     # stream orchestration, same class as the events_stream_* gates
     "quotes_stream_ohlc",
+    # applyInPandasWithState drained with availableNow — drain choreography
+    "events_stateful_user_totals",
+    # staged file-stream probes against the persisted signature index —
+    # two foreachBatch drains plus an index write, all gate mechanics
+    "docs_stream_incremental_dedup",
 }
 
 

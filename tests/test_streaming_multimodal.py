@@ -594,3 +594,43 @@ def test_cogroup_attribution_tie_counts_as_prior(spark):
         }
     assert out[10].n_attributed == 1 and out[10].gap_us_total == 0
     assert out[15].n_purchases == 1 and out[15].n_attributed == 0
+
+
+def test_wav_arrow_stats_matches_formula_and_drops_corrupt(spark, sf_dir):
+    """The zero-copy mapInArrow stats must reproduce the signal formula
+    (energy AND raw little-endian byte sum) and silently drop payloads
+    that fail the strict container parse."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _wav_samples,
+        synthesize_wav,
+        wav_media_stats_arrow,
+    )
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    media = synthesize_wav(docs)
+    out = wav_media_stats_arrow(media).collect()
+    assert out and all(r.backend == "arrow" for r in out)
+    got = {r.media_id: (r.n_samples, r.energy, r.byte_sum) for r in out}
+    for mid in sorted(got)[:5]:
+        n = 64 + mid % 64
+        s = _wav_samples(mid, n)
+        want = (
+            n,
+            int((s.astype(np.int64) ** 2).sum()),
+            int(s.view(np.uint8).astype(np.int64).sum()),
+        )
+        assert got[mid] == want
+
+    # corrupt one payload byte-wise: strict decode drops exactly that row
+    corrupt = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") == min(got), F.lit(b"RIFX-garbage")
+        ).otherwise(F.col("payload")),
+    )
+    out2 = wav_media_stats_arrow(corrupt).collect()
+    assert {r.media_id for r in out2} == set(got) - {min(got)}

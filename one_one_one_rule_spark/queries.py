@@ -6040,3 +6040,133 @@ def orders_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n_kept")
         / F.lit(100.0),
     )
+
+
+@register(
+    "orders_pipe_syntax_revenue",
+    """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 1e2
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus <> 'P'
+GROUP BY c_mktsegment, o_orderpriority
+""",
+)
+def orders_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>`): the same segment x priority revenue
+    rollup expressed as a linear pipeline — FROM |> JOIN |> WHERE |>
+    AGGREGATE ... GROUP BY |> EXTEND |> SELECT — the composable-SQL
+    surface Spark 4.0 added for incremental query building. The oracle is
+    the classic-SQL equivalent, so the gate proves the pipe form compiles
+    to the identical relational semantics (Catalyst lowers each pipe
+    stage into the same logical operators; the physical plan is the
+    ordinary broadcast-or-shuffle join + partial/final hash aggregate —
+    no new execution machinery, so every 100 TB property of the classic
+    form carries over verbatim). Money rides exact integer cents; the
+    one float division is the identical IEEE op on both engines."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"pipe_{t}_tmp")
+    return spark.sql("""
+FROM pipe_orders_tmp
+|> JOIN pipe_customer_tmp ON o_custkey = c_custkey
+|> WHERE o_orderstatus <> 'P'
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+   GROUP BY c_mktsegment, o_orderpriority
+|> EXTEND CAST(cents AS DOUBLE) / 1e2 AS revenue
+|> SELECT c_mktsegment, o_orderpriority, n_orders, cents, revenue
+""")
+
+
+@register(
+    "customer_collation_ci_agg",
+    """
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg_mixed,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT lower(seg_mixed) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+FROM mixed
+GROUP BY lower(seg_mixed)
+""",
+)
+def customer_collation_ci_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATIONS: grouping under the ICU UNICODE_CI
+    collation merges case variants AT THE COMPARISON LAYER — no
+    normalizing rewrite of the data — which is the engine-native way to
+    fold entity keys whose case is inconsistent at ingest (ticker
+    symbols, language tags, source hostnames). The fixture mixes case
+    deterministically (upper for even custkeys, lower for odd), groups on
+    `seg_mixed COLLATE UNICODE_CI`, and emits lower(key) so the group
+    representative — which collation-equal grouping legitimately leaves
+    unspecified — is normalized before hashing; counts and exact
+    integer-cent sums prove the CI equality classes match the oracle's
+    lower() folding. Plan (measured): single scan, then SortAggregate —
+    collation equality classes have no binary-stable hash, so Catalyst
+    falls back from hash to sort aggregation — but the partial aggregate
+    still runs map-side before the exchange, so the shuffle carries one
+    row per (partition, equality class) and the fall-back costs a local
+    sort, never a wider shuffle (tests/test_plan_shapes.py locks this
+    in). At 100 TB prefer UTF8_LCASE over ICU when plain case folding
+    suffices; the plan shape is the same."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "collation_customer_tmp"
+    )
+    return spark.sql("""
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg_mixed,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM collation_customer_tmp
+)
+SELECT lower(seg_ci) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+FROM (SELECT seg_mixed COLLATE UNICODE_CI AS seg_ci, bal_cents FROM mixed)
+GROUP BY seg_ci
+""")
+
+
+@register(
+    "orders_parameterized_sql",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+GROUP BY o_orderpriority
+""",
+)
+def orders_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4 named parameter markers): the
+    filter literals arrive through ``spark.sql(query, args={...})`` as
+    TYPED parameters, not string interpolation — the injection-safe
+    templating surface for productionized SQL (the reference's Drive
+    query builder string-escapes by hand, sources/sinks.py:escaping;
+    parameter markers are the engine-native answer). Catalyst folds the
+    bound literals before optimization, so pushdown/pruning see constants
+    — the plan is byte-identical to the hand-written literal form the
+    oracle runs. Single scan + map-side-combined aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "param_orders_tmp"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM param_orders_tmp
+WHERE o_orderstatus = :status AND o_totalprice > :min_total
+GROUP BY o_orderpriority
+""",
+        args={"status": "O", "min_total": 1000.0},
+    )

@@ -311,3 +311,26 @@ def test_grouping_sets_single_aggregate_pass(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     scans = plan.count("FileScan parquet")
     assert scans == 1
+
+
+def test_pipe_syntax_lowers_to_ordinary_agg_join(spark, sf_dir):
+    # the |> pipeline must compile to the same operator classes as the
+    # classic form: one join, hash aggregate, no extra exchanges beyond
+    # the aggregate's, and nothing Python-side
+    plan = plan_of(spark, "orders_pipe_syntax_revenue", sf_dir)
+    assert "Join" in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 3  # join sides + agg, AQE-coalesced
+
+
+def test_collation_groupby_keeps_mapside_partials(spark, sf_dir):
+    # measured engine fact: a UNICODE_CI group key compiles to
+    # SortAggregate (collation equality classes have no binary-stable
+    # hash), but the scale-relevant property survives — a PARTIAL
+    # aggregate runs before the exchange, so the shuffle carries one row
+    # per (partition, equality class), not the fact table
+    plan = plan_of(spark, "customer_collation_ci_agg", sf_dir)
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert plan.index("partial_count") > plan.index("Exchange")  # map side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -329,14 +329,17 @@ def decode_wav(payload: bytes):
 
     import numpy as np
 
-    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    if payload is None or len(payload) < 44:
+        return None
+    head = bytes(payload[:12])  # tiny copy so memoryview inputs compare
+    if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
         return None
     (riff_size,) = struct.unpack_from("<I", payload, 4)
     if riff_size != len(payload) - 8:
         return None
     pos, fmt_ok, data = 12, False, None
     while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
+        cid = bytes(payload[pos : pos + 4])
         (csize,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + csize]
         if len(body) != csize:
@@ -374,14 +377,33 @@ def wav_media_stats_arrow(media: DataFrame) -> DataFrame:
         for batch in batches:
             mid_col = batch.column(batch.schema.get_field_index("media_id"))
             pay_col = batch.column(batch.schema.get_field_index("payload"))
+            # true zero-copy: slice each payload as a memoryview over the
+            # Arrow data buffer via the offsets vector — no .as_py()
+            # bytes materialization, no pandas Series. decode_wav is
+            # buffer-protocol clean (struct.unpack_from + np.frombuffer),
+            # so the only copies are the int64 upcasts the math needs.
+            off_np = (
+                np.int64
+                if pa.types.is_large_binary(pay_col.type)
+                else np.int32
+            )
+            bufs = pay_col.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=off_np)[
+                pay_col.offset : pay_col.offset + len(pay_col) + 1
+            ]
+            data = memoryview(bufs[2]) if bufs[2] is not None else None
+            ids = mid_col.to_numpy(zero_copy_only=False)
+            valid = pay_col.is_valid().to_numpy(zero_copy_only=False)
             mids, ns, eng, bsum = [], [], [], []
             for j in range(batch.num_rows):
-                s = decode_wav(pay_col[j].as_py())
+                if data is None or not valid[j]:
+                    continue  # NULL payload -> quarantine (dropped)
+                s = decode_wav(data[offsets[j] : offsets[j + 1]])
                 if s is None:
                     continue
                 u = s.astype(np.int64)
                 raw = s.view(np.uint8).astype(np.int64)
-                mids.append(mid_col[j].as_py())
+                mids.append(int(ids[j]))
                 ns.append(len(s))
                 eng.append(int((u * u).sum()))
                 bsum.append(int(raw.sum()))
@@ -424,7 +446,11 @@ def wav_frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
         for pdf in batches:
             mids, fidx, cnts, eng = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                s = decode_wav(bytes(payload))
+                s = (
+                    decode_wav(bytes(payload))
+                    if payload is not None
+                    else None
+                )
                 if s is None:
                     continue
                 sq = s.astype(np.int64) ** 2

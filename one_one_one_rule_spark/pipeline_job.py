@@ -110,6 +110,42 @@ def run_pipeline(
         output_dir, f"{log_file_prefix}_{as_of_date}.log"
     )
     logger, run_handler = _setup_logger(log_path)
+    try:
+        return _run_pipeline_logged(
+            spark,
+            sf_dir,
+            output_dir,
+            basename,
+            write_dated_copy,
+            post_sink,
+            upload_log,
+            as_of_date,
+            run_ts_utc,
+            logger,
+            log_path,
+        )
+    finally:
+        # detach the per-run file handler from the SHARED perf logger on
+        # EVERY exit path (a failed run must not leave later jobs in the
+        # same process appending U7 lines to this run's dated log)
+        logging.getLogger("one_one_one_rule_spark.perf").removeHandler(
+            run_handler
+        )
+
+
+def _run_pipeline_logged(
+    spark,
+    sf_dir,
+    output_dir,
+    basename,
+    write_dated_copy,
+    post_sink,
+    upload_log,
+    as_of_date,
+    run_ts_utc,
+    logger,
+    log_path,
+) -> dict:
     logger.info("Pipeline start")
     logger.info("as_of_date=%s run_ts_utc=%s", as_of_date, run_ts_utc)
 
@@ -169,12 +205,6 @@ def run_pipeline(
             ship(log_path, post_sink, os.path.basename(log_path))
 
     logger.info("Pipeline finished")
-    # detach the per-run file handler from the SHARED perf logger so a
-    # later job in the same process doesn't keep appending U7 lines to
-    # this run's dated log
-    logging.getLogger("one_one_one_rule_spark.perf").removeHandler(
-        run_handler
-    )
     return {
         "as_of_date": as_of_date,
         "run_ts_utc": run_ts_utc,

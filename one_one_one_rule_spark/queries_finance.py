@@ -1063,12 +1063,15 @@ def events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     common denominator: |c_a·n_b − c_b·n_a| is an exact BIGINT, and
     Σterm/(n_a·n_b) — the actual L1 distance — is one final divide the
     consumer applies (the classic log-based PSI is a one-expression
-    swap where cross-engine hashing isn't needed). Shape: single scan —
-    the two-int binned projection is checkpointed because BOTH the
-    totals and the per-bin aggregate consume it (without that the fact
-    table is read twice) — then map-side combinable two-way conditional
-    counts per bin (≤16 groups), 1-row totals broadcast back — no
-    shuffle wider than the bin cardinality at any SF."""
+    swap where cross-engine hashing isn't needed). Shape: ONE fact
+    scan — the totals are derived FROM the per-bin aggregate (Σc_a /
+    Σc_b over ≤16 bin rows), never from a second pass over events — so
+    the only relation that is checkpointed for its two consumers is the
+    bin-cardinality aggregate itself, O(bins) rows at any SF.
+    (Checkpointing the raw two-int projection instead would materialize
+    the whole fact table into executor storage to save a cheap columnar
+    re-scan, and a lost executor could not recompute it — the exact
+    inversion of what helps at 100 TB.)"""
     e = load_table(spark, sf_dir, "events")
     binned = e.select(
         F.floor(F.col("value") / 32).cast("bigint").alias("bin"),
@@ -1077,14 +1080,6 @@ def events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(1)
         .alias("w"),
-    ).localCheckpoint(eager=True)
-    tot = binned.agg(
-        F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_a"),
-        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_b"),
     )
     g = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
@@ -1093,6 +1088,10 @@ def events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
         .cast("bigint")
         .alias("c_b"),
+    ).localCheckpoint(eager=True)  # O(bins) rows; feeds totals AND output
+    tot = g.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
     )
     return g.crossJoin(F.broadcast(tot)).select(
         "bin",

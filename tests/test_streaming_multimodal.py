@@ -625,12 +625,14 @@ def test_wav_arrow_stats_matches_formula_and_drops_corrupt(spark, sf_dir):
         )
         assert got[mid] == want
 
-    # corrupt one payload byte-wise: strict decode drops exactly that row
+    # corrupt one payload byte-wise and NULL another: strict decode and
+    # the validity-bitmap guard each drop exactly their row
+    lo, hi = min(got), max(got)
     corrupt = media.withColumn(
         "payload",
-        F.when(
-            F.col("media_id") == min(got), F.lit(b"RIFX-garbage")
-        ).otherwise(F.col("payload")),
+        F.when(F.col("media_id") == lo, F.lit(b"RIFX-garbage"))
+        .when(F.col("media_id") == hi, F.lit(None).cast("binary"))
+        .otherwise(F.col("payload")),
     )
     out2 = wav_media_stats_arrow(corrupt).collect()
-    assert {r.media_id for r in out2} == set(got) - {min(got)}
+    assert {r.media_id for r in out2} == set(got) - {lo, hi}

@@ -5973,7 +5973,7 @@ def media_arrow_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH l AS (
   SELECT l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT) AS c
-  FROM lineitem
+  FROM lineitem WHERE l_orderkey % 128 = 0
 ),
 r AS (
   SELECT l_orderkey, c,
@@ -6012,13 +6012,28 @@ def orders_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot be mixed with grouped-agg pandas UDFs in one agg(), so the
     group size comes from a second one-liner UDAF — still one shuffle.
     Plan: partial=false hash aggregate keyed on l_orderkey (fact-linear
-    shuffle, AQE-coalesced), then pure projections."""
+    shuffle, AQE-coalesced), then pure projections.
+
+    The OTHER half of the scale contract, MEASURED here: grouped-agg
+    dispatch costs ~0.4 ms per group per UDAF in this Spark build (each
+    group is its own Arrow round trip), so the pass is linear in group
+    COUNT with a constant ~1000x a codegen aggregate's — 16 s over the
+    full 1.5M-order keyspace at sf0.1 vs 0.14 s for a native sum over
+    identical groups. Bounded group SIZE makes the memory safe; group
+    count sets the bill — reach for this only when the aggregate is
+    genuinely inexpressible natively and the group count is itself
+    bounded (or push the trim into the window+filter form the oracle
+    uses, which IS the native answer at fact scale). The gate therefore
+    runs the identical semantics over the deterministic 1-in-128
+    keyspace slice (l_orderkey % 128 = 0, mirrored in the oracle)."""
     from .functions.udafs import group_count_udaf, trimmed_sum_udaf
 
     trimmed_cents_sum = trimmed_sum_udaf()
     group_n = group_count_udaf()
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 128 == 0
+    )
     cents = li.select(
         "l_orderkey",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),

@@ -284,7 +284,10 @@ def test_trimmed_mean_udaf_bounded_group_semantics(spark, tmp_path):
 
     from one_one_one_rule_spark.queries import QUERIES
 
-    rows = [(1, p) for p in [10.0, 1.0, 7.0, 2.0, 7.0, 100.0]] + [(2, 5.0)]
+    rows = [(128, p) for p in [10.0, 1.0, 7.0, 2.0, 7.0, 100.0]] + [
+        (256, 5.0),
+        (17, 999.0),  # fails the 1-in-128 gate slice: must not appear
+    ]
     df = spark.createDataFrame(
         rows, "l_orderkey bigint, l_extendedprice double"
     )
@@ -298,9 +301,10 @@ def test_trimmed_mean_udaf_bounded_group_semantics(spark, tmp_path):
         ).collect()
     }
     # order 1: sorted cents [100,200,700,700,1000,10000] -> keep middle 4
-    r1 = out[1]
+    assert 17 not in out
+    r1 = out[128]
     assert (r1.n_items, r1.n_kept, r1.trimmed_cents) == (6, 4, 2600)
     assert r1.trimmed_mean == 2600.0 / 4 / 100.0
-    r2 = out[2]
+    r2 = out[256]
     assert (r2.n_items, r2.n_kept, r2.trimmed_cents) == (1, 1, 500)
     assert r2.trimmed_mean == 5.0

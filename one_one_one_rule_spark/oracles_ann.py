@@ -385,3 +385,71 @@ WHERE cosine >= {_f(tau)}
 
 
 GENERATORS["embeddings_semantic_dedup"] = semantic_dedup_oracle_sql
+
+
+def cluster_purity_oracle_sql(
+    sf_dir: str | None = None,
+    n_cells: int = 16,
+    iters: int = 3,
+) -> str | None:
+    """Generated oracle for embeddings_cluster_purity: trains the identical
+    k-means quantizer engine-independently (same sample rule / shared numpy
+    Lloyd core as semantic_dedup_oracle_sql), embeds the centroids as
+    literals, re-executes first-max argmax assignment in SQL, then computes
+    the per-cell label histogram, deterministic majority label (count desc,
+    label asc) and exact integer-ppm purity."""
+    try:
+        import numpy as np
+
+        from .operators.similarity import lloyd_kmeans
+
+        ids, emb = _load_vectors(sf_dir or GATE_SF_DIR)
+        if not ids:
+            return None
+        n = len(ids)
+        m = max(1, -(-n // MAX_SAMPLE))
+        sample = [emb[v] for v in ids if v % m == 0]
+        if len(sample) < n_cells:
+            return None
+        C = lloyd_kmeans(np.array(sample, dtype=np.float64), n_cells, iters)
+        cents = [[float(x) for x in row] for row in C]
+    except Exception:
+        return None
+
+    scores = ",\n         ".join(
+        f"{_cell_score_sql('embedding', c)} AS s{j}"
+        for j, c in enumerate(cents)
+    )
+    glist = ", ".join(f"s{j}" for j in range(n_cells))
+    cell_case = " ".join(f"WHEN s{j} = g THEN {j}" for j in range(n_cells))
+    return f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         {scores}
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, label,
+         CAST(CASE {cell_case} END AS INTEGER) AS cell
+  FROM (SELECT *, GREATEST({glist}) AS g FROM scored) t
+),
+counts AS (
+  SELECT cell, label, COUNT(*) AS n_lbl
+  FROM assigned GROUP BY cell, label
+),
+top AS (
+  SELECT cell, label AS top_label, n_lbl AS top_label_n
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cell ORDER BY n_lbl DESC, label ASC) AS rk
+    FROM counts
+  ) t WHERE rk = 1
+),
+sizes AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell)
+SELECT s.cell, s.n_vecs, t.top_label, t.top_label_n,
+       t.top_label_n * 1000000 // s.n_vecs AS purity_ppm
+FROM sizes s JOIN top t ON s.cell = t.cell
+"""
+
+
+GENERATORS["embeddings_cluster_purity"] = cluster_purity_oracle_sql

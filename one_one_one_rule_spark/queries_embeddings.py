@@ -655,3 +655,58 @@ def hard_negative_topk(
             "rn",
         )
     )
+
+
+@register(
+    "embeddings_cluster_purity", _ora_ann.cluster_purity_oracle_sql()
+)
+def embeddings_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell label purity of the deterministic k-means quantizer — the
+    clustering-QA pass a curation pipeline runs before trusting learned
+    cells for semantic dedup or curriculum bucketing (a cell whose
+    majority-label share is low is mixing concepts; its dedup pairs and
+    sampling quotas inherit that noise).
+
+    Reuses the exact quantizer the ANN/semantic tiers serve
+    (operators/similarity.py:kmeans_centroids + assign_cells, bounded
+    vec_id%m training sample), so the purity report audits the SAME model
+    artifact the other queries query — not a re-trained lookalike. Plan
+    shape at scale: one distributed assignment pass (centroid literals,
+    whole-stage codegen), one combinable groupBy on (cell,label) — the
+    shuffle carries |cells|x|labels| rows per partition, constants —
+    then window/top-1 and the size join run on |cells| rows. Purity is
+    exact integer ppm (floor), so the gate is engine-portable; hash-gated
+    by a GENERATED oracle (oracles_ann.py:cluster_purity_oracle_sql) that
+    retrains the identical quantizer and re-executes assignment +
+    histogram + majority election in SQL.
+    """
+    from pyspark.sql.window import Window
+
+    from .operators.similarity import assign_cells, kmeans_centroids
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(vecs, k=16, iters=3)
+    assigned = assign_cells(vecs, cents).select("vec_id", "label", "cell")
+    counts = assigned.groupBy("cell", "label").agg(
+        F.count("*").alias("n_lbl")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n_lbl"), F.asc("label"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("label").alias("top_label"),
+            F.col("n_lbl").alias("top_label_n"),
+        )
+    )
+    sizes = assigned.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count("*").alias("n_vecs")
+    )
+    return sizes.join(top, "cell").select(
+        "cell",
+        "n_vecs",
+        "top_label",
+        "top_label_n",
+        F.expr("top_label_n * 1000000 div n_vecs").alias("purity_ppm"),
+    )

@@ -711,3 +711,329 @@ def docs_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_vector") > 0)
         & (F.col("c_slow") == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# data-mixing queries (round 5c): language-balanced sampling + DSIR-style
+# importance resampling — the two selection passes that sit between dedup
+# and packing in a training-data pipeline.
+# ---------------------------------------------------------------------------
+
+_LANG_CAP = 75  # per-lang quota: caps the head (en) and passes tail langs whole
+# at BOTH gate scales (sf0.001 min-lang 71, sf0.01 min-lang 64)
+
+
+def _lang_balanced_oracle_sql() -> str:
+    from .functions.text import md5_hash48_sql
+
+    h = md5_hash48_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY {h}, doc_id
+         ) AS rn
+  FROM documents
+) t
+WHERE rn <= {_LANG_CAP}
+"""
+
+
+@register("docs_language_balanced_sample", _lang_balanced_oracle_sql())
+def docs_language_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language quota sampling — cap every language at ``_LANG_CAP``
+    docs, chosen by a deterministic portable hash of doc_id (a seedless
+    stand-in for a seeded uniform draw). This is the language-rebalancing
+    pass of a multilingual data mix: head languages (en here, 3x any other)
+    are downsampled to the quota while tail languages pass through whole —
+    both branches exercised at gate scale.
+
+    Scale shape: the rank<=K filter over a per-lang hash-ordered window is
+    exactly the pattern Spark 4 rewrites to WindowGroupLimit — a MAP-SIDE
+    partial top-K per language before the shuffle, so the exchange carries
+    at most K rows per language per input partition, not the corpus. The
+    head-language skew that makes naive per-group windows fall over (one
+    reducer sorts all of en) is therefore bounded by construction. The
+    hash is md5-derived (functions/text.py:md5_hash48) so the draw is
+    engine-portable and the gate is exact.
+    """
+    from pyspark.sql.window import Window
+
+    from .functions.text import md5_hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash48(F.col("doc_id").cast("string")).alias("h")
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("lang", "doc_id", h)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _LANG_CAP)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 100
+_DSIR_TARGET = "src0"
+
+
+def _dsir_oracle_sql() -> str:
+    from .functions.text import md5_hash48_sql
+
+    h = md5_hash48_sql("w")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, w, ({h}) % {_DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source, unnest(string_split_regex(text, '\\s+')) AS w
+    FROM documents
+  ) raw
+  WHERE regexp_matches(w, '^[a-z]+$')
+),
+qc AS (SELECT b, COUNT(*) AS cnt_q FROM toks GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS cnt_t FROM toks
+       WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+tot AS (
+  SELECT (SELECT CAST(SUM(cnt_q) AS HUGEINT) FROM qc) AS n_q,
+         (SELECT CAST(SUM(cnt_t) AS HUGEINT) FROM tc) AS n_t
+),
+weights AS (
+  SELECT qc.b,
+         CAST((CAST(COALESCE(tc.cnt_t, 0) AS HUGEINT) * tot.n_q * 1000000)
+              // (CAST(qc.cnt_q AS HUGEINT) * tot.n_t) AS BIGINT) AS w_ppm
+  FROM qc LEFT JOIN tc ON qc.b = tc.b, tot
+),
+scored AS (
+  SELECT toks.doc_id, SUM(w.w_ppm) AS score_ppm, COUNT(*) AS n_tokens
+  FROM toks JOIN weights w ON toks.b = w.b
+  GROUP BY toks.doc_id
+)
+SELECT doc_id, score_ppm, n_tokens
+FROM scored
+ORDER BY score_ppm DESC, doc_id ASC
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@register("docs_dsir_importance_resample", _dsir_oracle_sql())
+def docs_dsir_importance_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every corpus
+    document by how much its hashed-unigram feature distribution looks
+    like a TARGET domain (here source='src0' as the in-domain proxy), and
+    keep the top-K. The canonical statistic is a sum of log probability
+    ratios; this engine's transcendental-free substitute is the exact
+    integer-ppm frequency ratio floor(cnt_target[b] * N_corpus * 1e6 /
+    (cnt_corpus[b] * N_target)) summed per document — the same monotone
+    target-vs-corpus contrast, bit-portable across engines.
+
+    Scale shape: one corpus-linear tokenize/explode feeding two map-side
+    combinable bucket counts (the feature space is FIXED at
+    ``_DSIR_BUCKETS`` buckets, so both aggregates and the weight table are
+    bounded regardless of corpus size or vocabulary drift); the weight
+    table (<=256 rows) is a legitimate broadcast — bounded by
+    construction, not by data luck; the per-doc score is one more
+    combinable groupBy; top-K is a global orderBy+limit (partial take).
+    Ratio arithmetic rides decimal(38,0) (HUGEINT on the oracle side) so
+    the cross-multiplication cannot wrap at any corpus size; the summed
+    per-doc score is bigint with ~2^20 ppm x doc_len headroom.
+    """
+    from .functions.text import md5_hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    # tokenize + hash ONCE: the token relation feeds the corpus count,
+    # the target count AND the scoring join — without the checkpoint the
+    # plan re-scans and re-tokenizes the corpus per branch (5 scans in
+    # the audit; 1 after)
+    toks = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.filter(
+                    F.split("text", "\\s+"), lambda w: w.rlike("^[a-z]+$")
+                )
+            ).alias("w"),
+        )
+        .withColumn("b", md5_hash48(F.col("w")) % _DSIR_BUCKETS)
+        .select("doc_id", "source", "b")  # raw token pruned pre-materialize
+        .localCheckpoint(eager=True)
+    )
+    qc = toks.groupBy("b").agg(F.count("*").alias("cnt_q"))
+    tc = (
+        toks.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt_t"))
+    )
+    dec = "decimal(38,0)"
+    totals = qc.agg(F.sum("cnt_q").cast(dec).alias("n_q")).crossJoin(
+        tc.agg(F.sum("cnt_t").cast(dec).alias("n_t"))
+    )
+    weights = (
+        qc.join(tc, "b", "left")
+        .na.fill({"cnt_t": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(CAST(cnt_t AS {dec}) * n_q * 1000000 AS {dec}) div "
+                f"CAST(CAST(cnt_q AS {dec}) * n_t AS {dec})"
+            )
+            .cast("bigint")
+            .alias("w_ppm"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_ppm").alias("score_ppm"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+        .select("doc_id", "score_ppm", "n_tokens")
+    )
+
+
+_CCNET_MAX_SAMPLE = 4096  # cutoff-sample bound (same contract as ANN trainers)
+
+
+def _ccnet_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, w, CAST(k AS BIGINT) AS k FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w,
+           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS k
+    FROM documents
+  ) t WHERE regexp_matches(w, '^[a-z]+$')
+),
+seq AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY k) AS r
+  FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.r = a.r + 1
+),
+model AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY w1, w2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
+scored AS (
+  SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(model.c) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
+           AS score
+  FROM big JOIN model ON big.w1 = model.w1 AND big.w2 = model.w2
+  GROUP BY big.doc_id
+),
+mm AS (
+  SELECT GREATEST(1, (COUNT(*) + {_CCNET_MAX_SAMPLE - 1})
+                     // {_CCNET_MAX_SAMPLE}) AS m
+  FROM documents
+),
+samp AS (SELECT scored.* FROM scored, mm WHERE doc_id % mm.m = 0),
+ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM samp
+),
+ns AS (SELECT COUNT(*) AS n FROM samp),
+cuts AS (
+  SELECT MAX(score) AS cut_head, MIN(score) AS cut_mid
+  FROM ranked, ns
+  WHERE rk = GREATEST(1, ns.n // 3) OR rk = GREATEST(1, 2 * ns.n // 3)
+),
+bucketed AS (
+  SELECT s.doc_id, s.n_bigrams,
+         CASE WHEN s.score >= c.cut_head THEN 'head'
+              WHEN s.score >= c.cut_mid THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored s, cuts c
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM bucketed GROUP BY bucket
+"""
+
+
+@register("docs_ccnet_quality_buckets", _ccnet_oracle_sql())
+def docs_ccnet_quality_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al. 2020):
+    score every document under the corpus-trained bigram LM (same model
+    and linear-probability statistic as docs_bigram_lm_score), derive the
+    tertile score cutoffs from a BOUNDED deterministic sample, then bucket
+    the whole corpus map-side against the broadcast cutoffs. This is the
+    production CCNet shape: cutoffs come from a sample precisely so the
+    corpus never needs a global sort by score.
+
+    Scale shape: bigram extraction and scoring are the shared window-free
+    pipeline of docs_bigram_lm_score; the cutoff sample is bounded at
+    ``_CCNET_MAX_SAMPLE`` docs via the dynamic doc_id%m modulus (same
+    bounded-collect contract as the ANN trainers — m is ONE scalar
+    aggregate), so the only global window sorts <=4096 rows; bucketing is
+    a broadcast of one 2-column cutoff row and a map-side CASE; the final
+    aggregate has 3 groups. Cutoff comparisons are on exact double score
+    values picked FROM the data (no computed quantile arithmetic), so the
+    gate is engine-portable; ties at a cutoff go to the better bucket on
+    both engines.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    m = max(1, -(-n_docs // _CCNET_MAX_SAMPLE))
+    big = _word_bigram_pairs(docs).localCheckpoint(eager=True)
+    model = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = (
+        big.join(model, ["w1", "w2"])
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (
+                F.sum("c").cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.first("n").cast("double")
+                )
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    samp = scored.filter(F.col("doc_id") % m == 0)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = samp.select("score", F.row_number().over(w).alias("rk"))
+    ns = samp.count()
+    cuts = ranked.filter(
+        (F.col("rk") == max(1, ns // 3))
+        | (F.col("rk") == max(1, 2 * ns // 3))
+    ).agg(
+        F.max("score").alias("cut_head"),
+        F.min("score").alias("cut_mid"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_bigrams",
+        F.when(F.col("score") >= F.col("cut_head"), "head")
+        .when(F.col("score") >= F.col("cut_mid"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

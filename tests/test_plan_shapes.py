@@ -334,3 +334,26 @@ def test_collation_groupby_keeps_mapside_partials(spark, sf_dir):
     assert "partial_count" in plan and "partial_sum" in plan
     assert plan.index("partial_count") > plan.index("Exchange")  # map side
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_language_quota_is_mapside_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, "docs_language_balanced_sample", sf_dir)
+    # the rank<=K filter must lower to WindowGroupLimit in BOTH modes:
+    # Partial (map-side top-K per language BEFORE the exchange, which is
+    # what bounds head-language skew) and Final after it.
+    assert plan.count("WindowGroupLimit") == 2
+    assert re.search(r"WindowGroupLimit .*row_number\(\), \d+, P", plan)
+    assert re.search(r"WindowGroupLimit .*row_number\(\), \d+, F", plan)
+
+
+def test_dsir_bounded_broadcasts_and_partial_topk(spark, sf_dir):
+    plan = plan_of(spark, "docs_dsir_importance_resample", sf_dir)
+    # global top-K is a partial take, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the per-token weight attach broadcasts the bucket-bounded (<=256
+    # row) weight table; the only nested-loop joins are the two 1-row
+    # totals crossJoins
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" not in plan

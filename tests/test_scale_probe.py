@@ -238,3 +238,98 @@ def test_hard_negatives_complete_at_10x(spark, sf_dir):
     for r in rows:
         if r.rn == 1:
             assert r.cosine == base_top1[r.qid % OFFSET]
+
+
+# ---------------------------------------------------------------------------
+# data-mixing tier at 10x (round 5c) — these drive the REAL registered
+# queries against a 10x-salted copy of the fixture written to a tmp dir,
+# so the probe covers the exact production entry point, not a re-plumbed
+# variant. Both DSIR scores and CCNet LM scores are scale-invariant under
+# replication (every count in the ratio scales by the same factor), which
+# gives exact structural oracles at 10x.
+# ---------------------------------------------------------------------------
+
+
+def _scaled_sf_dir(spark, sf_dir, tmp_path, table, id_col):
+    scaled = _scaled(load_table(spark, sf_dir, table), id_col)
+    scaled.write.mode("overwrite").parquet(
+        str(tmp_path / f"{table}.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_dsir_resample_completes_at_10x(spark, sf_dir, tmp_path):
+    from one_one_one_rule_spark.queries import QUERIES
+    from one_one_one_rule_spark.queries_text import _DSIR_TOPK
+
+    base = sorted(
+        (
+            r.score_ppm
+            for r in QUERIES["docs_dsir_importance_resample"](
+                spark, sf_dir
+            ).collect()
+        ),
+        reverse=True,
+    )
+    big_dir = _scaled_sf_dir(spark, sf_dir, tmp_path, "documents", "doc_id")
+    rows, sizes = _executed_broadcast_sizes(
+        QUERIES["docs_dsir_importance_resample"](spark, big_dir)
+    )
+    _assert_bounded(spark, sizes)
+    assert len(rows) == _DSIR_TOPK
+    # the integer-ppm ratio is exactly replication-invariant (numerator
+    # and denominator both scale by COPIES^2), so the 10x top-K score
+    # multiset is the base top-(K/COPIES) scores each repeated COPIES
+    # times — tie-safe as a multiset comparison
+    expected = sorted(
+        [s for s in base[: _DSIR_TOPK // COPIES] for _ in range(COPIES)],
+        reverse=True,
+    )
+    assert sorted((r.score_ppm for r in rows), reverse=True) == expected
+
+
+def test_language_quota_completes_at_10x(spark, sf_dir, tmp_path):
+    from one_one_one_rule_spark.queries import QUERIES
+    from one_one_one_rule_spark.queries_text import _LANG_CAP
+
+    big_dir = _scaled_sf_dir(spark, sf_dir, tmp_path, "documents", "doc_id")
+    rows, sizes = _executed_broadcast_sizes(
+        QUERIES["docs_language_balanced_sample"](spark, big_dir)
+    )
+    _assert_bounded(spark, sizes)
+    # at 10x every language exceeds the quota, so the output is exactly
+    # CAP rows per language
+    per_lang = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    assert per_lang and all(n == _LANG_CAP for n in per_lang.values())
+
+
+def test_ccnet_buckets_complete_at_10x(spark, sf_dir, tmp_path):
+    from one_one_one_rule_spark.queries import QUERIES
+
+    base_scored = QUERIES["docs_bigram_lm_score"](spark, sf_dir).count()
+    big_dir = _scaled_sf_dir(spark, sf_dir, tmp_path, "documents", "doc_id")
+    rows, sizes = _executed_broadcast_sizes(
+        QUERIES["docs_ccnet_quality_buckets"](spark, big_dir)
+    )
+    _assert_bounded(spark, sizes)
+    # buckets still partition exactly the scoreable docs at 10x (the
+    # cutoff SAMPLE differs from 1x — the bounded modulus changes — but
+    # completeness must not)
+    assert {r.bucket for r in rows} == {"head", "middle", "tail"}
+    assert sum(r.n_docs for r in rows) == base_scored * COPIES
+
+
+def test_cluster_purity_completes_at_10x(spark, sf_dir, tmp_path):
+    from one_one_one_rule_spark.queries import QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    big_dir = _scaled_sf_dir(spark, sf_dir, tmp_path, "embeddings", "vec_id")
+    rows, sizes = _executed_broadcast_sizes(
+        QUERIES["embeddings_cluster_purity"](spark, big_dir)
+    )
+    _assert_bounded(spark, sizes)
+    assert sum(r.n_vecs for r in rows) == n * COPIES
+    assert all(0 < r.purity_ppm <= 1_000_000 for r in rows)

@@ -83,18 +83,17 @@ def _cell_score_sql(emb_col: str, c: list[float]) -> str:
     return f"2.0e0 * ({chain}) - {_f(c2)}"
 
 
-def ivf_kmeans_oracle_sql(
-    sf_dir: str | None = None,
-    k: int = 5,
-    n_cells: int = 8,
-    nprobe: int = 2,
-    iters: int = 3,
-) -> str | None:
-    """Generated oracle for ann_ivf_kmeans_topk (operators/similarity.py:
-    ivf_kmeans_topk): trains the identical coarse quantizer from the gate
-    table, then expresses assignment (first-max argmax), per-query
-    nprobe-cell probing (score DESC, cell DESC — the array_sort/reverse
-    tiebreak), candidate restriction and exact cosine re-rank in SQL."""
+def _train_gate_centroids(
+    sf_dir: str | None, n_cells: int, iters: int
+) -> list[list[float]] | None:
+    """ONE definition of the shared quantizer-training contract for every
+    generated k-means oracle (ivf_kmeans / semantic_dedup / cluster
+    purity): the identical bounded sample rule (``vec_id % m`` over the
+    id-ordered gate vectors, MAX_SAMPLE cap) and the same numpy Lloyd
+    core the Spark-side kmeans_centroids serves. Returns centroid
+    literals, or None (→ rows-only fallback) when the gate table is
+    unavailable or smaller than the cell count — a sampling or tiebreak
+    fix lands here once instead of drifting per-oracle."""
     try:
         import numpy as np
 
@@ -109,18 +108,43 @@ def ivf_kmeans_oracle_sql(
         if len(sample) < n_cells:
             return None
         C = lloyd_kmeans(np.array(sample, dtype=np.float64), n_cells, iters)
-        cents = [[float(x) for x in row] for row in C]
+        return [[float(x) for x in row] for row in C]
     except Exception:
         return None
 
+
+def _assignment_parts(cents: list[list[float]]) -> tuple[str, str, str]:
+    """Shared SQL fragments for first-max argmax cell assignment over
+    centroid literals: (per-cell score projections, GREATEST list, the
+    first-max CASE chain). The CASE picks the SMALLEST j among maxima —
+    the exact tiebreak of operators/similarity.py:assign_cells."""
+    n_cells = len(cents)
     scores = ",\n         ".join(
         f"{_cell_score_sql('embedding', c)} AS s{j}"
         for j, c in enumerate(cents)
     )
     glist = ", ".join(f"s{j}" for j in range(n_cells))
-    cell_case = " ".join(
-        f"WHEN s{j} = g THEN {j}" for j in range(n_cells)
-    )
+    cell_case = " ".join(f"WHEN s{j} = g THEN {j}" for j in range(n_cells))
+    return scores, glist, cell_case
+
+
+def ivf_kmeans_oracle_sql(
+    sf_dir: str | None = None,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+) -> str | None:
+    """Generated oracle for ann_ivf_kmeans_topk (operators/similarity.py:
+    ivf_kmeans_topk): trains the identical coarse quantizer from the gate
+    table, then expresses assignment (first-max argmax), per-query
+    nprobe-cell probing (score DESC, cell DESC — the array_sort/reverse
+    tiebreak), candidate restriction and exact cosine re-rank in SQL."""
+    cents = _train_gate_centroids(sf_dir, n_cells, iters)
+    if cents is None:
+        return None
+
+    scores, glist, cell_case = _assignment_parts(cents)
     probe_union = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, embedding, {j} AS j, s{j} AS s FROM qscored"
         for j in range(n_cells)
@@ -326,30 +350,11 @@ def semantic_dedup_oracle_sql(
     core), embeds the centroids as literals, and re-executes assignment
     (first-max argmax) plus the intra-cell exact-cosine self-join in SQL.
     Same shared-model-artifact contract as ivf_kmeans_oracle_sql."""
-    try:
-        import numpy as np
-
-        from .operators.similarity import lloyd_kmeans
-
-        ids, emb = _load_vectors(sf_dir or GATE_SF_DIR)
-        if not ids:
-            return None
-        n = len(ids)
-        m = max(1, -(-n // MAX_SAMPLE))
-        sample = [emb[v] for v in ids if v % m == 0]
-        if len(sample) < n_cells:
-            return None
-        C = lloyd_kmeans(np.array(sample, dtype=np.float64), n_cells, iters)
-        cents = [[float(x) for x in row] for row in C]
-    except Exception:
+    cents = _train_gate_centroids(sf_dir, n_cells, iters)
+    if cents is None:
         return None
 
-    scores = ",\n         ".join(
-        f"{_cell_score_sql('embedding', c)} AS s{j}"
-        for j, c in enumerate(cents)
-    )
-    glist = ", ".join(f"s{j}" for j in range(n_cells))
-    cell_case = " ".join(f"WHEN s{j} = g THEN {j}" for j in range(n_cells))
+    scores, glist, cell_case = _assignment_parts(cents)
     norm = norm_chain_sql("embedding", EMBED_DIM)
     dot = " + ".join(
         f"a.e[{i + 1}] * b.e[{i + 1}]" for i in range(EMBED_DIM)
@@ -398,30 +403,11 @@ def cluster_purity_oracle_sql(
     literals, re-executes first-max argmax assignment in SQL, then computes
     the per-cell label histogram, deterministic majority label (count desc,
     label asc) and exact integer-ppm purity."""
-    try:
-        import numpy as np
-
-        from .operators.similarity import lloyd_kmeans
-
-        ids, emb = _load_vectors(sf_dir or GATE_SF_DIR)
-        if not ids:
-            return None
-        n = len(ids)
-        m = max(1, -(-n // MAX_SAMPLE))
-        sample = [emb[v] for v in ids if v % m == 0]
-        if len(sample) < n_cells:
-            return None
-        C = lloyd_kmeans(np.array(sample, dtype=np.float64), n_cells, iters)
-        cents = [[float(x) for x in row] for row in C]
-    except Exception:
+    cents = _train_gate_centroids(sf_dir, n_cells, iters)
+    if cents is None:
         return None
 
-    scores = ",\n         ".join(
-        f"{_cell_score_sql('embedding', c)} AS s{j}"
-        for j, c in enumerate(cents)
-    )
-    glist = ", ".join(f"s{j}" for j in range(n_cells))
-    cell_case = " ".join(f"WHEN s{j} = g THEN {j}" for j in range(n_cells))
+    scores, glist, cell_case = _assignment_parts(cents)
     return f"""
 WITH scored AS (
   SELECT vec_id, label,

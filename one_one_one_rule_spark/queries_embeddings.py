@@ -700,8 +700,11 @@ def embeddings_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lbl").alias("top_label_n"),
         )
     )
-    sizes = assigned.groupBy(F.col("cell").cast("int").alias("cell")).agg(
-        F.count("*").alias("n_vecs")
+    # cell sizes roll up from the (cell,label) histogram — every assigned
+    # row lands in exactly one (cell,label) group, so summing n_lbl is the
+    # cell count WITHOUT a second corpus-wide assignment pass/scan
+    sizes = counts.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.sum("n_lbl").alias("n_vecs")
     )
     return sizes.join(top, "cell").select(
         "cell",

@@ -68,9 +68,12 @@ def _word_bigram_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "docs_bigram_lm_score",
-    """
+# Shared corpus-LM scoring CTE chain: ONE definition of tokenize → bigram
+# → model → per-doc score, consumed by BOTH the docs_bigram_lm_score
+# oracle and the docs_ccnet_quality_buckets oracle — a tokenization or
+# total fix applied here cannot desynchronize the two gates (the same
+# no-drift rationale as _word_bigram_pairs on the Spark side).
+_LM_SCORED_CTES = """
 WITH toks AS (
   SELECT doc_id, w, CAST(k AS BIGINT) AS k FROM (
     SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w,
@@ -91,14 +94,20 @@ model AS (
 ),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
 scored AS (
-  SELECT big.doc_id, model.c
+  SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(model.c) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
+           AS score
   FROM big JOIN model ON big.w1 = model.w1 AND big.w2 = model.w2
-)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       CAST(SUM(c) AS DOUBLE)
-         / (CAST(COUNT(*) AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
-         AS avg_bigram_prob
-FROM scored GROUP BY doc_id
+  GROUP BY big.doc_id
+)"""
+
+
+@register(
+    "docs_bigram_lm_score",
+    _LM_SCORED_CTES
+    + """
+SELECT doc_id, n_bigrams, score AS avg_bigram_prob FROM scored
 """,
 )
 def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,13 +134,23 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return _lm_scored(docs).select(
+        "doc_id", "n_bigrams", F.col("score").alias("avg_bigram_prob")
+    )
+
+
+def _lm_scored(docs: DataFrame) -> DataFrame:
+    """Per-doc corpus-LM score relation (doc_id, n_bigrams, score) — the
+    Spark mirror of the shared ``_LM_SCORED_CTES`` chain, consumed by
+    docs_bigram_lm_score AND docs_ccnet_quality_buckets so the scoring
+    stage (not just the bigram extraction) has one definition."""
     big = _word_bigram_pairs(docs).localCheckpoint(eager=True)
     model = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    scored = big.join(model, ["w1", "w2"]).join(F.broadcast(tot))
-    return scored.groupBy("doc_id").agg(
+    joined = big.join(model, ["w1", "w2"]).join(F.broadcast(tot))
+    return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         (
             F.sum("c").cast("double")
@@ -139,7 +158,7 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("double")
                 * F.first("n").cast("double")
             )
-        ).alias("avg_bigram_prob"),
+        ).alias("score"),
     )
 
 
@@ -906,34 +925,7 @@ _CCNET_MAX_SAMPLE = 4096  # cutoff-sample bound (same contract as ANN trainers)
 
 
 def _ccnet_oracle_sql() -> str:
-    return f"""
-WITH toks AS (
-  SELECT doc_id, w, CAST(k AS BIGINT) AS k FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w,
-           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS k
-    FROM documents
-  ) t WHERE regexp_matches(w, '^[a-z]+$')
-),
-seq AS (
-  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY k) AS r
-  FROM toks
-),
-big AS (
-  SELECT a.doc_id, a.w AS w1, b.w AS w2
-  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.r = a.r + 1
-),
-model AS (
-  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY w1, w2
-),
-tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
-scored AS (
-  SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         CAST(SUM(model.c) AS DOUBLE)
-           / (CAST(COUNT(*) AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
-           AS score
-  FROM big JOIN model ON big.w1 = model.w1 AND big.w2 = model.w2
-  GROUP BY big.doc_id
-),
+    return _LM_SCORED_CTES + f""",
 mm AS (
   SELECT GREATEST(1, (COUNT(*) + {_CCNET_MAX_SAMPLE - 1})
                      // {_CCNET_MAX_SAMPLE}) AS m
@@ -992,27 +984,10 @@ def docs_ccnet_quality_buckets(
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     m = max(1, -(-n_docs // _CCNET_MAX_SAMPLE))
-    big = _word_bigram_pairs(docs).localCheckpoint(eager=True)
-    model = big.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    scored = (
-        big.join(model, ["w1", "w2"])
-        .join(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            (
-                F.sum("c").cast("double")
-                / (
-                    F.count(F.lit(1)).cast("double")
-                    * F.first("n").cast("double")
-                )
-            ).alias("score"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # one shared scoring definition with docs_bigram_lm_score; the
+    # checkpoint is because scored feeds BOTH the cutoff sample and the
+    # final bucketing pass
+    scored = _lm_scored(docs).localCheckpoint(eager=True)
     samp = scored.filter(F.col("doc_id") % m == 0)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = samp.select("score", F.row_number().over(w).alias("rk"))

@@ -5,8 +5,6 @@ tests/test_oracle_parity.py; these assert the operator CONTRACTS the
 hash gate alone can't express (both quota branches exercised, score
 monotonicity toward the target domain, purity bounds)."""
 
-import pytest
-
 from one_one_one_rule_spark.queries import QUERIES
 
 
@@ -38,7 +36,7 @@ def test_language_quota_caps_head_and_passes_tail(spark, sf_dir):
     assert any(corpus[lg] <= _LANG_CAP for lg in per_lang)
 
 
-def test_dsir_scores_target_domain_above_corpus_median(spark, sf_dir):
+def test_dsir_enriches_target_share_in_topk(spark, sf_dir):
     from one_one_one_rule_spark.queries_text import (
         _DSIR_TARGET,
         _DSIR_TOPK,

@@ -3265,3 +3265,188 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rm in removed_parts:
         out = out.unionByName(rm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# concentration + conformance audits (round 5d)
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+           AS cents
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_nationkey
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_nationkey ORDER BY cents, c_custkey) AS i
+  FROM spend
+),
+agg AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS iw
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT n.n_name AS nation, a.n_customers, a.total_cents,
+       CAST((2 * a.iw - (CAST(a.n_customers AS HUGEINT) + 1)
+             * CAST(a.total_cents AS HUGEINT)) * 1000000
+            // (CAST(a.n_customers AS HUGEINT)
+                * CAST(a.total_cents AS HUGEINT)) AS BIGINT) AS gini_ppm
+FROM agg a JOIN nation n ON a.c_nationkey = n.n_nationkey
+"""
+
+
+@register("customer_spend_gini", _GINI_SQL)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer spend — the concentration
+    audit next to brand_revenue_pareto's cumulative-share view: one exact
+    scalar per segment answering "how unequal is this segment's revenue
+    distribution", for mix monitoring and skew-risk triage.
+
+    Exact rank formulation G = (2·Σi·x_i − (n+1)·Σx_i) / (n·Σx_i) over
+    ascending spend (ties broken by custkey, identically on both
+    engines), computed in integer cents with the rank-weighted sum in
+    decimal(38,0)/HUGEINT — no floats anywhere, result as floor ppm.
+    Customers with no orders enter at spend 0 (left join), which is what
+    makes the inequality statistic honest.
+
+    Scale shape: the spend rollup is one fact-linear combinable groupBy;
+    the rank window partitions by NATION (bounded partitions of
+    customer/25 rows — the same per-segment-window contract as
+    customer_balance_ntiles); the Gini arithmetic runs on a 25-row
+    aggregate joined to the broadcast nation dim.
+    """
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ),
+                F.lit(0),
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w).cast("bigint"))
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.expr(f"CAST(i AS {dec}) * CAST(cents AS {dec})")).alias(
+            "iw"
+        ),
+    )
+    g = agg.select(
+        "c_nationkey",
+        "n_customers",
+        "total_cents",
+        F.expr(
+            f"CAST((2 * iw - (CAST(n_customers AS {dec}) + 1)"
+            f" * CAST(total_cents AS {dec})) * 1000000 div"
+            f" (CAST(n_customers AS {dec})"
+            f" * CAST(total_cents AS {dec})) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+    return g.join(
+        F.broadcast(nation), g.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        "total_cents",
+        "gini_ppm",
+    )
+
+
+# Benford expected first-digit proportions, log10(1+1/d) as exact ppm
+# literals — constants embedded identically in both engines, so no
+# transcendental is ever EVALUATED in either plan.
+_BENFORD_PPM = [
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+]
+
+
+def _benford_oracle_sql() -> str:
+    exp_vals = ", ".join(
+        f"({d}, {p})" for d, p in enumerate(_BENFORD_PPM, 1)
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value > 0
+),
+counts AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cents WHERE c >= 1 GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS n_tot FROM counts),
+exp AS (SELECT * FROM (VALUES {exp_vals}) AS t(d, exp_ppm))
+SELECT counts.d, counts.n,
+       CAST(counts.n * 1000000 // tot.n_tot AS BIGINT) AS obs_ppm,
+       CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(abs(counts.n * 1000000 // tot.n_tot - exp.exp_ppm) AS BIGINT)
+         AS abs_dev_ppm
+FROM counts, tot JOIN exp ON counts.d = exp.d
+"""
+
+
+@register("events_benford_audit", _benford_oracle_sql())
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance audit over event
+    values — the classic fraud/fabrication screen for financial streams:
+    naturally-occurring amounts follow P(d) = log10(1+1/d); synthetic or
+    tampered values don't. Output is the 9-digit profile with observed
+    vs expected ppm and the absolute deviation (this fixture's
+    lognormal-ish values land NEAR the law — digit 1 at ~28% vs the
+    expected 30.1%, max deviation ~1.8% — so the audit reports a mild,
+    stable deviation profile rather than a pass/fail flag).
+
+    Determinism: the first digit comes from the leading character of the
+    integer-cent decimal rendering (portable string op — floor(log10) is
+    never evaluated), and the expected proportions are the log10
+    constants pre-baked as exact ppm literals in BOTH engines; all
+    ratios are integer-floor ppm.
+
+    Scale shape: one fact-linear map-side-combinable 9-group count, a
+    1-row total broadcast, and a 9-row literal-table join — nothing else.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        ev.filter(cents >= 1)
+        .select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("n_tot"))
+    exp_map = F.create_map(
+        *[
+            x
+            for d, p in enumerate(_BENFORD_PPM, 1)
+            for x in (F.lit(d), F.lit(p))
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.expr("n * 1000000 div n_tot").alias("obs_ppm"),
+            exp_map[F.col("d")].cast("bigint").alias("exp_ppm"),
+        )
+        .withColumn(
+            "abs_dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm"))
+        )
+    )

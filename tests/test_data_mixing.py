@@ -88,3 +88,22 @@ def test_ccnet_buckets_partition_scored_docs(spark, sf_dir):
     # the buckets partition exactly the scoreable docs (docs with >=1
     # corpus bigram), nothing dropped or double-counted
     assert sum(r.n_docs for r in rows.values()) == scored.count()
+
+
+def test_gini_bounds_and_benford_failure_detection(spark, sf_dir):
+    gini = {r.nation: r for r in QUERIES["customer_spend_gini"](spark, sf_dir).collect()}
+    assert gini
+    for r in gini.values():
+        # Gini of a non-degenerate non-negative distribution: [0, 1e6)
+        assert 0 <= r.gini_ppm < 1_000_000
+        assert r.n_customers > 0 and r.total_cents >= 0
+    ben = QUERIES["events_benford_audit"](spark, sf_dir).collect()
+    assert {r.d for r in ben} <= set(range(1, 10))
+    assert abs(sum(r.obs_ppm for r in ben) - 1_000_000) < 10  # floor slack
+    by_d = {r.d: r for r in ben}
+    # expected literals wired through intact, digit 1 dominant (the
+    # fixture is lognormal-ish, i.e. NEAR-Benford), and the deviation
+    # column is consistent with obs/exp
+    assert by_d[1].exp_ppm == 301030 and by_d[9].exp_ppm == 45757
+    assert by_d[1].obs_ppm == max(r.obs_ppm for r in ben)
+    assert all(r.abs_dev_ppm == abs(r.obs_ppm - r.exp_ppm) for r in ben)

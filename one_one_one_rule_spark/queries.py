@@ -3024,8 +3024,8 @@ def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)
-         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
        ) AS DOUBLE) / 1e2 AS sliding_1h_value
 FROM events
 """,
@@ -3034,16 +3034,22 @@ def events_sliding_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame sliding window (§2.6 general surface): per-user rolling
     1-hour value sum over event-time — a true range frame (tie-inclusive,
     time-distance bounded), not a row frame. Summed in exact integer
-    micro-units so the result is bit-deterministic under any partitioning;
-    one shuffle on user_id."""
+    cents so the result is bit-deterministic under any partitioning; one
+    shuffle on user_id. The range key is the exact MICROSECOND epoch
+    (unix_micros / epoch_us) on both engines: every fixture timestamp
+    carries sub-second precision, and a seconds-truncated key
+    (unix_timestamp) both shifts the -1h boundary and creates same-second
+    ORDER BY ties whose tie-inclusive frames pull in sub-second-FUTURE
+    rows — invisible at sf0.01 density, a real mismatch at sf0.1 (caught
+    by the round-5 sf0.1 full sweep)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
     micros = F.round(F.col("value") * 100).cast("bigint")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return e.select(
         "event_id",
@@ -4069,7 +4075,7 @@ WITH rows_ AS (
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST({T.md5_hash48_sql("rs")} AS DECIMAL(38,0)))
-            AS DOUBLE) AS checksum
+            AS DECIMAL(38,0)) AS checksum
 FROM rows_ GROUP BY l_returnflag
 """
 
@@ -4081,7 +4087,12 @@ def lineitem_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable md5-prefix hash (one native JVM intrinsic per row — no
     per-character lambda) and summed exactly (decimal accumulator, so
     the sum cannot overflow at any table size and is identical under any
-    partitioning/engine — addition is commutative, unlike float).
+    partitioning/engine — addition is commutative, unlike float). The
+    checksum STAYS decimal(38,0) end-to-end: a final cast to double is
+    not engine-portable — Java rounds BigDecimal->double correctly,
+    DuckDB converts hugeint->double via two half-word roundings, and at
+    sf0.1 the R-slice sum landed between doubles where the two disagree
+    by 1 ulp (caught by the round-5 sf0.1 full sweep).
 
     This is the cross-system integrity primitive: run the same fold on a
     replica / after a migration / before-and-after a rewrite
@@ -4109,9 +4120,9 @@ def lineitem_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(F.col("h").cast("decimal(38,0)")).cast("double").alias(
-                "checksum"
-            ),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("checksum"),
         )
     )
 

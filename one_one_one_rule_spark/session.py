@@ -38,6 +38,14 @@ def get_spark(
         builder = builder.master(master)
 
     conf = {
+        # In local[] mode the driver JVM IS the executor: Spark's 1g
+        # default heap forces constant GC once a long session accumulates
+        # localCheckpoint blocks + codegen caches across hundreds of
+        # plans. Sized for this harness's box; honored only at JVM launch
+        # (getOrCreate reuse ignores it), env-overridable for small hosts.
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        ),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

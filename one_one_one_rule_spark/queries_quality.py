@@ -3137,7 +3137,14 @@ _KCORE_ROUNDS = 3
 def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """GENERATED oracle: the peel loop unrolled into explicit CTE levels
     (one degree + remove + induced-subgraph triple per round), so DuckDB
-    re-executes the identical fixed-round semantics without recursion."""
+    re-executes the identical fixed-round semantics without recursion.
+
+    Every CTE is MATERIALIZED: DuckDB inlines non-materialized CTEs per
+    reference, and this chain references each level several times, so
+    the un-hinted form re-expands the whole peel tree exponentially —
+    at sf0.1 it spilled >80 GB of temp before ENOSPC, while the
+    materialized form runs in 0.4 s (found by the round-5 sf0.1 sweep;
+    semantics and results are identical)."""
     ctes = [
         f"""e0 AS (
   WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -3179,7 +3186,7 @@ def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
         f" CAST(0 AS BIGINT) AS final_degree FROM rm{r}"
         for r in range(1, rounds + 1)
     )
-    joined = ",\n".join(ctes)
+    joined = ",\n".join(ctes).replace(" AS (", " AS MATERIALIZED (")
     return f"""
 WITH {joined}
 {removed}

@@ -3045,7 +3045,7 @@ def events_sliding_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    micros = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
@@ -3055,7 +3055,7 @@ def events_sliding_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
-        (F.sum(micros).over(w).cast("double") / 100).alias(
+        (F.sum(cents).over(w).cast("double") / 100).alias(
             "sliding_1h_value"
         ),
     )

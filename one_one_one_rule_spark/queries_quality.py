@@ -3299,10 +3299,12 @@ agg AS (
   FROM ranked GROUP BY c_nationkey
 )
 SELECT n.n_name AS nation, a.n_customers, a.total_cents,
-       CAST((2 * a.iw - (CAST(a.n_customers AS HUGEINT) + 1)
-             * CAST(a.total_cents AS HUGEINT)) * 1000000
-            // (CAST(a.n_customers AS HUGEINT)
-                * CAST(a.total_cents AS HUGEINT)) AS BIGINT) AS gini_ppm
+       CASE WHEN a.total_cents = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((2 * a.iw - (CAST(a.n_customers AS HUGEINT) + 1)
+                  * CAST(a.total_cents AS HUGEINT)) * 1000000
+                 // (CAST(a.n_customers AS HUGEINT)
+                     * CAST(a.total_cents AS HUGEINT)) AS BIGINT)
+       END AS gini_ppm
 FROM agg a JOIN nation n ON a.c_nationkey = n.n_nationkey
 """
 
@@ -3358,11 +3360,14 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "n_customers",
         "total_cents",
+        # all-zero-spend segment => Gini 0 by convention (also keeps the
+        # div total-cents denominator nonzero under Spark 4 ANSI mode)
         F.expr(
-            f"CAST((2 * iw - (CAST(n_customers AS {dec}) + 1)"
+            f"CASE WHEN total_cents = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST((2 * iw - (CAST(n_customers AS {dec}) + 1)"
             f" * CAST(total_cents AS {dec})) * 1000000 div"
             f" (CAST(n_customers AS {dec})"
-            f" * CAST(total_cents AS {dec})) AS BIGINT)"
+            f" * CAST(total_cents AS {dec})) AS BIGINT) END"
         ).alias("gini_ppm"),
     )
     return g.join(
@@ -3404,7 +3409,7 @@ SELECT counts.d, counts.n,
        CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
        CAST(abs(counts.n * 1000000 // tot.n_tot - exp.exp_ppm) AS BIGINT)
          AS abs_dev_ppm
-FROM counts, tot JOIN exp ON counts.d = exp.d
+FROM counts JOIN exp ON counts.d = exp.d CROSS JOIN tot
 """
 
 

@@ -90,7 +90,7 @@ def test_ccnet_buckets_partition_scored_docs(spark, sf_dir):
     assert sum(r.n_docs for r in rows.values()) == scored.count()
 
 
-def test_gini_bounds_and_benford_failure_detection(spark, sf_dir):
+def test_gini_bounds_and_benford_conformance(spark, sf_dir):
     gini = {r.nation: r for r in QUERIES["customer_spend_gini"](spark, sf_dir).collect()}
     assert gini
     for r in gini.values():

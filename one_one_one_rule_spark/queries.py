@@ -1772,10 +1772,11 @@ LIMIT 100
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered semi-join (IN over a grouped
-    subquery) then re-aggregate. The qualifying-orderkey set is tiny after
-    the HAVING gate, so Spark broadcasts the semi side (AQE converts it at
-    runtime); the quantity threshold compares in exact decimal in both
-    engines."""
+    subquery) then re-aggregate. The qualifying-orderkey set is grouped on
+    a FACT key (l_orderkey) and therefore SF-linear before the HAVING gate
+    prunes it, so no broadcast hint is forced — AQE converts the semi join
+    to broadcast at runtime whenever the post-HAVING set actually fits;
+    the quantity threshold compares in exact decimal in both engines."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1787,7 +1788,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(
-            F.broadcast(big),
+            big,
             l.l_orderkey == F.col("big_orderkey"),
             "left_semi",
         )
@@ -2056,10 +2057,11 @@ JOIN nation ON s_nationkey = n_nationkey
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated scalar-MIN subquery — for each part in a
     size slice, the supplier(s) offering the minimum observed unit price.
-    Spark plan: aggregate-then-rejoin (the standard decorrelation); the
-    per-part min table is small after the 2%-selectivity part filter —
-    but part and supplier are still SF-linear, so the build-side choice
-    is AQE's, not a forced hint. Per-row
+    Spark plan: aggregate-then-rejoin (the standard decorrelation). The
+    per-part min table is grouped on a FACT key (p_partkey) so it is
+    SF-linear even after the 2%-selectivity part filter; like part and
+    supplier it carries no hint — every build-side choice here is AQE's,
+    made from runtime sizes. Per-row
     float division is order-independent, so MIN and the equality rejoin are
     bit-deterministic across engines."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
@@ -2077,7 +2079,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(
-            F.broadcast(m),
+            m,
             (cand.p_partkey == m.mk)
             & (cand.unit_price == m.min_unit_price),
         )
@@ -2448,9 +2450,12 @@ WHERE l_quantity < 0.2e0 * avg_qty
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders below 20% of the part's average
     quantity — a correlated AVG subquery decorrelated into aggregate-then-
-    rejoin. The per-part average relation sits under an Aggregate, so its
-    broadcast hint is legitimate; the raw part slice is SF-linear and
-    un-hinted. Exact-decimal average keeps the 0.2×avg comparison
+    rejoin. The per-part average relation is grouped on a FACT key
+    (l_partkey) — an Aggregate, but an SF-LINEAR one (at the 100 TB design
+    point it is tens of millions of rows), so it carries no broadcast hint;
+    AQE picks broadcast from the runtime size whenever it fits, and can
+    fall back to shuffle when it does not (a forced hint would remove that
+    escape hatch). Exact-decimal average keeps the 0.2×avg comparison
     bit-identical across engines."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
@@ -2461,7 +2466,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal_avg(F.col("l_quantity")).alias("avg_qty")
     )
     return (
-        pl.join(F.broadcast(a), pl.l_partkey == a.ak)
+        pl.join(a, pl.l_partkey == a.ak)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             (decimal_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias(
@@ -2989,9 +2994,10 @@ def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: semi join against an aggregated-HAVING subquery —
     suppliers who moved > 55 units of one red part in 1996 (lineitem
     volume standing in for partsupp availqty). The qualifying set
-    aggregates before the semi join, so that probe side is bounded and
-    broadcast-hinted; the raw part slice feeding it is SF-linear and
-    un-hinted (AQE decides)."""
+    aggregates on FACT keys (l_suppkey, l_partkey) before the semi join,
+    so although an Aggregate bounds it below lineitem it remains SF-linear
+    — no broadcast hint is forced on it or on the raw part slice; AQE
+    decides both build sides from runtime sizes."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -3009,7 +3015,7 @@ def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(
-            F.broadcast(qualifying),
+            qualifying,
             s.s_suppkey == qualifying.l_suppkey,
             "left_semi",
         )

@@ -113,11 +113,16 @@ def test_q14_q19_part_side_broadcasts(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
-def test_q18_semi_join_broadcasts_qualifying_set(spark, sf_dir):
-    plan = plan_of(spark, "q18_large_volume_orders", sf_dir)
+def test_q18_semi_join_aqe_broadcasts_qualifying_set(spark, sf_dir):
+    # No hint is forced (the qualifying set is fact-key-grouped — SF-linear
+    # before the HAVING gate prunes it, so a static hint would be a scale
+    # hazard). The contract is instead ADAPTIVE: after execution AQE has
+    # seen the post-HAVING runtime size and converted the semi join to a
+    # broadcast, so lineitem is never shuffled for the semi probe.
+    df = QUERIES["q18_large_volume_orders"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
-    # the HAVING-gated orderkey set broadcasts — lineitem is not shuffled
-    # a second time for the semi join
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -133,8 +138,13 @@ def test_q18_semi_join_broadcasts_qualifying_set(spark, sf_dir):
 # any relation that grows with the data — customer / orders / lineitem /
 # supplier / part / events / documents / embeddings — unless the scan is
 # bounded on the way up by either
-#   (a) a cardinality-bounding node (Aggregate / Limit / Distinct), e.g.
-#       the 25-nation top-balance relation or a HAVING-gated orderkey set;
+#   (a) a cardinality-bounding node: Limit / Distinct, or an Aggregate
+#       whose grouping keys are PROVABLY fixed-cardinality (zero keys =
+#       global 1-row agg; literal-mod pmod buckets; categorical / date /
+#       nation-region attributes). An Aggregate grouped on a fact key
+#       (l_orderkey, p_partkey, s_suppkey, doc_id ...) is SF-LINEAR and
+#       does NOT bound — round 5's blanket-Aggregate exemption let four
+#       such forced broadcasts (q2/q17/q18/q20) through undetected;
 #   (b) a Filter with an IN over a pure-literal list ON A UNIQUE-KEY
 #       column (an explicitly bounded id set, e.g. the ANN query
 #       vectors: vec_id IN (0,1,2,3,4) keeps <= 5 rows). The column-name
@@ -150,8 +160,49 @@ FACT_TABLES = (
 )
 
 _BOUNDING_NODES = {
-    "Aggregate", "GlobalLimit", "LocalLimit", "Distinct", "Deduplicate",
+    "GlobalLimit", "LocalLimit", "Distinct", "Deduplicate",
 }
+
+#: Grouping-key attributes whose VALUE DOMAIN grows with the data: unique
+#: row ids (`*_id`) and join keys (`*key`). An Aggregate grouped on one of
+#: these has SF-LINEAR output cardinality (one row per order / part /
+#: supplier / doc ...), so it must NOT launder a broadcast hint — this was
+#: round 5's audit blind spot (q2/q17/q18/q20 all hid a forced broadcast
+#: of a fact-key-grouped aggregate under the blanket Aggregate exemption).
+#: nation/region keys are carved out: their domain is fixed (25 / 5 rows
+#: at every SF) no matter which table carries them.
+_SF_LINEAR_KEY = re.compile(r"(?:_id$|key$)")
+_FIXED_DOMAIN_KEY = re.compile(r"(?:nationkey$|regionkey$)")
+
+
+def _attr_names_of(expr):
+    names = []
+    it = expr.references().iterator()
+    while it.hasNext():
+        names.append(it.next().name())
+    return names
+
+
+def _aggregate_is_bounding(node):
+    """True iff this Aggregate's output cardinality is bounded independent
+    of SF: a global (zero-key) aggregate, or every grouping expression is
+    either a literal-modulus hash bucket (``pmod(..., <literal>)`` — at
+    most <literal> groups) or references only fixed-domain attributes
+    (categorical columns, dates, nation/region keys). Any grouping
+    expression that touches an ``*_id`` / ``*key`` attribute (other than
+    nation/region) makes the output one-row-per-entity, i.e. SF-linear."""
+    git = node.groupingExpressions().iterator()
+    while git.hasNext():
+        expr = git.next()
+        rendered = str(expr)
+        if "pmod(" in rendered:
+            continue  # literal-mod bucketing: cardinality <= the modulus
+        for name in _attr_names_of(expr):
+            if _SF_LINEAR_KEY.search(name) and not _FIXED_DOMAIN_KEY.search(
+                name
+            ):
+                return False
+    return True
 
 
 #: Attribute references render as name#exprId; the probed column of an IN
@@ -206,6 +257,8 @@ def _unbounded_fact_scans_under(node, schemas):
     table's schema, pruning branches below cardinality-bounding nodes."""
     found = []
     if node.nodeName() in _BOUNDING_NODES:
+        return found
+    if node.nodeName() == "Aggregate" and _aggregate_is_bounding(node):
         return found
     if node.nodeName() == "Filter" and _filter_is_literal_in(node):
         return found

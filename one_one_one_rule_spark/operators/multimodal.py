@@ -79,15 +79,98 @@ def _decode_backend():
     return "stub"
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib + struct): 8-bit RGB (color
+    type 2), no interlace, filter 0 on every scanline, one IDAT chunk.
+    Produces spec-valid files any external viewer opens; used both as the
+    fixture generator for the strict decoder below and as a sink-side
+    encoder for exporting decoded frames."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int):
+    """Reverse PNG scanline filtering (types 0-4) for 8-bit RGB; returns
+    an (h, w, 3) uint8 array or None on an undefined filter type."""
+    import numpy as np
+
+    bpp, stride = 3, w * 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: + left
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
 def decode_image(payload: bytes):
     """REAL image decode with the stdlib only — no third-party codec.
 
-    Supports the two raster formats whose containers are pure
-    header+pixels (so a correct parse needs nothing beyond struct/numpy):
+    Supports three raster formats parsed with nothing beyond
+    struct/zlib/numpy:
 
     * BMP, BITMAPINFOHEADER, 24-bit uncompressed (bottom-up or top-down),
       4-byte-aligned rows, BGR -> RGB;
-    * PPM binary (``P6``), maxval 255, ``#`` comments allowed.
+    * PPM binary (``P6``), maxval 255, ``#`` comments allowed;
+    * PNG (round 6): 8-bit RGB (color type 2), non-interlaced — full
+      chunk walk with CRC verification on every chunk, multi-IDAT
+      concatenation, zlib inflate, and scanline unfiltering for all five
+      spec filter types; the decompressed stream must measure EXACTLY
+      h*(1+3w) bytes and the final chunk must be IEND closing the file at
+      its last byte.
 
     Returns an (H, W, 3) uint8 RGB array, or None when the payload is not
     a byte-exact instance of either format. Validation is STRICT — magic,
@@ -104,6 +187,8 @@ def decode_image(payload: bytes):
         (data_off,) = struct.unpack_from("<I", payload, 10)
         (hdr_size,) = struct.unpack_from("<I", payload, 14)
         if file_size != len(payload) or hdr_size < 40:
+            return None
+        if data_off < 14 + hdr_size:  # pixel data may not overlap headers
             return None
         w, h = struct.unpack_from("<ii", payload, 18)
         planes, bpp = struct.unpack_from("<HH", payload, 26)
@@ -122,6 +207,51 @@ def decode_image(payload: bytes):
         if h > 0:  # positive height = bottom-up row order
             rows = rows[::-1]
         return rows[..., ::-1].copy()  # BGR -> RGB
+
+    if payload[:8] == _PNG_SIG:
+        import zlib
+
+        pos, w = len(_PNG_SIG), None
+        idat = b""
+        ended = False
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body_end = pos + 8 + length
+            if body_end + 4 > len(payload):
+                return None  # chunk runs past the file
+            body = payload[pos + 8 : body_end]
+            (crc,) = struct.unpack_from(">I", payload, body_end)
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                return None  # corrupt chunk
+            if w is None:
+                if tag != b"IHDR" or length != 13:
+                    return None  # IHDR must come first
+                w, h, bitd, ctype, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if (
+                    bitd != 8 or ctype != 2 or comp != 0 or filt != 0
+                    or interlace != 0 or w == 0 or h == 0
+                ):
+                    return None  # only 8-bit RGB non-interlaced
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                if length != 0 or body_end + 4 != len(payload):
+                    return None  # IEND must close the file exactly
+                ended = True
+                break
+            pos = body_end + 4
+        if w is None or not ended or not idat:
+            return None
+        try:
+            raw = zlib.decompress(idat)
+        except zlib.error:
+            return None
+        if len(raw) != h * (1 + w * 3):
+            return None  # stream must measure exactly h*(1+3w)
+        return _png_unfilter(raw, w, h)
 
     if payload[:2] == b"P6":
         idx, fields = 2, []
@@ -183,12 +313,13 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     Per row, a REAL stdlib decode is tried first (``decode_image``: 24-bit
-    BMP / binary PPM — strict byte-exact validation, so non-image payloads
-    never enter the path) and its pixels feed ``image_features``
+    BMP / binary PPM / 8-bit-RGB PNG — strict byte-exact validation, so
+    non-image payloads never enter the path) and its pixels feed
+    ``image_features``
     (backend='stdlib'). Unrecognized payloads fall back to the
     deterministic stub: feature[j] = mean of payload bytes at positions
-    ≡ j (mod dim), scaled to [0,1] (backend='stub', or 'pillow' when an
-    imaging library is importable). Batch shape, schema, and
+    ≡ j (mod dim), scaled to [0,1] (backend='stub' — the fallback is
+    always the stub; see ``_decode_backend``). Batch shape, schema, and
     partition-parallel execution are identical on every path.
     """
     fallback = _decode_backend()
@@ -204,11 +335,12 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 nbytes.append(len(arr))
-                # magic-byte probe on a 2-byte slice BEFORE any full-buffer
+                # magic-byte probe on a tiny slice BEFORE any full-buffer
                 # copy: the common case (non-image payload) pays nothing
+                head = bytes(payload[:8])
                 img = (
                     decode_image(payload)
-                    if bytes(payload[:2]) in (b"BM", b"P6")
+                    if head[:2] in (b"BM", b"P6") or head == _PNG_SIG
                     else None
                 )
                 if img is not None:

@@ -493,6 +493,177 @@ def test_stdlib_decode_rejects_near_misses(spark):
     assert decode_image("BMarbitrary text payload".encode()) is None
 
 
+# --- PNG codec tier (round 6) ----------------------------------------------
+
+
+def _png_forward_filter(img, ftypes):
+    """Spec-forward-filter an RGB image with a chosen filter type per row
+    and wrap it as a valid PNG — exercises the decoder's unfiltering for
+    every filter type, independent of encode_png (which emits only 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import _PNG_SIG
+
+    a = np.asarray(img, dtype=np.uint8).astype(np.int32)
+    h, w = a.shape[0], a.shape[1]
+    flat = a.reshape(h, w * 3)
+    bpp, stride = 3, w * 3
+    raw = bytearray()
+    for y in range(h):
+        t = ftypes[y % len(ftypes)]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        cur = flat[y]
+        line = bytearray([t])
+        for x in range(stride):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if t == 0:
+                pred = 0
+            elif t == 1:
+                pred = left
+            elif t == 2:
+                pred = up
+            elif t == 3:
+                pred = (left + up) >> 1
+            else:  # 4 = Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if (pa <= pb and pa <= pc)
+                    else (up if pb <= pc else ul)
+                )
+            line.append((int(cur[x]) - pred) & 0xFF)
+        raw += line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # split the stream over TWO IDAT chunks: decoders must concatenate
+    z = zlib.compress(bytes(raw), 6)
+    mid = len(z) // 2
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", z[:mid])
+        + chunk(b"IDAT", z[mid:]) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_exact():
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    img = (np.arange(5 * 7 * 3, dtype="int64") * 31 % 256).astype(
+        "uint8"
+    ).reshape(5, 7, 3)
+    png = encode_png(img)
+    out = decode_image(png)
+    assert out is not None and out.shape == (5, 7, 3)
+    assert (out == img).all()
+
+
+def test_png_all_filter_types_unfilter_exactly():
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import decode_image
+
+    img = (np.arange(6 * 4 * 3, dtype="int64") * 97 % 256).astype(
+        "uint8"
+    ).reshape(6, 4, 3)
+    # one row of each filter type 0..4, then wrap — plus split IDATs
+    png = _png_forward_filter(img, ftypes=[0, 1, 2, 3, 4])
+    out = decode_image(png)
+    assert out is not None
+    assert (out == img).all()
+
+
+def test_png_strict_rejection():
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_image,
+        encode_png,
+    )
+
+    img = (np.arange(3 * 3 * 3, dtype="int64") % 256).astype(
+        "uint8"
+    ).reshape(3, 3, 3)
+    png = encode_png(img)
+    assert decode_image(png) is not None
+    # flip one IDAT payload byte: chunk CRC must catch it
+    bad = bytearray(png)
+    bad[len(png) - 20] ^= 0xFF
+    assert decode_image(bytes(bad)) is None
+    # truncated: IEND no longer closes the file at its last byte
+    assert decode_image(png[:-1]) is None
+    # trailing junk after IEND is equally rejected
+    assert decode_image(png + b"\x00") is None
+    # declared stream too short (h lies): inflated length check
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 3, 9, 8, 2, 0, 0, 0)
+
+    def _chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    lying = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr)
+        + png[len(_PNG_SIG) + 25 :]  # original IDAT+IEND for a 3x3 image
+    )
+    assert decode_image(lying) is None
+    # grayscale (color type 0) is out of contract
+    gray_ihdr = _s.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    gray = (
+        _PNG_SIG + _chunk(b"IHDR", gray_ihdr)
+        + _chunk(b"IDAT", _z.compress(b"\x00" * (3 * 4)))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image(gray) is None
+    # signature near-miss stays on the stub path
+    assert decode_image(b"\x89PNG\r\n\x1a\x00" + png[8:]) is None
+
+
+def test_png_payloads_flow_through_extract_features(spark):
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        encode_png,
+        extract_features,
+    )
+
+    img = (np.arange(4 * 6 * 3, dtype="int64") * 13 % 256).astype(
+        "uint8"
+    ).reshape(4, 6, 3)
+    rows = [
+        (0, "image", bytearray(encode_png(img))),
+        (1, "image", bytearray(b"not an image")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary"
+    )
+    out = {
+        r["media_id"]: r for r in extract_features(media, dim=8).collect()
+    }
+    assert out[0]["backend"] == "stdlib"
+    assert out[0]["feature"] == pytest.approx(_expected_features(img), abs=0)
+    assert out[1]["backend"] == "stub"
+
+
 # --- WAV codec tier (round 5b) ---------------------------------------------
 
 

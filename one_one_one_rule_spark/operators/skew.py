@@ -148,15 +148,21 @@ def cms_estimate(
     """Join-based point lookup: for each candidate key, the min over the d
     sketch rows of its addressed cell. The sketch is bounded at d*width
     rows by construction, so each of the d joins is a legitimate
-    broadcast — the fact side streams once."""
+    broadcast — the fact side streams once. Left joins + coalesce-to-0:
+    a candidate key whose addressed cell never appeared in the sketched
+    stream gets the correct estimate 0 instead of being silently dropped
+    (callers may probe EXTERNAL candidate lists, not just keys drawn from
+    the sketched data)."""
     out = keys
     for r, (a, b) in enumerate(CMS_SEEDS):
         sk = sketch.filter(F.col("r") == r).select(
             F.col("cell").alias(f"cell{r}"), F.col("cnt").alias(f"c{r}")
         )
-        out = out.withColumn(
-            f"cell{r}", _cms_cell(F.col(key), a, b, width)
-        ).join(F.broadcast(sk), f"cell{r}")
+        out = (
+            out.withColumn(f"cell{r}", _cms_cell(F.col(key), a, b, width))
+            .join(F.broadcast(sk), f"cell{r}", "left")
+            .withColumn(f"c{r}", F.coalesce(F.col(f"c{r}"), F.lit(0)))
+        )
     return out.withColumn(
         "cms_est", F.least(*[F.col(f"c{r}") for r in range(len(CMS_SEEDS))])
     ).drop(*[c for r in range(len(CMS_SEEDS)) for c in (f"cell{r}", f"c{r}")])

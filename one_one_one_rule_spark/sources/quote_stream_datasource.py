@@ -144,6 +144,11 @@ class JsonlAuditStreamWriter(DataSourceStreamWriter):
             )
             os.replace(m.tmp_path, final)
             names.append({"file": os.path.basename(final), "rows": m.n_rows})
+        if not names:
+            # idle micro-batch: no data files were committed, so skip the
+            # manifest too — long-running streams would otherwise litter
+            # the audit dir with empty manifests readers must iterate
+            return
         manifest = os.path.join(self._path, f"batch{batchId:06d}.manifest")
         with open(manifest, "w", encoding="utf-8") as fh:
             json.dump({"batch_id": batchId, "files": names}, fh)

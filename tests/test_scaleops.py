@@ -108,6 +108,27 @@ def test_cms_overestimates_every_key(spark, sf_dir):
     assert viol == 0
 
 
+def test_cms_external_candidate_estimates_zero_not_dropped(spark, sf_dir):
+    """A candidate key that never appeared in the sketched stream must
+    come back with estimate 0 (or a small collision overcount) — NOT be
+    silently dropped: callers may probe EXTERNAL candidate lists. Uses a
+    tiny 2-row sketch so most of the 512-cell grid is empty and a foreign
+    key's addressed cells are guaranteed absent for at least one row."""
+    ev = spark.createDataFrame([(1,), (2,)], "user_id bigint")
+    sketch = cms_build(ev, "user_id", width=512)
+    probes = spark.createDataFrame(
+        [(1,), (999_999_937,)], "user_id bigint"
+    )
+    est = {
+        r["user_id"]: r["cms_est"]
+        for r in cms_estimate(sketch, probes, "user_id", width=512).collect()
+    }
+    assert set(est) == {1, 999_999_937}, "external candidate was dropped"
+    assert est[1] >= 1
+    # 2 keys x 4 rows over 512 cells: the foreign key's min-cell is 0
+    assert est[999_999_937] == 0
+
+
 def test_cms_size_bounded_by_grid(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id")
     sketch = cms_build(ev, "user_id", width=512)

@@ -2960,6 +2960,108 @@ def customer_deletion_cascade(
 
 
 @register(
+    "customer_scd2_merge",
+    """
+WITH cust AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+d AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS add_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey, CAST(1 AS BIGINT) AS version,
+       c.cents AS acctbal_cents,
+       '1995-01-01' AS valid_from, '1997-01-01' AS valid_to,
+       FALSE AS is_current
+FROM cust c JOIN d ON c.c_custkey = d.o_custkey
+UNION ALL
+SELECT c.c_custkey, CAST(2 AS BIGINT), c.cents + d.add_cents,
+       '1997-01-01', CAST(NULL AS VARCHAR), TRUE
+FROM cust c JOIN d ON c.c_custkey = d.o_custkey
+UNION ALL
+SELECT c.c_custkey, CAST(1 AS BIGINT), c.cents,
+       '1995-01-01', CAST(NULL AS VARCHAR), TRUE
+FROM cust c
+WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.o_custkey = c.c_custkey)
+""",
+)
+def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply a change batch to a
+    dimension snapshot, emitting the full versioned history — closed-out
+    prior versions (valid_to = effective date, is_current = false), new
+    current versions, and untouched rows passing through as current. The
+    change batch is derived deterministically from the fact table
+    (per-customer 1997 order totals, exact integer cents) so the merge is
+    oracle-checkable without a mutable-state fixture; in production the
+    batch is the CDC feed and the output overwrites the dimension's
+    history partition.
+
+    Scale shape: ONE aggregation over the SF-linear change source and
+    ONE customer⋈delta equi-join computed once and checkpointed (it
+    feeds both the close-out branch and the new-version branch — the
+    repo's multi-consumer convention), plus an anti join for the
+    pass-through rows. No broadcast hints: the delta is order-book-sized
+    and AQE decides every build side at runtime. All three branches are
+    column-projections of the shared join — the merge costs two shuffles
+    (delta aggregate, join) at any SF."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cust = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    ).localCheckpoint(eager=True)
+    delta = (
+        o.filter(
+            (F.col("o_orderdate")
+             >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate")
+               < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("add_cents")
+        )
+    )
+    upd = cust.join(
+        delta, cust.c_custkey == delta.o_custkey
+    ).localCheckpoint(eager=True)
+    closed = upd.select(
+        "c_custkey",
+        F.lit(1).cast("bigint").alias("version"),
+        F.col("cents").alias("acctbal_cents"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit("1997-01-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = upd.select(
+        "c_custkey",
+        F.lit(2).cast("bigint").alias("version"),
+        (F.col("cents") + F.col("add_cents")).alias("acctbal_cents"),
+        F.lit("1997-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    passthrough = cust.join(
+        delta, cust.c_custkey == delta.o_custkey, "left_anti"
+    ).select(
+        "c_custkey",
+        F.lit(1).cast("bigint").alias("version"),
+        F.col("cents").alias("acctbal_cents"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(fresh).unionByName(passthrough)
+
+
+@register(
     "orders_fd_violations",
     """
 WITH f1 AS (
@@ -3271,6 +3373,111 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = survivors
     for rm in removed_parts:
         out = out.unionByName(rm)
+    return out
+
+
+#: Hard cap for the CONVERGED k-core peel. Measured fixture convergence
+#: depth (DuckDB replay of the identical peel): sf0.001 -> 0 removing
+#: rounds, sf0.01 -> 10, sf0.1 -> 2 — all well under 16. The Spark loop
+#: raises if the cap is hit without convergence (a silent truncation
+#: would break the fixpoint contract AND the oracle equivalence).
+_KCORE_CONV_MAX = 16
+
+
+@register(
+    "parts_copurchase_kcore_converged",
+    _kcore_sql(rounds=_KCORE_CONV_MAX),
+)
+def parts_copurchase_kcore_converged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-core decomposition peeled TO A FIXPOINT (production contract),
+    not a fixed round count: each synchronous round removes every vertex
+    with in-subgraph degree < k and the loop exits when a round removes
+    nothing. The only driver-side check per round is a scalar
+    ``rm.isEmpty()`` on the (checkpointed) removed set — no data is
+    collected, and every relation stays distributed.
+
+    Oracle equivalence: the generated unrolled oracle runs the SAME peel
+    for ``_KCORE_CONV_MAX`` rounds. Rounds past convergence are no-ops —
+    the removed set is empty, the induced subgraph is unchanged — so the
+    16-round unroll equals the fixpoint whenever convergence happens
+    within 16 rounds, and the Spark side RAISES if it does not, so the
+    equivalence can never silently drift. (DuckDB CTEs materialized: the
+    non-hinted chain re-expands exponentially — round-5 ENOSPC lesson.)
+
+    Scale shape: identical per-round plan to parts_copurchase_kcore
+    (combinable degree aggregate + two keyed induced-subgraph joins,
+    everything edge-linear, localCheckpoint-ed frontiers for flat
+    lineage); the loop adds one isEmpty() job per round, each bounded by
+    the shrinking removed set. At 100 TB the peel is the standard
+    Pregel-style synchronous iteration with driver-side convergence
+    testing on a 1-element scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li, _TRI_MIN_COPURCHASES)
+    verts = (
+        edges.select(F.col("u").alias("part"))
+        .union(edges.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    removed_parts = []
+    converged = False
+    for r in range(1, _KCORE_CONV_MAX + 1):
+        deg = (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        dd = (
+            verts.join(deg, verts.part == deg.x, "left")
+            .select(
+                "part", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+            )
+            .localCheckpoint(eager=True)
+        )
+        rm = dd.filter(F.col("deg") < _KCORE_K).select("part")
+        if rm.isEmpty():  # fixpoint: this round removes nothing
+            converged = True
+            break
+        removed_parts.append(
+            rm.select(
+                "part",
+                F.lit(r).cast("bigint").alias("removed_round"),
+                F.lit(0).cast("bigint").alias("final_degree"),
+            )
+        )
+        verts = (
+            dd.filter(F.col("deg") >= _KCORE_K)
+            .select("part")
+            .localCheckpoint(eager=True)
+        )
+        a = verts.select(F.col("part").alias("u"))
+        b = verts.select(F.col("part").alias("v"))
+        edges = edges.join(a, "u").join(b, "v").localCheckpoint(eager=True)
+    if not converged:
+        raise RuntimeError(
+            f"k-core did not converge within {_KCORE_CONV_MAX} rounds — "
+            "raise _KCORE_CONV_MAX (the unrolled oracle must cover the "
+            "fixture's true convergence depth)"
+        )
+    dfin = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    survivors = verts.join(dfin, verts.part == dfin.x, "left").select(
+        "part",
+        F.lit(0).cast("bigint").alias("removed_round"),
+        F.coalesce(F.col("deg"), F.lit(0))
+        .cast("bigint")
+        .alias("final_degree"),
+    )
+    out = survivors
+    for rm_df in removed_parts:
+        out = out.unionByName(rm_df)
     return out
 
 

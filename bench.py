@@ -8,13 +8,30 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side materialization), timed after a session warm-up so JVM/codegen
 startup isn't billed to the first query.
+
+Per-query isolation mode (round-5 VERDICT item 2 — the shared-session
+bench cannot distinguish a genuine plan regression from cross-query
+contention: GC/scheduler pressure accumulated across 200 plans in one
+JVM inflates later queries):
+
+    python bench.py --isolate q_a,q_b     # each query in a FRESH process
+    python bench.py --single q_a          # internal: one query, one JVM
+
+``--isolate`` spawns one subprocess per query (fresh JVM, fresh codegen
+cache, same warm-up contract: the query runs once at sf0.001 then twice
+timed at sf_dir, min reported) and writes BENCH_ISOLATE.json. The default
+no-arg invocation is byte-identical to previous rounds (the driver runs
+it), and BENCH_LOCAL.json stays the shared-session artifact — isolation
+numbers are a DIAGNOSTIC, not the headline.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -49,11 +66,93 @@ GATE_ORCHESTRATION = {n for n in HEADLINE if n.startswith("events_stream_")} | {
 }
 
 
+def _sf_of(sf_dir: str):
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else None
+
+
+def _time_query(spark, name: str, sf_dir: str, warm_dir: str):
+    """Warm once at warm_dir (codegen/JIT), then best-of-two at sf_dir."""
+    fn = QUERIES[name]
+    try:
+        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def run_single(name: str) -> None:
+    """One query, one fresh JVM — prints one JSON line {"name": sec}."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "bench-single", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    try:
+        sec = _time_query(spark, name, sf_dir, warm_dir)
+    except Exception as exc:
+        print(f"bench --single: {name} FAILED: {exc}", file=sys.stderr)
+        sec = None
+    print(json.dumps({name: sec}))
+
+
+def run_isolate(names: list[str]) -> None:
+    """Each query in its own subprocess: fresh JVM, zero cross-query
+    state. Attribution diagnostic for shared-session drift — writes
+    BENCH_ISOLATE.json, never the headline BENCH_LOCAL.json."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(2)
+    timings: dict[str, float | None] = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", name],
+            capture_output=True, text=True,
+        )
+        sec = None
+        for line in reversed(proc.stdout.splitlines()):
+            try:
+                sec = json.loads(line).get(name)
+                break
+            except (json.JSONDecodeError, AttributeError):
+                continue
+        if sec is None and proc.returncode != 0:
+            print(proc.stderr[-800:], file=sys.stderr)
+        timings[name] = sec
+        print(f"isolated {name}: {sec}s", flush=True)
+    line = json.dumps(
+        {
+            "metric": "isolated_queries_wall",
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_of(sf_dir),
+            "note": "fresh JVM per query; diagnostic, not the headline",
+        }
+    )
+    print(line)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ISOLATE.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+    sf = _sf_of(sf_dir)
 
     spark = get_spark(
         "bench",
@@ -133,4 +232,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--single", metavar="QUERY", default=None)
+    ap.add_argument("--isolate", metavar="Q1,Q2,...", default=None)
+    cli = ap.parse_args()
+    if cli.single:
+        run_single(cli.single)
+    elif cli.isolate:
+        run_isolate([n.strip() for n in cli.isolate.split(",") if n.strip()])
+    else:
+        main()

@@ -8,6 +8,26 @@ repo carries committed evidence for the whole registry (VERDICT.md round-4
 punch-list item 4 / ADVICE.md round-4 finding 4).
 
 Usage:  python scripts/oracle_sweep.py  [--sf-dir /root/testdata/sf0.01]
+        python scripts/oracle_sweep.py  --changed-since HEAD~1
+        python scripts/oracle_sweep.py  --only 'q17|kcore'
+
+Development modes (round-5 VERDICT item 8 — the full sweep is ~5-25 min
+and the registry keeps growing, so iterating on one query must not cost a
+full pass):
+
+  * ``--changed-since <git-ref>``: sweep only queries whose DEFINING
+    module (``queries*.py``) changed vs the ref. If any changed package
+    file is NOT a query-registry module (operators/, functions/,
+    sources/, plans/, streaming/ — shared code with registry-wide blast
+    radius), the mode falls back to the FULL sweep and says so: partial
+    evidence over shared-code edits would be false confidence.
+  * ``--only <regex>``: sweep queries whose name matches the regex.
+
+Both modes refuse to write the committed artifact names
+(CORRECTNESS_LOCAL.json / CORRECTNESS_SF01_LOCAL.json) unless the
+selection is the full registry — partial sweeps write
+CORRECTNESS_PARTIAL.json by default. The FULL sweep remains the
+round-final committed gate.
 
 Comparison contract (mirrors the driver and tests/test_oracle_parity.py):
   * columns sorted by lowercase name before value comparison;
@@ -49,11 +69,57 @@ def value_hash(mat):
     return h.hexdigest()
 
 
+def _changed_query_names(qs, ref: str):
+    """Names of registry entries whose defining module changed vs `ref`,
+    or None to signal 'fall back to the full sweep' (a shared non-registry
+    package file changed, or git itself failed)."""
+    import inspect
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "diff", "--name-only", ref, "--", "*.py"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+    except (subprocess.CalledProcessError, OSError) as e:
+        print(f"--changed-since: git diff failed ({e}); full sweep")
+        return None
+    changed = {p.strip() for p in out.splitlines() if p.strip()}
+    pkg_changed = {
+        p for p in changed if p.startswith("one_one_one_rule_spark/")
+    } | {p for p in changed if p == "__spark_entry__.py"}
+    if not pkg_changed:
+        print(f"--changed-since {ref}: no package files changed; 0 queries")
+        return []
+    non_registry = {
+        p for p in pkg_changed
+        if not os.path.basename(p).startswith("queries")
+        and p != "__spark_entry__.py"
+    }
+    if non_registry:
+        print(
+            "--changed-since: shared (non-registry) package files changed "
+            f"{sorted(non_registry)} — blast radius is registry-wide, "
+            "falling back to the FULL sweep"
+        )
+        return None
+    names = []
+    for name, fn in qs.items():
+        target = inspect.unwrap(fn)
+        src = inspect.getsourcefile(target) or ""
+        rel = os.path.relpath(src, REPO)
+        if rel in pkg_changed:
+            names.append(name)
+    return names
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default=os.path.join(REPO, "CORRECTNESS_LOCAL.json"))
+    ap.add_argument("--out", default=None)
     ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--changed-since", metavar="GIT_REF", default=None)
+    ap.add_argument("--only", metavar="NAME_REGEX", default=None)
     args = ap.parse_args()
 
     spec = importlib.util.spec_from_file_location(
@@ -85,9 +151,39 @@ def main() -> int:
         )
 
     qs, osql = mod.queries(), mod.oracle_sql()
+
+    selected = list(qs)
+    if args.changed_since is not None:
+        names = _changed_query_names(qs, args.changed_since)
+        if names is not None:
+            selected = names
+    if args.only is not None:
+        import re as _re
+
+        pat = _re.compile(args.only)
+        selected = [n for n in selected if pat.search(n)]
+    partial = len(selected) != len(qs)
+    out_path = args.out or os.path.join(
+        REPO, "CORRECTNESS_PARTIAL.json" if partial else "CORRECTNESS_LOCAL.json"
+    )
+    if partial and os.path.basename(out_path) in (
+        "CORRECTNESS_LOCAL.json", "CORRECTNESS_SF01_LOCAL.json"
+    ):
+        print(
+            "refusing to write the committed full-sweep artifact from a "
+            f"PARTIAL selection ({len(selected)}/{len(qs)}); use --out"
+        )
+        return 2
+    if partial:
+        print(f"partial sweep: {len(selected)}/{len(qs)} queries -> {out_path}")
+    if not selected:
+        print("nothing selected; exiting clean")
+        return 0
+
     report, n_pass, n_rows_only, n_fail = {}, 0, 0, 0
     t0 = time.time()
-    for name, fn in qs.items():
+    for name in selected:
+        fn = qs[name]
         entry = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,
@@ -129,11 +225,12 @@ def main() -> int:
         print(f"{status:9s} {name} ({entry['spark_rows']} rows)", flush=True)
 
     summary = {
-        "total": len(qs), "hash_gated_pass": n_pass, "rows_only": n_rows_only,
-        "fail": n_fail, "sf_dir": args.sf_dir,
+        "total": len(selected), "registry_total": len(qs),
+        "hash_gated_pass": n_pass, "rows_only": n_rows_only,
+        "fail": n_fail, "sf_dir": args.sf_dir, "partial": partial,
         "elapsed_sec": round(time.time() - t0, 1),
     }
-    with open(args.out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump({"summary": summary, "queries": report}, f, indent=1)
     print(json.dumps(summary))
     return 1 if n_fail else 0

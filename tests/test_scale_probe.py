@@ -66,6 +66,7 @@ def _executed_broadcast_sizes(df):
             "BroadcastQueryStageExec",
             "ShuffleQueryStageExec",
             "TableCacheQueryStageExec",
+            "ResultQueryStageExec",  # Spark 4 wraps the final stage too
         ):
             walk(node.plan())
             return
@@ -333,3 +334,230 @@ def test_cluster_purity_completes_at_10x(spark, sf_dir, tmp_path):
     _assert_bounded(spark, sizes)
     assert sum(r.n_vecs for r in rows) == n * COPIES
     assert all(0 < r.purity_ppm <= 1_000_000 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join empirical gate (round 6, VERDICT r5 item 7): the session
+# factory pins spark.sql.adaptive.skewJoin.enabled=true and the salting
+# helpers exist, but nothing PROVED the runtime skew split actually fires.
+# This builds a deliberately skewed join (one hot key holding ~90% of the
+# fact rows), executes it under test-scaled skew thresholds, and reads the
+# numSkewedPartitions / numSkewedSplits SQLMetrics off the executed
+# AQEShuffleRead — documenting that the config engages, not just that it
+# is set.
+# ---------------------------------------------------------------------------
+
+
+def _executed_skew_metrics(df):
+    """(rows, {metric: total}) for every AQEShuffleRead in the final
+    adaptive plan — same walk discipline as _executed_broadcast_sizes
+    (collect() drives THIS df's QueryExecution; metrics exist only after
+    execution)."""
+    rows = df.collect()
+    totals = {"numSkewedPartitions": 0, "numSkewedSplits": 0}
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if node.nodeName() == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if cls in ("ShuffleQueryStageExec", "BroadcastQueryStageExec",
+                   "TableCacheQueryStageExec", "ResultQueryStageExec"):
+            walk(node.plan())
+            return
+        if cls == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        if cls == "AQEShuffleReadExec":
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() in totals:
+                    totals[kv._1()] += kv._2().value()
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return rows, totals
+
+
+def test_aqe_skew_join_split_fires(spark):
+    from pyspark.sql import functions as SF
+
+    n_fact, n_keys = 400_000, 1_000
+    # 90% of fact rows land on key 0; remaining 10% spread over n_keys
+    fact = spark.range(n_fact).select(
+        SF.when(SF.col("id") % 10 < 9, SF.lit(0))
+        .otherwise(SF.col("id") % n_keys)
+        .alias("k"),
+        (SF.col("id") * 3).alias("payload"),
+    )
+    dim = spark.range(n_keys).select(
+        SF.col("id").alias("k"), (SF.col("id") + 7).alias("attr")
+    )
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": None,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": None,
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": None,
+    }
+    for key in saved:
+        saved[key] = spark.conf.get(key, None)
+    try:
+        # force a shuffled join (no broadcast escape) and scale the skew
+        # thresholds to fixture bytes — production keeps the defaults,
+        # where the same 9:1 key ratio trips the same code path at GBs
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1MB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
+        )
+        # the consumer must NOT require the join's hash partitioning (a
+        # same-key groupBy would reuse it, and OptimizeSkewedJoin refuses
+        # a split that forces an extra downstream shuffle): a global
+        # aggregate consumes partials per split, the production shape
+        joined = fact.join(dim, "k").agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.col("payload") + SF.col("attr")).alias("s"),
+        )
+        rows, skew = _executed_skew_metrics(joined)
+        # correctness under the split: exact closed-form comparison
+        keys = [0 if i % 10 < 9 else i % n_keys for i in range(n_fact)]
+        assert rows[0]["n"] == n_fact
+        assert rows[0]["s"] == sum(
+            3 * i + k + 7 for i, k in enumerate(keys)
+        )
+        assert skew["numSkewedPartitions"] >= 1, (
+            f"AQE skew-join split never fired: {skew} — the config is "
+            "pinned on but did not engage"
+        )
+        assert skew["numSkewedSplits"] >= 2
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+
+# ---------------------------------------------------------------------------
+# memory-pressure probe (round 6, VERDICT r5 item 5): the 10x probes above
+# assert completion and broadcast bounds under the DEFAULT heap; this one
+# runs the minhash-LSH dedup tier at 10x in a SUBPROCESS with a deliberately
+# small driver/executor heap and a low force-spill threshold, then parses
+# the Spark event log to assert (a) the job completed with the structurally
+# expected output and (b) spill actually happened — operators under memory
+# pressure must SPILL, not OOM.
+# ---------------------------------------------------------------------------
+
+_SPILL_PROBE = r"""
+import glob, json, sys
+
+sf_dir, event_dir = sys.argv[1], sys.argv[2]
+
+from pyspark.sql import functions as F
+
+from one_one_one_rule_spark.operators.dedup import minhash_lsh_pairs
+from one_one_one_rule_spark.session import get_spark
+from one_one_one_rule_spark.sources.fixtures import load_table
+
+spark = get_spark(
+    "spill-probe",
+    master="local[4]",
+    shuffle_partitions=8,
+    extra_conf={
+        "spark.driver.memory": "640m",
+        # deterministic pressure: force external sorters/aggregators to
+        # spill after a few thousand elements instead of waiting for a
+        # memory-manager grant failure (heap head-room varies per JVM)
+        "spark.shuffle.spill.numElementsForceSpillThreshold": "2000",
+        # no broadcast escape: joins must run as SortMergeJoin so the
+        # spillable external sorters are actually on the path (the
+        # fixture fits any broadcast threshold)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.compress": "false",  # parsed as plain JSON lines
+        "spark.eventLog.dir": event_dir,
+    },
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+parts = [
+    docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+    for i in range(10)
+]
+scaled = parts[0]
+for p in parts[1:]:
+    scaled = scaled.union(p)
+
+n_pairs = minhash_lsh_pairs(scaled).count()
+spark.stop()  # flushes the event log
+print(json.dumps({"n_pairs": n_pairs}))
+"""
+
+
+def test_dedup_tier_spills_not_ooms_under_small_heap(spark, sf_dir, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from one_one_one_rule_spark.operators.dedup import minhash_lsh_pairs
+
+    # structural oracle from THIS session (default heap): replica families
+    # guarantee pairs; the constrained run must reproduce the exact count
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected_pairs = minhash_lsh_pairs(_scaled(docs, "doc_id")).count()
+    assert expected_pairs > 0
+
+    probe = tmp_path / "spill_probe.py"
+    probe.write_text(_SPILL_PROBE)
+    event_dir = tmp_path / "events"
+    event_dir.mkdir()
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_DRIVER_MEM", None)  # the probe pins its own heap
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(probe), sf_dir, str(event_dir)],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"probe died under the 640m heap (OOM instead of spill?):\n"
+        f"{proc.stderr[-2000:]}"
+    )
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["n_pairs"] == expected_pairs
+
+    spilled_mem = spilled_disk = 0
+    # Spark 4 event logs are rolling DIRECTORIES (eventlog_v2_<app>/
+    # events_1_<app>); walk every regular file under the log dir
+    logs = [
+        p
+        for p in sorted(event_dir.rglob("*"))
+        if p.is_file() and not p.name.startswith(".")
+    ]
+    assert logs, "no event log written"
+    for log in logs:
+        with open(log, encoding="utf-8") as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                tm = ev.get("Task Metrics")
+                if ev.get("Event") == "SparkListenerTaskEnd" and tm:
+                    spilled_mem += tm.get("Memory Bytes Spilled", 0)
+                    spilled_disk += tm.get("Disk Bytes Spilled", 0)
+    assert spilled_mem > 0 and spilled_disk > 0, (
+        "no spill recorded in the event log — the probe did not actually "
+        f"exercise the spill path (mem={spilled_mem}, disk={spilled_disk})"
+    )

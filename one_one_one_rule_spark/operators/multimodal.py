@@ -605,3 +605,175 @@ def wav_frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(fn, schema=WAV_ENERGY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video tier (round 6): real frame container around the real PNG codec —
+# the frame-sample operation of the multimodal design, now with an actual
+# decode step instead of the deterministic fake
+# ---------------------------------------------------------------------------
+
+#: magic of the fixture video container: ``VID1`` + ``<IHH`` header
+#: (n_frames, width, height), then per frame ``<I`` byte length + a full
+#: PNG file. Simple by construction, but every parse step is strict and
+#: every frame decode is the REAL stdlib PNG path (CRC-verified chunks,
+#: inflate, unfilter) — the same contract as the WAV tier: the oracle
+#: knows only the pixel FORMULA, so a hash match proves the whole
+#: encode -> container -> parse -> PNG-decode pipeline byte-correct.
+VIDEO_MAGIC = b"VID1"
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("backend", StringType()),
+    ]
+)
+
+
+def _video_frame(media_id: int, f: int, w: int, h: int):
+    """The deterministic RGB test frame for (media row, frame index): the
+    exact formula is mirrored literally in the DuckDB oracle SQL
+    (queries.py:media_video_frame_stats), so the codec round trip is what
+    the hash gate actually proves."""
+    import numpy as np
+
+    y = np.arange(h, dtype=np.int64).reshape(h, 1, 1)
+    x = np.arange(w, dtype=np.int64).reshape(1, w, 1)
+    c = np.arange(3, dtype=np.int64).reshape(1, 1, 3)
+    return (
+        (media_id * 31 + f * 29 + y * 17 + x * 13 + c * 7) % 256
+    ).astype(np.uint8)
+
+
+def encode_video(media_id: int, n_frames: int, w: int, h: int) -> bytes:
+    """Build one container: header + length-prefixed REAL PNG frames
+    (``encode_png`` — spec-valid files any external viewer opens)."""
+    import struct
+
+    frames = []
+    for f in range(n_frames):
+        png = encode_png(_video_frame(media_id, f, w, h))
+        frames.append(struct.pack("<I", len(png)) + png)
+    return VIDEO_MAGIC + struct.pack("<IHH", n_frames, w, h) + b"".join(frames)
+
+
+def synthesize_video(docs: DataFrame) -> DataFrame:
+    """Deterministic video containers for the video-kind rows
+    (doc_id % 3 == 2, matching ``synthesize_media``'s kind cycle), built
+    Arrow-batched on the executors — the ingest half of the video tier.
+    Frame counts and dimensions vary per row (4-8 frames, 8-12 x 6-8 px)
+    so the sampler sees ragged containers, not one fixed shape."""
+    vids = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        (4 + F.col("doc_id") % 5).cast("int").alias("n_frames"),
+        (8 + F.col("doc_id") % 5).cast("int").alias("w"),
+        (6 + F.col("doc_id") % 3).cast("int").alias("h"),
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_video(int(m), int(n), int(w), int(h))
+                for m, n, w, h in zip(
+                    pdf["media_id"], pdf["n_frames"], pdf["w"], pdf["h"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["video"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return vids.mapInPandas(
+        fn, schema="media_id bigint, kind string, payload binary"
+    )
+
+
+def decode_video(payload: bytes):
+    """STRICT container walk: magic, header, every frame's length prefix
+    in bounds, every frame a byte-valid PNG of exactly the declared
+    (h, w, 3) shape, and the last frame must end at the container's last
+    byte. Returns [(frame_idx, rgb array), ...] or None — arbitrary
+    payloads never false-positive (same contract as decode_image /
+    decode_wav)."""
+    import struct
+
+    if payload is None or len(payload) < 12:
+        return None
+    if bytes(payload[:4]) != VIDEO_MAGIC:
+        return None
+    n_frames, w, h = struct.unpack_from("<IHH", payload, 4)
+    if n_frames == 0 or w == 0 or h == 0:
+        return None
+    pos, out = 12, []
+    for f in range(n_frames):
+        if pos + 4 > len(payload):
+            return None
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if pos + ln > len(payload):
+            return None
+        img = decode_image(payload[pos : pos + ln])
+        if img is None or img.shape != (h, w, 3):
+            return None
+        out.append((f, img))
+        pos += ln
+    if pos != len(payload):
+        return None  # trailing junk after the declared last frame
+    return out
+
+
+def video_sampled_frame_stats(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sampling over video payloads — the video analogue of
+    ``wav_frame_energy``: Arrow-batched ``mapInPandas``, one strict
+    container parse + real PNG decode per row, keep every ``every``-th
+    frame, emit exact int64 pixel sums. Rows whose payload is not a
+    byte-valid container are dropped (quarantine-sink class). Map-only:
+    at 100 TB payloads never leave their partition, and sampling cuts
+    the decoded volume by the sampling factor BEFORE anything shuffles."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mids, fidx, nf, ws, hs, ps = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_video(
+                    bytes(payload) if payload is not None else None
+                )
+                if frames is None:
+                    continue
+                for f, img in frames:
+                    if f % every:
+                        continue
+                    mids.append(mid)
+                    fidx.append(f)
+                    nf.append(len(frames))
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    ps.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "n_frames": pd.Series(nf, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixel_sum": pd.Series(ps, dtype="int64"),
+                    "backend": pd.Series(
+                        ["stdlib"] * len(mids), dtype="object"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)

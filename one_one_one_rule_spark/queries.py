@@ -6205,3 +6205,68 @@ GROUP BY o_orderpriority
 """,
         args={"status": "O", "min_total": 1000.0},
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: video-container tier — the frame-sample leg of the multimodal
+# design, now a REAL codec path end to end (container walk + stdlib PNG
+# decode), completing the image (BMP/PPM/PNG) and audio (WAV) legs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_video_frame_stats",
+    """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 5 AS n_frames,
+         8 + doc_id % 5 AS w,
+         6 + doc_id % 3 AS h
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT media_id, n_frames, w, h, t.f
+  FROM v, LATERAL (SELECT unnest(range(v.n_frames)) AS f) t
+  WHERE t.f % 2 = 0
+),
+px AS (
+  SELECT fr.media_id, fr.f, fr.n_frames, fr.w, fr.h,
+         SUM((fr.media_id*31 + fr.f*29 + ty.y*17 + tx.x*13 + tc.c*7) % 256)
+           AS pixel_sum
+  FROM fr,
+       LATERAL (SELECT unnest(range(fr.h)) AS y) ty,
+       LATERAL (SELECT unnest(range(fr.w)) AS x) tx,
+       LATERAL (SELECT unnest(range(3)) AS c) tc
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum, 'stdlib' AS backend
+FROM px
+""",
+)
+def media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video tier: deterministic containers of length-prefixed PNG
+    frames are built executor-side (operators/multimodal.py:
+    synthesize_video — every frame a spec-valid PNG from encode_png),
+    then a SECOND Arrow-batched pass strict-parses the container back
+    (decode_video: magic, header, per-frame bounds, exact trailing byte)
+    and REALLY decodes every 2nd frame through the stdlib PNG path
+    (CRC-verified chunks, inflate, scanline unfilter), emitting exact
+    int64 per-frame pixel sums.
+
+    The oracle knows only the pixel FORMULA, not the codec — a hash match
+    proves the encode→PNG→container→parse→decode→sample pipeline is
+    byte-correct, upgrading the video leg of the multimodal tier from
+    deterministic-fake to real codec exactly as the image (round 5a) and
+    audio (round 5b) legs were. Shape: two map-only mapInPandas passes,
+    zero shuffles — payloads never leave their partition, and frame
+    sampling halves the decoded volume BEFORE any downstream consumer;
+    at 100 TB this is the canonical decode/frame-sample ingest stage
+    (the reference pipeline has no media surface at all — this tier is
+    the training-data-pipeline extension SURVEY.md §6 specifies)."""
+    from .operators.multimodal import synthesize_video, video_sampled_frame_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return video_sampled_frame_stats(synthesize_video(d), every=2)

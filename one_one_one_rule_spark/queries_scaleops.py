@@ -672,3 +672,145 @@ END
         return out.localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "events_quantile_sketch_eval",
+    """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 1e2) AS BIGINT) AS cents FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         CASE WHEN cents <= 0 THEN 0
+              ELSE length(printf('%b', cents)) END AS bucket
+  FROM e
+),
+sk AS (
+  SELECT event_type, bucket, COUNT(*) AS cnt FROM r GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM sk
+),
+qs AS (SELECT unnest(range(1, 4)) AS q4),
+est AS (
+  SELECT event_type, q4, MIN(bucket) AS bucket
+  FROM cum, qs WHERE cum * 4 >= n * q4
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(round(quantile_cont(cents, 0.25e0) * 4) AS BIGINT) AS e1,
+         CAST(round(quantile_cont(cents, 0.5e0) * 4) AS BIGINT) AS e2,
+         CAST(round(quantile_cont(cents, 0.75e0) * 4) AS BIGINT) AS e3
+  FROM e GROUP BY 1
+),
+ex AS (
+  SELECT event_type, n, 1 AS q4, e1 AS exact_x4 FROM exact
+  UNION ALL SELECT event_type, n, 2, e2 FROM exact
+  UNION ALL SELECT event_type, n, 3, e3 FROM exact
+)
+SELECT est.event_type, CAST(est.q4 AS BIGINT) AS q4, ex.n,
+       CAST(est.bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN est.bucket <= 0 THEN 0
+                 ELSE 1 << (est.bucket - 1) END AS BIGINT) AS est_lo_cents,
+       CAST((1 << est.bucket) - 1 AS BIGINT) AS est_hi_cents,
+       ex.exact_x4,
+       (CASE WHEN est.bucket <= 0 THEN 0 ELSE 1 << (est.bucket - 1) END) * 4
+         <= ex.exact_x4
+       AND ex.exact_x4 <= ((1 << est.bucket) - 1) * 4 AS exact_in_bucket
+FROM est JOIN ex ON est.event_type = ex.event_type AND est.q4 = ex.q4
+""",
+)
+def events_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable dyadic quantile sketch + in-engine accuracy audit — the
+    sketch leg the CMS (frequency) and HLL (cardinality) tiers lacked.
+
+    Sketch: per (event_type, floor-log2 bucket of integer cents) counts —
+    bit-length buckets are EXACT integer arithmetic (length of the binary
+    rendering), so unlike log2() there is no transcendental to drift
+    across engines. The sketch is trivially mergeable (counts add), is
+    bounded at ~40 rows per group whatever the SF, and the quantile
+    estimate for q is the smallest bucket whose cumulative count reaches
+    ceil(n*q) (pure integer compare: cum*4 >= n*q4) — i.e. the true
+    quantile's bucket, giving a guaranteed 2x-relative-error envelope
+    [2^(b-1), 2^b).
+
+    Audit: the exact interpolated quantile (binary-fraction percentiles
+    over integer cents — the events_value_quantiles bit-determinism
+    recipe, carried as exact_x4 = 4x the quantile so it stays integer)
+    joined against the sketch estimate, with an exact_in_bucket flag.
+
+    Scale shape: ONE combinable groupBy builds the sketch (map-side
+    partials; ~40 rows x groups survive the shuffle); the window + the
+    quantile-target cross join run on the SKETCH, not the facts. The
+    exact side is the audit's baseline and the only full-sort cost — a
+    production pipeline ships the sketch alone and drops that branch, or
+    keeps it on a sampled slice."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    rows = e.select(
+        "event_type",
+        F.when(cents <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(cents)))
+        .cast("int")
+        .alias("bucket"),
+    )
+    sketch = rows.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    qs = spark.range(1, 4).select(F.col("id").cast("int").alias("q4"))
+    est = (
+        cum.crossJoin(qs)
+        .filter(F.col("cum") * 4 >= F.col("n") * F.col("q4"))
+        .groupBy("event_type", "q4")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    exact = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.percentile(
+                F.round(F.col("value") * 100).cast("bigint"),
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            ).alias("p"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.posexplode(F.col("p")).alias("pos", "pv"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("pos") + 1).cast("int").alias("q4"),
+            F.round(F.col("pv") * 4).cast("bigint").alias("exact_x4"),
+        )
+    )
+    j = est.join(exact, ["event_type", "q4"])
+    lo = F.expr(
+        "CASE WHEN bucket <= 0 THEN CAST(0 AS BIGINT)"
+        " ELSE shiftleft(CAST(1 AS BIGINT), bucket - 1) END"
+    )
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+    return j.select(
+        "event_type",
+        F.col("q4").cast("bigint").alias("q4"),
+        "n",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        lo.cast("bigint").alias("est_lo_cents"),
+        hi.cast("bigint").alias("est_hi_cents"),
+        "exact_x4",
+        (
+            (lo * 4 <= F.col("exact_x4")) & (F.col("exact_x4") <= hi * 4)
+        ).alias("exact_in_bucket"),
+    )

@@ -1012,3 +1012,71 @@ def docs_ccnet_quality_buckets(
         F.sum("n_bigrams").alias("sum_bigrams"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+@register(
+    "docs_heaps_law",
+    """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t
+  WHERE t.tok <> ''
+),
+first AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+ks AS (SELECT unnest(range(1, 5)) AS k),
+vocab AS (
+  SELECT k, COUNT(*) AS vocab FROM first, mx, ks
+  WHERE first_doc * 4 <= max_id * k GROUP BY k
+),
+nd AS (
+  SELECT k, COUNT(*) AS n_docs FROM documents, mx, ks
+  WHERE doc_id * 4 <= max_id * k GROUP BY k
+)
+SELECT CAST(vocab.k AS BIGINT) AS quartile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(vocab AS BIGINT) AS vocab_size
+FROM vocab JOIN nd ON vocab.k = nd.k
+""",
+)
+def docs_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-token count of each
+    doc_id-order corpus prefix (quartile checkpoints of the id range) —
+    the corpus-health diagnostic a training-data pipeline tracks to spot
+    vocabulary saturation or duplication-driven collapse (a flat curve
+    says new shards add no new language).
+
+    Scale shape: NO global sort or window — a token's contribution to
+    every checkpoint is fully determined by its FIRST occurrence, so one
+    exploded-token groupBy (combinable MIN) computes first_doc per token,
+    a 1-row max-id aggregate crossed with the 4-row checkpoint grid is
+    broadcast onto it, and a 4-group conditional count finishes map-side.
+    Exact integers end to end (first_doc*4 <= max_id*k avoids any
+    fraction), so the gate is bit-portable at every SF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    ks = spark.range(1, 5).select(F.col("id").cast("int").alias("k"))
+    grid = mx.crossJoin(ks)
+    vocab = (
+        first.crossJoin(F.broadcast(grid))
+        .filter(F.col("first_doc") * 4 <= F.col("max_id") * F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    ndocs = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") * 4 <= F.col("max_id") * F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return vocab.join(ndocs, "k").select(
+        F.col("k").cast("bigint").alias("quartile"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("vocab").cast("bigint").alias("vocab_size"),
+    )

@@ -807,3 +807,90 @@ def test_wav_arrow_stats_matches_formula_and_drops_corrupt(spark, sf_dir):
     )
     out2 = wav_media_stats_arrow(corrupt).collect()
     assert {r.media_id for r in out2} == set(got) - {lo, hi}
+
+
+# --- video container tier (round 6) ------------------------------------------
+
+
+def test_video_container_roundtrip_matches_formula():
+    import struct
+
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _video_frame,
+        decode_video,
+        encode_video,
+    )
+
+    payload = encode_video(11, 5, 9, 7)
+    frames = decode_video(payload)
+    assert frames is not None and len(frames) == 5
+    for f, img in frames:
+        assert img.shape == (7, 9, 3)
+        assert (img == _video_frame(11, f, 9, 7)).all()
+    # header round-trips
+    n, w, h = struct.unpack_from("<IHH", payload, 4)
+    assert (n, w, h) == (5, 9, 7)
+
+
+def test_video_container_strict_rejection():
+    import struct
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        VIDEO_MAGIC,
+        decode_video,
+        encode_video,
+    )
+
+    good = encode_video(3, 4, 8, 6)
+    assert decode_video(good) is not None
+    # wrong magic
+    assert decode_video(b"VID2" + good[4:]) is None
+    # truncated: last frame no longer ends at the container's last byte
+    assert decode_video(good[:-1]) is None
+    # trailing junk after the declared last frame
+    assert decode_video(good + b"\x00") is None
+    # corrupt a byte inside the first frame's PNG: CRC check must catch it
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    assert decode_video(bytes(bad)) is None
+    # header lies about the frame shape: decoded PNG no longer matches
+    lied = bytearray(good)
+    struct.pack_into("<IHH", lied, 4, 4, 9, 6)  # w=9, frames are 8 wide
+    assert decode_video(bytes(lied)) is None
+    # frame length prefix runs past the container
+    overrun = bytearray(good)
+    struct.pack_into("<I", overrun, 12, 1 << 20)
+    assert decode_video(bytes(overrun)) is None
+    # zero frames / degenerate dims
+    assert decode_video(VIDEO_MAGIC + struct.pack("<IHH", 0, 4, 4)) is None
+    assert decode_video(None) is None
+    assert decode_video(b"") is None
+
+
+def test_video_sampled_frame_stats_samples_and_quarantines(spark):
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _video_frame,
+        encode_video,
+        video_sampled_frame_stats,
+    )
+
+    rows = [
+        (7, "video", bytearray(encode_video(7, 6, 8, 6))),
+        (8, "video", bytearray(b"garbage, not a container")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary"
+    )
+    out = video_sampled_frame_stats(media, every=2).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in out}
+    # only the valid container survives; frames 0,2,4 of 6 are kept
+    assert set(got) == {(7, 0), (7, 2), (7, 4)}
+    for (mid, f), r in got.items():
+        img = _video_frame(mid, f, 8, 6)
+        assert r["pixel_sum"] == int(img.astype(np.int64).sum())
+        assert (r["n_frames"], r["width"], r["height"]) == (6, 8, 6)
+        assert r["backend"] == "stdlib"

@@ -619,10 +619,13 @@ def _assert_moment_headroom(d: DataFrame) -> None:
     DuckDB's SUM(BIGINT)→HUGEINT never wraps, so the Spark-side guard is
     what keeps cross-engine parity honest).
 
-    ``d`` is the eagerly checkpointed bar-delta relation (instruments ×
-    days rows — compact at any event volume), so this 1-row aggregate is
-    a bounded driver-side scalar check, same class as the convergence
-    cutoff collects in operators/dedup.py.
+    ``d`` is the bar-delta relation (instruments × days rows — compact
+    at any event volume), so this 1-row aggregate is a bounded
+    driver-side scalar check, same class as the convergence cutoff
+    collects in operators/dedup.py. It runs as its own job ahead of the
+    pair fan-out (one extra map-side-combinable pass over the bars —
+    measured free at gate scale; a production pipeline could fold it
+    into an ``observe()`` on a prior stage if the extra scan mattered).
     """
     row = d.agg(
         F.max(F.abs(F.col("dc"))).alias("m"),
@@ -712,20 +715,22 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.max_by(cents, "ts").alias("close_cents"))
     wh = Window.partitionBy("user_id").orderBy("day")
-    # the delta relation feeds BOTH self-join sides: checkpoint it so the
-    # events scan + bar aggregate + window run once, not once per side
-    # (instruments × days rows — compact at any event volume)
-    d = (
-        c.select(
-            "user_id",
-            "day",
-            (
-                F.col("close_cents") - F.lag("close_cents", 1).over(wh)
-            ).alias("dc"),
-        )
-        .filter(F.col("dc").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    # the delta relation feeds BOTH self-join sides — but NO checkpoint:
+    # a self-join over identical lineage gets a ReusedExchange (verified
+    # in the executed plan), so the bar aggregate's shuffle files already
+    # materialize once and serve both sides with executor-local reads.
+    # The eager localCheckpoint this carried in round 5 was strictly
+    # slower (measured +0.7s of its 7.3s at sf0.1): it added a
+    # driver-coordinated materialization on top of the reuse Spark plans
+    # anyway. The repo's checkpoint convention is for relations feeding
+    # DIFFERENT-shaped consumers, where no common exchange exists.
+    d = c.select(
+        "user_id",
+        "day",
+        (
+            F.col("close_cents") - F.lag("close_cents", 1).over(wh)
+        ).alias("dc"),
+    ).filter(F.col("dc").isNotNull())
     _assert_moment_headroom(d)
     a = d.select(
         F.col("user_id").alias("user_a"), "day", F.col("dc").alias("da")
@@ -868,8 +873,10 @@ def events_pairwise_correlation_blocked(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.max_by(cents, "ts").alias("close_cents"))
     wh = Window.partitionBy("user_id").orderBy("day")
-    # checkpoint the blocked delta relation: it feeds both self-join
-    # sides (same reason as the unblocked variant)
+    # the blocked delta relation feeds both self-join sides — like the
+    # unblocked variant, NO checkpoint: the self-join over identical
+    # lineage reuses the exchange, which beats an eager localCheckpoint
+    # (measured; see events_pairwise_correlation)
     d = (
         c.select(
             "user_id",
@@ -880,7 +887,6 @@ def events_pairwise_correlation_blocked(
         )
         .filter(F.col("dc").isNotNull())
         .join(cust, "user_id")
-        .localCheckpoint(eager=True)
     )
     _assert_moment_headroom(d)
     a = d.select(

@@ -2846,6 +2846,159 @@ def parts_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("part", F.col("dist").alias("min_dist"))
 
 
+#: Hard cap for the CONVERGED Bellman-Ford relaxation. Measured fixture
+#: convergence depth (DuckDB replay of the identical relaxation,
+#: including the final no-op round): sf0.001 -> 4, sf0.01 -> 8,
+#: sf0.1 -> 6 — all well under 16. The Spark loop raises if the cap is
+#: hit without convergence (same contract as the converged k-core).
+_SSSP_CONV_MAX = 16
+
+
+def _sssp_conv_sql(rounds: int) -> str:
+    """Generated unrolled oracle for the CONVERGED SSSP: `rounds`
+    materialized relaxation rounds d0..dN, each taking the element-wise
+    MIN of the previous distance table and its one-hop relaxation.
+    Rounds past convergence are no-ops (MIN of an unchanged table), so
+    the unroll equals the fixpoint whenever convergence happens within
+    `rounds` — and the Spark side raises if it does not. Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs per reference and an
+    unrolled iterative chain re-expands exponentially (the round-5
+    kcore-oracle ENOSPC lesson)."""
+    parts = [
+        f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+eu AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_MIN_COPURCHASES}
+),
+e AS MATERIALIZED (
+  SELECT u, v, greatest(1, 10 - c) AS w FROM eu
+  UNION ALL
+  SELECT v AS u, u AS v, greatest(1, 10 - c) AS w FROM eu
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS part, CAST(0 AS BIGINT) AS dist
+  FROM lineitem WHERE l_partkey % 100 = 0
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT part, MIN(dist) AS dist FROM (
+    SELECT part, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.v AS part, d{r - 1}.dist + e.w AS dist
+    FROM d{r - 1} JOIN e ON d{r - 1}.part = e.u
+  ) GROUP BY part
+)"""
+        )
+    parts.append(
+        f"\nSELECT part, CAST(dist AS BIGINT) AS min_dist FROM d{rounds}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "parts_copurchase_sssp_converged",
+    _sssp_conv_sql(rounds=_SSSP_CONV_MAX),
+)
+def parts_copurchase_sssp_converged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted shortest paths relaxed TO A FIXPOINT (true Bellman-Ford
+    termination, the production contract) rather than a fixed hop bound:
+    each round relaxes the improved frontier, and the loop exits when a
+    round improves NO vertex's distance. The only driver-side check per
+    round is a scalar ``improved.isEmpty()`` on a checkpointed relation
+    — no data is collected; everything stays distributed.
+
+    Oracle equivalence: the generated unrolled oracle runs the SAME
+    relaxation for ``_SSSP_CONV_MAX`` rounds over the FULL distance
+    table; frontier-based relaxation reaches the identical fixpoint
+    (relaxing non-improved vertices only re-derives dominated
+    candidates), rounds past convergence are no-ops, and the Spark side
+    RAISES if convergence does not happen within the cap — so the
+    equivalence can never silently drift. Together with
+    parts_copurchase_kcore_converged this proves the fixpoint-loop
+    machinery on BOTH monotone directions (peeling shrinks a set;
+    relaxation lowers a bound).
+
+    Scale shape: identical per-round plan to parts_copurchase_sssp
+    (frontier ⋈ edges, combinable MIN merges, checkpointed frontiers for
+    flat lineage) plus one isEmpty() job per round on the improved set —
+    which SHRINKS monotonically toward empty; at 100 TB this is
+    standard Pregel-style synchronous relaxation with driver-side
+    convergence testing on a scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    eu = _copurchase_edges(li, _TRI_MIN_COPURCHASES, keep_weight=True)
+    w = F.greatest(F.lit(1), F.lit(10) - F.col("n_copurchases")).cast(
+        "bigint"
+    )
+    e = (
+        eu.select("u", "v", w.alias("w"))
+        .unionByName(
+            eu.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), w.alias("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        li.select("l_partkey")
+        .distinct()
+        .filter(F.col("l_partkey") % 100 == 0)
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    converged = False
+    for _ in range(_SSSP_CONV_MAX):
+        relaxed = frontier.join(e, frontier["part"] == e["u"]).select(
+            F.col("v").alias("part"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("part")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
+            .filter(
+                F.col("o.dist").isNull()
+                | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .select(
+                F.col("n.part").alias("part"),
+                F.col("n.dist").alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dist = new_dist
+        if improved.isEmpty():  # fixpoint: no distance improved
+            converged = True
+            break
+        frontier = improved
+    if not converged:
+        raise RuntimeError(
+            f"SSSP did not converge within {_SSSP_CONV_MAX} rounds — "
+            "raise _SSSP_CONV_MAX (the unrolled oracle must cover the "
+            "fixture's true convergence depth)"
+        )
+    return dist.select("part", F.col("dist").alias("min_dist"))
+
+
 # ---------------------------------------------------------------------------
 # Compliance / metadata ops (round 5b): GDPR deletion cascade, functional-
 # dependency discovery, sampling-based join-cardinality estimation

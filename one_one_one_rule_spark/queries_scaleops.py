@@ -674,9 +674,11 @@ END
         spark.catalog.dropTempView(view)
 
 
-@register(
-    "events_quantile_sketch_eval",
-    """
+#: Shared oracle for the batch AND streaming quantile-sketch gates: bucket
+#: counts are additive, so per-batch sketches merged by + EQUAL the
+#: single-pass sketch over the union — the streaming twin is gated by the
+#: same SQL, and any drift in the streaming merge breaks its hash.
+_QSKETCH_SQL = """
 WITH e AS (
   SELECT event_type, CAST(round(value * 1e2) AS BIGINT) AS cents FROM events
 ),
@@ -723,47 +725,28 @@ SELECT est.event_type, CAST(est.q4 AS BIGINT) AS q4, ex.n,
          <= ex.exact_x4
        AND ex.exact_x4 <= ((1 << est.bucket) - 1) * 4 AS exact_in_bucket
 FROM est JOIN ex ON est.event_type = ex.event_type AND est.q4 = ex.q4
-""",
-)
-def events_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable dyadic quantile sketch + in-engine accuracy audit — the
-    sketch leg the CMS (frequency) and HLL (cardinality) tiers lacked.
+"""
 
-    Sketch: per (event_type, floor-log2 bucket of integer cents) counts —
-    bit-length buckets are EXACT integer arithmetic (length of the binary
-    rendering), so unlike log2() there is no transcendental to drift
-    across engines. The sketch is trivially mergeable (counts add), is
-    bounded at ~40 rows per group whatever the SF, and the quantile
-    estimate for q is the smallest bucket whose cumulative count reaches
-    ceil(n*q) (pure integer compare: cum*4 >= n*q4) — i.e. the true
-    quantile's bucket, giving a guaranteed 2x-relative-error envelope
-    [2^(b-1), 2^b).
 
-    Audit: the exact interpolated quantile (binary-fraction percentiles
-    over integer cents — the events_value_quantiles bit-determinism
-    recipe, carried as exact_x4 = 4x the quantile so it stays integer)
-    joined against the sketch estimate, with an exact_in_bucket flag.
-
-    Scale shape: ONE combinable groupBy builds the sketch (map-side
-    partials; ~40 rows x groups survive the shuffle); the window + the
-    quantile-target cross join run on the SKETCH, not the facts. The
-    exact side is the audit's baseline and the only full-sort cost — a
-    production pipeline ships the sketch alone and drops that branch, or
-    keeps it on a sampled slice."""
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "events")
+def _qsketch_rows(e: DataFrame) -> DataFrame:
+    """(event_type, bucket) per event: bucket = bit length of the integer
+    cents (floor-log2 + 1) — exact integer arithmetic, no transcendental."""
     cents = F.round(F.col("value") * 100).cast("bigint")
-    rows = e.select(
+    return e.select(
         "event_type",
         F.when(cents <= 0, F.lit(0))
         .otherwise(F.length(F.bin(cents)))
         .cast("int")
         .alias("bucket"),
     )
-    sketch = rows.groupBy("event_type", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+
+
+def _qsketch_report(spark: SparkSession, e: DataFrame, sketch: DataFrame) -> DataFrame:
+    """Estimate + accuracy audit over a (event_type, bucket, cnt) sketch:
+    per-quartile bucket pick on the CUMULATED SKETCH (~40 rows per group),
+    joined against the exact binary-fraction percentiles of ``e``."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("event_type").orderBy("bucket")
     cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy("event_type"))
@@ -814,3 +797,278 @@ def events_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lo * 4 <= F.col("exact_x4")) & (F.col("exact_x4") <= hi * 4)
         ).alias("exact_in_bucket"),
     )
+
+
+@register("events_quantile_sketch_eval", _QSKETCH_SQL)
+def events_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable dyadic quantile sketch + in-engine accuracy audit — the
+    sketch leg the CMS (frequency) and HLL (cardinality) tiers lacked.
+
+    Sketch: per (event_type, floor-log2 bucket of integer cents) counts —
+    bit-length buckets are EXACT integer arithmetic (length of the binary
+    rendering), so unlike log2() there is no transcendental to drift
+    across engines. The sketch is trivially mergeable (counts add), is
+    bounded at ~40 rows per group whatever the SF, and the quantile
+    estimate for q is the smallest bucket whose cumulative count reaches
+    ceil(n*q) (pure integer compare: cum*4 >= n*q4) — i.e. the true
+    quantile's bucket, giving a guaranteed 2x-relative-error envelope
+    [2^(b-1), 2^b).
+
+    Audit: the exact interpolated quantile (binary-fraction percentiles
+    over integer cents — the events_value_quantiles bit-determinism
+    recipe, carried as exact_x4 = 4x the quantile so it stays integer)
+    joined against the sketch estimate, with an exact_in_bucket flag.
+
+    Scale shape: ONE combinable groupBy builds the sketch (map-side
+    partials; ~40 rows x groups survive the shuffle); the window + the
+    quantile-target cross join run on the SKETCH, not the facts. The
+    exact side is the audit's baseline and the only full-sort cost — a
+    production pipeline ships the sketch alone and drops that branch, or
+    keeps it on a sampled slice."""
+    e = load_table(spark, sf_dir, "events")
+    sketch = _qsketch_rows(e).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return _qsketch_report(spark, e, sketch)
+
+
+@register("events_stream_quantile_sketch", _QSKETCH_SQL)
+def events_stream_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quantile sketch built INCREMENTALLY over a two-batch event
+    stream — the production deployment shape of
+    events_quantile_sketch_eval, mirroring the streaming CMS gate: each
+    micro-batch emits its own per-(event_type, bucket) count sketch
+    inside foreachBatch (~40 rows per group regardless of batch size),
+    partials append to the sketch store, and the final estimate reads
+    the store and sums cell-wise. Bucket counts are additive, so the
+    merged streaming sketch EQUALS the single-pass batch sketch and the
+    gate reuses the batch oracle verbatim — any drift in the streaming
+    merge breaks the hash. The exact-percentile audit side comes from
+    the batch table (gate-scale verification; production keeps only the
+    sketch store)."""
+    from .queries import _session_tmp_dir, _stage_parquet_slices
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = _stage_parquet_slices(
+        spark,
+        [
+            e.filter(F.col("event_id") % 2 == 0).drop("event_id"),
+            e.filter(F.col("event_id") % 2 == 1).drop("event_id"),
+        ],
+        "qsk_src_",
+    )
+    store = _session_tmp_dir("qsk_store_")
+    ckpt = _session_tmp_dir("qsk_ckpt_")
+
+    def sketch_batch(bdf: DataFrame, batch_id: int) -> None:
+        _qsketch_rows(bdf).groupBy("event_type", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        ).write.mode("append").parquet(store)
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sketch = (
+        spark.read.parquet(store)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _qsketch_report(spark, load_table(spark, sf_dir, "events"), sketch)
+
+
+#: bottom-k sample size and the hash modulus (2^31 - 1): event_id *
+#: Knuth's multiplier mod a Mersenne prime gives a deterministic,
+#: collision-sparse pseudo-rank both engines compute identically in
+#: exact int64 (max event_id * 2654435761 stays far under 2^63).
+_BOTTOMK_K = 16
+_BOTTOMK_MOD = 2147483647
+
+
+@register(
+    "events_bottomk_sample_merge",
+    f"""
+WITH r AS (
+  SELECT event_type, event_id,
+         (event_id * 2654435761) % {_BOTTOMK_MOD} AS h
+  FROM events
+),
+direct AS (
+  SELECT event_type, event_id, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+  FROM r
+),
+shard AS (
+  SELECT event_type, event_id, h,
+         row_number() OVER (PARTITION BY event_type, event_id % 8
+                            ORDER BY h, event_id) AS srn
+  FROM r
+),
+merged AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+  FROM shard WHERE srn <= {_BOTTOMK_K}
+)
+SELECT d.event_type, CAST(d.rn AS BIGINT) AS rank, d.event_id, d.h,
+       d.event_id = m.event_id AS merge_agrees
+FROM direct d JOIN merged m ON d.event_type = m.event_type AND d.rn = m.rn
+WHERE d.rn <= {_BOTTOMK_K}
+""",
+)
+def events_bottomk_sample_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic bottom-k sample per group + in-engine MERGEABILITY
+    audit — the distributed form of reservoir sampling: keep the k rows
+    with the smallest hash pseudo-rank per event_type. Unlike a seeded
+    reservoir, the bottom-k sketch is (a) deterministic (re-runs and
+    engines agree bit-for-bit — it is gated by value hash, which no RNG
+    sampler could be), (b) MERGEABLE: bottom-k of a union equals
+    bottom-k of the concatenated shard-level bottom-k's, so shards /
+    partitions / days sample independently and a coordinator merges
+    (the property the audit proves in-engine), and (c) uniform over any
+    fixed dataset slice in the same sense as a hash sample.
+
+    The audit computes the sample twice — directly, and via 8
+    event_id-sharded bottom-k's merged and re-ranked — and emits
+    merge_agrees per rank (all true by the sketch property; hash-gated
+    so a broken merge cannot pass).
+
+    Scale shape: rank<=k over a window compiles to Spark's map-side
+    WindowGroupLimit (each task keeps k rows per group BEFORE the
+    exchange, so the shuffle carries k*groups rows, not the fact
+    table); the shard variant adds one more bounded pass. At 100 TB
+    this is the sampling primitive under docs_hash_sample-style
+    curation when a FIXED sample size per stratum is required rather
+    than a fixed rate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    h = (F.col("event_id") * F.lit(2654435761)) % F.lit(_BOTTOMK_MOD)
+    rows = e.select("event_type", "event_id", h.alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    direct = (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BOTTOMK_K)
+        .select("event_type", "event_id", "h", "rn")
+    )
+    shard_w = Window.partitionBy(
+        "event_type", F.pmod(F.col("event_id"), F.lit(8))
+    ).orderBy("h", "event_id")
+    shard_topk = (
+        rows.withColumn("srn", F.row_number().over(shard_w))
+        .filter(F.col("srn") <= _BOTTOMK_K)
+        .select("event_type", "event_id", "h")
+    )
+    merged = (
+        shard_topk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BOTTOMK_K)
+        .select(
+            F.col("event_type").alias("m_event_type"),
+            F.col("event_id").alias("m_event_id"),
+            F.col("rn").alias("m_rn"),
+        )
+    )
+    return direct.join(
+        merged,
+        (F.col("event_type") == F.col("m_event_type"))
+        & (F.col("rn") == F.col("m_rn")),
+    ).select(
+        "event_type",
+        F.col("rn").cast("bigint").alias("rank"),
+        "event_id",
+        "h",
+        (F.col("event_id") == F.col("m_event_id")).alias("merge_agrees"),
+    )
+
+
+@register(
+    "lineitem_bucketed_colocated_join",
+    """
+SELECT o.o_orderpriority, l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o.o_orderpriority, l.l_returnflag
+""",
+)
+def lineitem_bucketed_colocated_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucketed-table CO-LOCATED join — the storage-layout half of the
+    repo's shuffle-elimination toolkit (the runtime half is the Bloom
+    semi-join above): both sides are written as HASH-BUCKETED, per-bucket
+    SORTED tables on the join key (``bucketBy(8, orderkey).sortBy``), so
+    Spark's scan emits the join key's hash partitioning directly from the
+    file layout and the SortMergeJoin runs with ZERO shuffle exchanges —
+    the no-shuffle property tests/test_plan_shapes.py asserts on the
+    executed plan with broadcast disabled.
+
+    The oracle is the PLAIN join over the raw parquet: bucketing is
+    layout, not semantics, so the hash gate proves the bucketed write +
+    bucket-aligned read + co-located join changes nothing. At 100 TB
+    this is THE technique for a fact-fact join both of whose sides are
+    too big to broadcast and reused across many joins: pay the bucketed
+    write once (a one-time shuffle into bucket files), then every
+    subsequent orderkey join on either table is shuffle-free, and the
+    per-bucket sort makes it merge-join-ready without a sort stage.
+    Gate-scale note: the bucketed tables are written per invocation into
+    unique warehouse names and dropped in ``finally`` after the result
+    is checkpointed (same lifecycle as orders_sql_script_threshold)."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:12]
+    lt, ot = f"li_bkt_{suffix}", f"ord_bkt_{suffix}"
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    try:
+        (
+            l.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(lt)
+        )
+        (
+            o.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(ot)
+        )
+        lb, ob = spark.table(lt), spark.table(ot)
+        out = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderpriority", "l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).cast("bigint").alias("price_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")

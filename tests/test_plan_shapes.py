@@ -410,3 +410,60 @@ def test_dsir_bounded_broadcasts_and_partial_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_colocated_join_has_zero_shuffles(spark, sf_dir):
+    """The storage-layout shuffle-elimination gate (round 6): both join
+    sides written bucketBy(8, orderkey).sortBy(orderkey), broadcast
+    disabled, and the executed join plan must contain ZERO shuffle
+    exchanges — the scan's bucket layout satisfies the join's required
+    hash partitioning on both sides. This is the property that makes the
+    registered lineitem_bucketed_colocated_join the 100 TB fact-fact
+    join answer; the hash gate separately proves layout never changes
+    semantics."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    suffix = uuid.uuid4().hex[:12]
+    lt, ot = f"li_bkt_t_{suffix}", f"ord_bkt_t_{suffix}"
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_returnflag", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(lt)
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(ot)
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lb, ob = spark.table(lt), spark.table(ot)
+        j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        n = len(j.collect())
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "ShuffleExchange" not in plan and "ShuffleQueryStage" not in plan
+        # the per-bucket sortBy means no extra Sort is needed either side
+        # beyond what the scan provides; presence is version-dependent, so
+        # only the exchange-freedom is asserted.
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")

@@ -50,12 +50,53 @@ def _scaled(df, id_col):
     return out
 
 
+#: Row-count floor below which a BroadcastExchange's dataSize metric is
+#: ignored: a hashed relation's dataSize reports its ALLOCATED memory
+#: (BytesToBytesMap pages grow in powers of two off the task page size),
+#: so a 4-row literal-bounded relation can legitimately report 32-64 MiB
+#: of allocation — observed on the BM25 per-term df table (4 rows,
+#: 64 MiB reported) once the walker learned to descend
+#: ResultQueryStageExec. A relation this small cannot be corpus-linear
+#: at 10x (the probes' corpora are >= 5000 rows), so rows <= the floor
+#: is exempt; anything larger must genuinely fit the threshold.
+_BCAST_ROWS_FLOOR = 1024
+
+
 def _executed_broadcast_sizes(df):
-    """dataSize of every BroadcastExchange in the FINAL adaptive plan of
-    an executed DataFrame (collect() drives the df's own QueryExecution;
-    a separate action like count() would execute a different one)."""
+    """(dataSize, numOutputRows, aqe_converted) of every BroadcastExchange
+    in the FINAL adaptive plan of an executed DataFrame (collect() drives
+    the df's own QueryExecution; a separate action like count() would
+    execute a different one).
+
+    ``aqe_converted`` = the exchange's subtree contains a materialized
+    query stage (ShuffleQueryStageExec / AQEShuffleRead) or a
+    checkpointed-relation scan (RDDScanExec — a localCheckpoint'ed
+    relation whose statistics are the MEASURED materialized size): in
+    both cases the broadcast was chosen FROM RUNTIME SIZES — the
+    scale-safe decision class (the sizing input grows with the data, so
+    at a scale where it outgrows the threshold the conversion simply
+    stops; the deserialized dataSize metric can legitimately exceed the
+    threshold severalfold meanwhile). Only STATICALLY planned broadcasts
+    — forced hints or compile-time size estimates, whose subtree bottoms
+    out in raw file scans — are the 100x hazard the probes hunt."""
     rows = df.collect()
     sizes = []
+
+    def subtree_has_stage(node):
+        cls = node.getClass().getSimpleName()
+        if cls in (
+            "ShuffleQueryStageExec",
+            "AQEShuffleReadExec",
+            "RDDScanExec",  # checkpointed relation: measured stats
+        ):
+            return True
+        if cls == "ReusedExchangeExec":
+            return subtree_has_stage(node.child())
+        it = node.children().iterator()
+        while it.hasNext():
+            if subtree_has_stage(it.next()):
+                return True
+        return False
 
     def walk(node):
         if node.nodeName() == "AdaptiveSparkPlan":
@@ -75,10 +116,17 @@ def _executed_broadcast_sizes(df):
             return
         if "BroadcastExchange" in node.nodeName():
             it = node.metrics().iterator()
+            m = {}
             while it.hasNext():
                 kv = it.next()
-                if kv._1() == "dataSize":
-                    sizes.append(kv._2().value())
+                m[kv._1()] = kv._2().value()
+            sizes.append(
+                (
+                    m.get("dataSize", 0),
+                    m.get("numOutputRows", 0),
+                    subtree_has_stage(node),
+                )
+            )
         it = node.children().iterator()
         while it.hasNext():
             walk(it.next())
@@ -94,11 +142,16 @@ def _threshold(spark):
 
 def _assert_bounded(spark, sizes):
     thr = _threshold(spark)
-    oversized = [s for s in sizes if s > thr]
+    oversized = [
+        (s, n)
+        for s, n, aqe in sizes
+        if s > thr and n > _BCAST_ROWS_FLOOR and not aqe
+    ]
     assert not oversized, (
-        f"BroadcastExchange built {oversized} bytes > "
-        f"autoBroadcastJoinThreshold {thr} — a forced broadcast of a "
-        "corpus-linear relation survived into the executed plan"
+        f"BroadcastExchange built {oversized} (bytes, rows) > "
+        f"autoBroadcastJoinThreshold {thr} — a STATICALLY planned "
+        "broadcast of a corpus-linear relation survived into the "
+        "executed plan"
     )
 
 

@@ -102,7 +102,8 @@ def run_single(name: str) -> None:
         sec = _time_query(spark, name, sf_dir, warm_dir)
     except Exception as exc:
         print(f"bench --single: {name} FAILED: {exc}", file=sys.stderr)
-        sec = None
+        print(json.dumps({name: None}))
+        sys.exit(1)  # the parent surfaces stderr on nonzero exit
     print(json.dumps({name: sec}))
 
 
@@ -123,12 +124,18 @@ def run_isolate(names: list[str]) -> None:
         )
         sec = None
         for line in reversed(proc.stdout.splitlines()):
+            # only the child's own result line carries the query key —
+            # other JSON-shaped stdout lines must not shadow it
             try:
-                sec = json.loads(line).get(name)
-                break
-            except (json.JSONDecodeError, AttributeError):
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
                 continue
-        if sec is None and proc.returncode != 0:
+            if isinstance(parsed, dict) and name in parsed:
+                sec = parsed[name]
+                break
+        if sec is None:
+            # crashed (nonzero exit) or produced no result line: surface
+            # the child's diagnostics instead of a silent null
             print(proc.stderr[-800:], file=sys.stderr)
         timings[name] = sec
         print(f"isolated {name}: {sec}s", flush=True)

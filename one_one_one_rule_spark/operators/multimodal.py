@@ -81,6 +81,10 @@ def _decode_backend():
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: decode_image PNG contract cap (16.7M px = ~50 MB raw): bounds every
+#: allocation the decoder makes against IHDR-declared dimensions.
+_PNG_MAX_PIXELS = 1 << 24
+
 
 def encode_png(img) -> bytes:
     """Minimal REAL PNG encoder (stdlib zlib + struct): 8-bit RGB (color
@@ -235,6 +239,12 @@ def decode_image(payload: bytes):
                     or interlace != 0 or w == 0 or h == 0
                 ):
                     return None  # only 8-bit RGB non-interlaced
+                if w * h > _PNG_MAX_PIXELS:
+                    # decoder contract cap: a lying IHDR (e.g. 20000 x
+                    # 20000 over a 1 MB IDAT of compressed zeros) must
+                    # not size ANY allocation — untrusted payloads flow
+                    # here from extract_features / decode_video
+                    return None
             elif tag == b"IDAT":
                 idat += body
             elif tag == b"IEND":
@@ -245,11 +255,19 @@ def decode_image(payload: bytes):
             pos = body_end + 4
         if w is None or not ended or not idat:
             return None
+        expected = h * (1 + w * 3)
+        # bound the inflate at expected+1 bytes: a bomb payload (valid
+        # CRCs, IHDR declaring huge dims or an IDAT inflating past the
+        # declared size) costs at most expected+1 bytes of output, never
+        # an unbounded allocation — this path eats untrusted payloads
         try:
-            raw = zlib.decompress(idat)
+            dec = zlib.decompressobj()
+            raw = dec.decompress(idat, expected + 1)
         except zlib.error:
             return None
-        if len(raw) != h * (1 + w * 3):
+        if len(raw) != expected or dec.unconsumed_tail or dec.decompress(
+            b"", 1
+        ):
             return None  # stream must measure exactly h*(1+3w)
         return _png_unfilter(raw, w, h)
 

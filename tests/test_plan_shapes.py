@@ -170,9 +170,20 @@ _BOUNDING_NODES = {
 #: round 5's audit blind spot (q2/q17/q18/q20 all hid a forced broadcast
 #: of a fact-key-grouped aggregate under the blanket Aggregate exemption).
 #: nation/region keys are carved out: their domain is fixed (25 / 5 rows
-#: at every SF) no matter which table carries them.
-_SF_LINEAR_KEY = re.compile(r"(?:_id$|key$)")
+#: at every SF) no matter which table carries them. Token/term/shingle
+#: columns are corpus-growing vocabularies — an Aggregate grouped on one
+#: is SF-sublinear but still unbounded, so it must not bound either.
+_SF_LINEAR_KEY = re.compile(
+    r"(?:_id$|key$|^tok$|token|^term$|^word$|shingle|ngram|^text$)"
+)
 _FIXED_DOMAIN_KEY = re.compile(r"(?:nationkey$|regionkey$)")
+
+#: A pmod exemption must be the ENTIRE grouping expression (an optional
+#: alias aside) and carry a LITERAL modulus — ``pmod(x, 256)`` bounds at
+#: 256 groups, while ``pmod(x, n_buckets#12L)`` (column modulus) or a
+#: composite expression merely CONTAINING a pmod (e.g. a struct of
+#: doc_id and a bucket) is NOT cardinality-bounding.
+_PMOD_LITERAL = re.compile(r"^pmod\(.*,\s*\d+\)(?:\s+AS\s+\w+#\d+L?)?$")
 
 
 def _attr_names_of(expr):
@@ -195,7 +206,7 @@ def _aggregate_is_bounding(node):
     while git.hasNext():
         expr = git.next()
         rendered = str(expr)
-        if "pmod(" in rendered:
+        if _PMOD_LITERAL.search(rendered):
             continue  # literal-mod bucketing: cardinality <= the modulus
         for name in _attr_names_of(expr):
             if _SF_LINEAR_KEY.search(name) and not _FIXED_DOMAIN_KEY.search(

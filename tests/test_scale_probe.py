@@ -68,35 +68,52 @@ def _executed_broadcast_sizes(df):
     the df's own QueryExecution; a separate action like count() would
     execute a different one).
 
-    ``aqe_converted`` = the exchange's subtree contains a materialized
-    query stage (ShuffleQueryStageExec / AQEShuffleRead) or a
-    checkpointed-relation scan (RDDScanExec — a localCheckpoint'ed
-    relation whose statistics are the MEASURED materialized size): in
-    both cases the broadcast was chosen FROM RUNTIME SIZES — the
-    scale-safe decision class (the sizing input grows with the data, so
-    at a scale where it outgrows the threshold the conversion simply
-    stops; the deserialized dataSize metric can legitimately exceed the
-    threshold severalfold meanwhile). Only STATICALLY planned broadcasts
-    — forced hints or compile-time size estimates, whose subtree bottoms
-    out in raw file scans — are the 100x hazard the probes hunt."""
+    ``decision_size`` is the sizing input the planner COULD have seen
+    for the exchange's subtree, summed over its leaves: the runtime
+    dataSize of materialized shuffle stages (what AQE's broadcast
+    conversion is sized on — note the broadcast's own deserialized
+    dataSize metric can legitimately exceed it severalfold), the raw
+    bytes of file scans ("size of files read" — Catalyst's static
+    estimate derives from exactly these bytes, so like every other input
+    class it GROWS with the data), and 0 for checkpointed / cached scans
+    (RDDScanExec, InMemoryTableScan: LogicalRDD / InMemoryRelation
+    statistics are the MEASURED materialized size). A broadcast whose
+    decision input outgrew the threshold at 10x while carrying more than
+    the rows floor fails the bound — which is exactly what a forced hint
+    over a corpus-linear relation produces (size-based decisions stop
+    broadcasting on their own once the input outgrows the threshold;
+    hints are the only path that never re-checks)."""
     rows = df.collect()
     sizes = []
 
-    def subtree_has_stage(node):
+    def decision_size(node):
+        """Summed planner sizing input beneath (see docstring above)."""
         cls = node.getClass().getSimpleName()
-        if cls in (
-            "ShuffleQueryStageExec",
-            "AQEShuffleReadExec",
-            "RDDScanExec",  # checkpointed relation: measured stats
-        ):
-            return True
+        if cls in ("ShuffleQueryStageExec", "BroadcastQueryStageExec"):
+            return decision_size(node.plan())
         if cls == "ReusedExchangeExec":
-            return subtree_has_stage(node.child())
+            return decision_size(node.child())
+        if "ShuffleExchange" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "dataSize":
+                    return kv._2().value()
+            return 0
+        if cls in ("RDDScanExec", "InMemoryTableScanExec"):
+            return 0  # measured checkpoint/cache stats: runtime-sized
+        if cls == "FileSourceScanExec":
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "filesSize":
+                    return kv._2().value()
+            return 0
+        total = 0
         it = node.children().iterator()
         while it.hasNext():
-            if subtree_has_stage(it.next()):
-                return True
-        return False
+            total += decision_size(it.next())
+        return total
 
     def walk(node):
         if node.nodeName() == "AdaptiveSparkPlan":
@@ -124,7 +141,7 @@ def _executed_broadcast_sizes(df):
                 (
                     m.get("dataSize", 0),
                     m.get("numOutputRows", 0),
-                    subtree_has_stage(node),
+                    decision_size(node),
                 )
             )
         it = node.children().iterator()
@@ -143,15 +160,15 @@ def _threshold(spark):
 def _assert_bounded(spark, sizes):
     thr = _threshold(spark)
     oversized = [
-        (s, n)
-        for s, n, aqe in sizes
-        if s > thr and n > _BCAST_ROWS_FLOOR and not aqe
+        (built, n, dec)
+        for built, n, dec in sizes
+        if dec > thr and n > _BCAST_ROWS_FLOOR
     ]
     assert not oversized, (
-        f"BroadcastExchange built {oversized} (bytes, rows) > "
-        f"autoBroadcastJoinThreshold {thr} — a STATICALLY planned "
-        "broadcast of a corpus-linear relation survived into the "
-        "executed plan"
+        f"BroadcastExchange {oversized} (built bytes, rows, decision "
+        f"bytes) vs autoBroadcastJoinThreshold {thr} — a broadcast whose "
+        "sizing input outgrew the threshold (the forced-hint signature) "
+        "survived into the executed plan"
     )
 
 

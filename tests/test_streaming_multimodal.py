@@ -894,3 +894,55 @@ def test_video_sampled_frame_stats_samples_and_quarantines(spark):
         assert r["pixel_sum"] == int(img.astype(np.int64).sum())
         assert (r["n_frames"], r["width"], r["height"]) == (6, 8, 6)
         assert r["backend"] == "stdlib"
+
+
+def test_png_decompression_bomb_rejected_without_inflation():
+    """A payload with valid CRCs whose IHDR declares huge dimensions (or
+    whose IDAT inflates past the declared size) must be rejected WITHOUT
+    a proportional allocation: the dims cap rejects lying headers before
+    any inflate, and the bounded decompressobj caps a lying stream at
+    expected+1 bytes."""
+    import struct as _s
+    import zlib as _z
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_image,
+        encode_png,
+    )
+    import numpy as np
+
+    def _chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 20000x20000 IHDR over a ~1 MB IDAT of compressed zeros: every CRC
+    # valid, stream genuinely inflates to 1.2 GB if allowed
+    w = h = 20000
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # compress a plausible prefix only — the decoder must reject on the
+    # dims cap before ever calling inflate
+    bomb = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _z.compress(b"\x00" * (1 << 20), 9))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image(bomb) is None
+
+    # small declared dims but an IDAT inflating far PAST h*(1+3w): the
+    # bounded decompress reads at most expected+1 bytes and rejects
+    img = (np.arange(3 * 3 * 3, dtype="int64") % 256).astype("uint8").reshape(3, 3, 3)
+    good = encode_png(img)
+    overlong = (
+        good[: len(_PNG_SIG)]
+        + _chunk(b"IHDR", _s.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", _z.compress(b"\x00" * (1 << 22), 9))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image(overlong) is None
+    # and the real fixture still round-trips after the hardening
+    out = decode_image(good)
+    assert out is not None and (out == img).all()

@@ -795,3 +795,127 @@ def video_sampled_frame_stats(media: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("backend", StringType()),
+    ]
+)
+
+
+def _image_pixels(media_id: int, w: int, h: int):
+    """Deterministic RGB test image for one media row (the image-kind
+    analogue of ``_video_frame``): the formula is mirrored literally in
+    the DuckDB oracle SQL, so the encode -> PNG-decode -> resize chain is
+    what the hash gate proves."""
+    import numpy as np
+
+    y = np.arange(h, dtype=np.int64).reshape(h, 1, 1)
+    x = np.arange(w, dtype=np.int64).reshape(1, w, 1)
+    c = np.arange(3, dtype=np.int64).reshape(1, 1, 3)
+    return ((media_id * 37 + y * 19 + x * 11 + c * 5) % 256).astype(
+        np.uint8
+    )
+
+
+def synthesize_png_images(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG payloads for the image-kind rows
+    (doc_id % 3 == 0, matching ``synthesize_media``'s kind cycle),
+    built Arrow-batched on the executors; dimensions vary per row
+    (9-16 x 7-12 px) so the resizer sees ragged inputs."""
+    imgs = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        (9 + F.col("doc_id") % 8).cast("int").alias("w"),
+        (7 + F.col("doc_id") % 6).cast("int").alias("h"),
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_png(_image_pixels(int(m), int(w), int(h)))
+                for m, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return imgs.mapInPandas(
+        fn, schema="media_id bigint, kind string, payload binary"
+    )
+
+
+def resize_nearest(img, dst_w: int, dst_h: int):
+    """Nearest-neighbor resize with PURE INTEGER index mapping:
+    out[y, x] = in[y * src_h // dst_h, x * src_w // dst_w] — the exact
+    floor-div convention the oracle mirrors, so resized pixels are
+    bit-identical across engines (no float scale factors, no rounding
+    mode to disagree on)."""
+    import numpy as np
+
+    src_h, src_w = img.shape[0], img.shape[1]
+    ys = (np.arange(dst_h, dtype=np.int64) * src_h) // dst_h
+    xs = (np.arange(dst_w, dtype=np.int64) * src_w) // dst_w
+    return img[ys][:, xs]
+
+
+def resize_image_stats(
+    media: DataFrame, dst_w: int = 8, dst_h: int = 8
+) -> DataFrame:
+    """The RESIZE leg of the multimodal design (decode / feature-extract /
+    resize / frame-sample): Arrow-batched ``mapInPandas``, one strict
+    stdlib decode per row (``decode_image`` — real PNG/BMP/PPM), then a
+    nearest-neighbor integer resize to (dst_w, dst_h) and an exact int64
+    pixel sum of the RESIZED image. Rows whose payload is not a
+    byte-valid image are dropped (quarantine-sink class). Map-only:
+    payloads never leave their partition, and the resize bounds the
+    downstream feature volume to dst_w*dst_h*3 bytes per row whatever
+    the source dimensions — the normalization step every image training
+    pipeline runs before batching."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mids, sws, shs, ps = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = (
+                    decode_image(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if img is None:
+                    continue
+                small = resize_nearest(img, dst_w, dst_h)
+                mids.append(mid)
+                shs.append(img.shape[0])
+                sws.append(img.shape[1])
+                ps.append(int(small.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "src_w": pd.Series(sws, dtype="int32"),
+                    "src_h": pd.Series(shs, dtype="int32"),
+                    "dst_w": pd.Series([dst_w] * len(mids), dtype="int32"),
+                    "dst_h": pd.Series([dst_h] * len(mids), dtype="int32"),
+                    "pixel_sum": pd.Series(ps, dtype="int64"),
+                    "backend": pd.Series(
+                        ["stdlib"] * len(mids), dtype="object"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(fn, schema=RESIZE_SCHEMA)

@@ -6270,3 +6270,55 @@ def media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return video_sampled_frame_stats(synthesize_video(d), every=2)
+
+
+@register(
+    "media_image_resize_stats",
+    """
+WITH im AS (
+  SELECT doc_id AS media_id,
+         9 + doc_id % 8 AS w,
+         7 + doc_id % 6 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT im.media_id, im.w, im.h,
+         SUM((im.media_id*37 + ((ty.dy * im.h) // 8) * 19
+              + ((tx.dx * im.w) // 8) * 11 + tc.c * 5) % 256) AS pixel_sum
+  FROM im,
+       LATERAL (SELECT unnest(range(8)) AS dy) ty,
+       LATERAL (SELECT unnest(range(8)) AS dx) tx,
+       LATERAL (SELECT unnest(range(3)) AS c) tc
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(8 AS INTEGER) AS dst_w, CAST(8 AS INTEGER) AS dst_h,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum, 'stdlib' AS backend
+FROM px
+""",
+)
+def media_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE leg of the multimodal design, completing the
+    decode / feature-extract / resize / frame-sample quartet the module
+    docstring specifies: deterministic REAL PNG payloads are built
+    executor-side (operators/multimodal.py:synthesize_png_images), then a
+    second Arrow-batched pass strict-decodes each one through the full
+    PNG path (CRC chunk walk, bounded inflate, unfilter) and
+    nearest-neighbor-resizes it to 8x8 with PURE INTEGER index mapping
+    (out[y,x] = in[y*h//8, x*w//8]), emitting the exact int64 pixel sum
+    of the RESIZED image.
+
+    The oracle knows only the source-pixel formula and the floor-div
+    index convention — a hash match proves encode -> PNG-decode ->
+    resize end to end, including that the resizer picks exactly the
+    spec'd source pixel for every destination coordinate on ragged
+    (9-16 x 7-12) inputs. Shape: two map-only mapInPandas passes, zero
+    shuffles; at 100 TB the resize bounds downstream feature volume to
+    dst_w*dst_h*3 bytes per image whatever the source dimensions."""
+    from .operators.multimodal import (
+        resize_image_stats,
+        synthesize_png_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return resize_image_stats(synthesize_png_images(d), dst_w=8, dst_h=8)

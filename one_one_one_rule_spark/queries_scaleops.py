@@ -899,9 +899,10 @@ _BOTTOMK_K = 16
 _BOTTOMK_MOD = 2147483647
 
 
-@register(
-    "events_bottomk_sample_merge",
-    f"""
+#: Shared oracle for the batch AND streaming bottom-k gates: bottom-k of
+#: a union equals bottom-k of concatenated partial bottom-k's, so the
+#: streaming twin (per-micro-batch partials) is gated by the same SQL.
+_BOTTOMK_SQL = f"""
 WITH r AS (
   SELECT event_type, event_id,
          (event_id * 2654435761) % {_BOTTOMK_MOD} AS h
@@ -927,8 +928,10 @@ SELECT d.event_type, CAST(d.rn AS BIGINT) AS rank, d.event_id, d.h,
        d.event_id = m.event_id AS merge_agrees
 FROM direct d JOIN merged m ON d.event_type = m.event_type AND d.rn = m.rn
 WHERE d.rn <= {_BOTTOMK_K}
-""",
-)
+"""
+
+
+@register("events_bottomk_sample_merge", _BOTTOMK_SQL)
 def events_bottomk_sample_merge(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1072,3 +1075,92 @@ def lineitem_bucketed_colocated_join(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
+
+
+@register("events_stream_bottomk_sample", _BOTTOMK_SQL)
+def events_stream_bottomk_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bottom-k sample maintained INCREMENTALLY over a two-batch
+    event stream — the third streaming twin in the sketch tier (CMS,
+    quantile sketch, now bottom-k): each micro-batch emits its own
+    per-event_type bottom-k partial inside foreachBatch (k rows per
+    group regardless of batch size), partials append to the sample
+    store, and the final sample re-ranks the union and keeps k. Bottom-k
+    is a mergeable sketch — bottom-k(union) == bottom-k(concat of
+    partial bottom-k's) — so the streamed sample must equal the direct
+    one computed over the batch table, and the gate reuses the batch
+    oracle verbatim (merge_agrees compares the streamed sample against
+    the direct ranks; any drift in the incremental maintenance breaks
+    the hash). Production shape: the store IS the sample (k*groups rows
+    per batch appended, compacted by the final re-rank); the direct side
+    exists for gate-scale verification only."""
+    from pyspark.sql import Window
+
+    from .queries import _session_tmp_dir, _stage_parquet_slices
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    src = _stage_parquet_slices(
+        spark,
+        [
+            e.filter(F.col("event_id") % 2 == 0),
+            e.filter(F.col("event_id") % 2 == 1),
+        ],
+        "bk_src_",
+    )
+    store = _session_tmp_dir("bk_store_")
+    ckpt = _session_tmp_dir("bk_ckpt_")
+    h = (F.col("event_id") * F.lit(2654435761)) % F.lit(_BOTTOMK_MOD)
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+
+    def sample_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.select("event_type", "event_id", h.alias("h"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BOTTOMK_K)
+            .select("event_type", "event_id", "h")
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    stream = (
+        spark.readStream.schema("event_type string, event_id bigint")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sample_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(store)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BOTTOMK_K)
+        .select(
+            F.col("event_type").alias("m_event_type"),
+            F.col("event_id").alias("m_event_id"),
+            F.col("rn").alias("m_rn"),
+        )
+    )
+    direct = (
+        e.select("event_type", "event_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BOTTOMK_K)
+        .select("event_type", "event_id", "h", "rn")
+    )
+    return direct.join(
+        merged,
+        (F.col("event_type") == F.col("m_event_type"))
+        & (F.col("rn") == F.col("m_rn")),
+    ).select(
+        "event_type",
+        F.col("rn").cast("bigint").alias("rank"),
+        "event_id",
+        "h",
+        (F.col("event_id") == F.col("m_event_id")).alias("merge_agrees"),
+    )

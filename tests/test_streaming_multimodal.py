@@ -946,3 +946,40 @@ def test_png_decompression_bomb_rejected_without_inflation():
     # and the real fixture still round-trips after the hardening
     out = decode_image(good)
     assert out is not None and (out == img).all()
+
+
+def test_resize_nearest_integer_mapping_and_quarantine(spark):
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _image_pixels,
+        encode_png,
+        resize_image_stats,
+        resize_nearest,
+    )
+
+    # exact index-mapping contract: out[y,x] = in[y*h//8, x*w//8]
+    img = _image_pixels(5, 13, 9)
+    small = resize_nearest(img, 8, 8)
+    for dy in range(8):
+        for dx in range(8):
+            assert (small[dy, dx] == img[dy * 9 // 8, dx * 13 // 8]).all()
+    # upscaling repeats source pixels (9x7 -> 16x16), never interpolates
+    up = resize_nearest(img[:7, :9], 16, 16)
+    assert up.shape == (16, 16, 3)
+    assert set(np.unique(up)) <= set(np.unique(img[:7, :9]))
+
+    rows = [
+        (3, "image", bytearray(encode_png(img))),
+        (4, "image", bytearray(b"not an image")),
+        (5, "image", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in resize_image_stats(media).collect()}
+    assert set(out) == {3}  # invalid and NULL payloads quarantined
+    assert out[3]["pixel_sum"] == int(
+        resize_nearest(img, 8, 8).astype(np.int64).sum()
+    )
+    assert (out[3]["src_w"], out[3]["src_h"]) == (13, 9)

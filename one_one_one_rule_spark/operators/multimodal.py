@@ -85,6 +85,45 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: allocation the decoder makes against IHDR-declared dimensions.
 _PNG_MAX_PIXELS = 1 << 24
 
+#: Cap for UNTRUSTED payload paths (extract_features / resize /
+#: frame-sample over arbitrary binary columns): the Average/Paeth
+#: unfilters are inherently sequential recurrences (interpreted
+#: per-byte), so the pixel cap bounds CPU as well as allocation —
+#: 256k px ≈ 0.8M worst-case loop iterations, sub-second per payload,
+#: vs minutes at the 16.7M-px allocation cap. Feature extraction /
+#: thumbnail resize never needs more resolution than this; trusted
+#: fixture decode keeps the full cap.
+_PNG_MAX_PIXELS_UNTRUSTED = 1 << 18
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png_raw(a, ctype: int, plte: bytes | None = None) -> bytes:
+    """Shared encoder body: ``a`` is (h, w) for color types 0/3 or
+    (h, w, 3) for type 2; filter 0 on every scanline, one IDAT chunk."""
+    import struct
+    import zlib
+
+    h, w = a.shape[0], a.shape[1]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw, 9)) + _png_chunk(
+        b"IEND", b""
+    )
+
 
 def encode_png(img) -> bytes:
     """Minimal REAL PNG encoder (stdlib zlib + struct): 8-bit RGB (color
@@ -92,54 +131,64 @@ def encode_png(img) -> bytes:
     Produces spec-valid files any external viewer opens; used both as the
     fixture generator for the strict decoder below and as a sink-side
     encoder for exporting decoded frames."""
-    import struct
-    import zlib
-
     import numpy as np
 
     a = np.ascontiguousarray(img, dtype=np.uint8)
-    h, w = a.shape[0], a.shape[1]
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
-        + chunk(b"IEND", b"")
-    )
+    return _encode_png_raw(a, 2)
 
 
-def _png_unfilter(raw: bytes, w: int, h: int):
-    """Reverse PNG scanline filtering (types 0-4) for 8-bit RGB; returns
-    an (h, w, 3) uint8 array or None on an undefined filter type."""
+def encode_png_gray(img) -> bytes:
+    """8-bit grayscale (color type 0) PNG from an (h, w) uint8 array."""
     import numpy as np
 
-    bpp, stride = 3, w * 3
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    return _encode_png_raw(a, 0)
+
+
+def encode_png_palette(indices, palette) -> bytes:
+    """8-bit palette (color type 3) PNG: ``indices`` is (h, w) uint8,
+    ``palette`` an (n, 3) uint8 array (n <= 256) written as the PLTE
+    chunk."""
+    import numpy as np
+
+    a = np.ascontiguousarray(indices, dtype=np.uint8)
+    p = np.ascontiguousarray(palette, dtype=np.uint8)
+    return _encode_png_raw(a, 3, plte=p.tobytes())
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int = 3):
+    """Reverse PNG scanline filtering (types 0-4) for 8-bit samples with
+    ``bpp`` bytes per pixel (3 = RGB, 1 = grayscale / palette indices);
+    returns an (h, w*bpp) uint8 array or None on an undefined filter
+    type. Filters 0/1/2 are fully vectorized — Sub's left-recurrence is
+    a per-channel-lane cumulative sum, and uint8 cumsum wraps mod 256,
+    which is exactly the spec's arithmetic. Average/Paeth carry a
+    floor-div / branch through the recurrence (no closed form), so they
+    stay per-byte loops — callers on untrusted paths bound that CPU via
+    ``_PNG_MAX_PIXELS_UNTRUSTED``."""
+    import numpy as np
+
+    stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     for y in range(h):
         ftype = raw[pos]
-        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        line_u8 = np.frombuffer(raw, np.uint8, stride, pos + 1)
         pos += 1 + stride
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if ftype == 0:
-            cur = line
-        elif ftype == 1:  # Sub: + left
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
+            out[y] = line_u8
+            continue
+        if ftype == 1:  # Sub: + left — cumsum per bpp lane, mod-256 wrap
+            out[y] = np.cumsum(
+                line_u8.reshape(w, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+            continue
+        if ftype == 2:  # Up — elementwise, uint8 wrap
+            out[y] = line_u8 + out[y - 1] if y else line_u8
+            continue
+        line = line_u8.astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 3:  # Average
             cur = line.copy()
             for x in range(stride):
                 left = cur[x - bpp] if x >= bpp else 0
@@ -157,10 +206,10 @@ def _png_unfilter(raw: bytes, w: int, h: int):
         else:
             return None
         out[y] = cur.astype(np.uint8)
-    return out.reshape(h, w, 3)
+    return out
 
 
-def decode_image(payload: bytes):
+def decode_image(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
     """REAL image decode with the stdlib only — no third-party codec.
 
     Supports three raster formats parsed with nothing beyond
@@ -169,12 +218,23 @@ def decode_image(payload: bytes):
     * BMP, BITMAPINFOHEADER, 24-bit uncompressed (bottom-up or top-down),
       4-byte-aligned rows, BGR -> RGB;
     * PPM binary (``P6``), maxval 255, ``#`` comments allowed;
-    * PNG (round 6): 8-bit RGB (color type 2), non-interlaced — full
-      chunk walk with CRC verification on every chunk, multi-IDAT
-      concatenation, zlib inflate, and scanline unfiltering for all five
-      spec filter types; the decompressed stream must measure EXACTLY
-      h*(1+3w) bytes and the final chunk must be IEND closing the file at
-      its last byte.
+    * PNG (round 6, widened round 7): 8-bit non-interlaced in three
+      color types — truecolor RGB (2), grayscale (0, replicated to RGB
+      on output), and palette (3, PLTE-mapped to RGB with strict
+      index-bounds checking) — full chunk walk with CRC verification on
+      every chunk, multi-IDAT concatenation, zlib inflate bounded BEFORE
+      allocation, and scanline unfiltering for all five spec filter
+      types; the decompressed stream must measure EXACTLY h*(1+w*bpp)
+      bytes and the final chunk must be IEND closing the file at its
+      last byte. For color type 3 exactly one PLTE must precede IDAT
+      (length a multiple of 3, 1..256 entries) and every pixel index
+      must be < the entry count; for type 0 a PLTE is rejected (spec:
+      PLTE must not appear for grayscale); for type 2 a well-formed
+      PLTE is a legal suggested palette and is ignored.
+
+    ``max_pixels`` bounds the decoded w*h (allocation AND the
+    CPU of the sequential Average/Paeth unfilter loops); untrusted
+    payload paths pass ``_PNG_MAX_PIXELS_UNTRUSTED``.
 
     Returns an (H, W, 3) uint8 RGB array, or None when the payload is not
     a byte-exact instance of either format. Validation is STRICT — magic,
@@ -215,8 +275,9 @@ def decode_image(payload: bytes):
     if payload[:8] == _PNG_SIG:
         import zlib
 
-        pos, w = len(_PNG_SIG), None
+        pos, w, ctype = len(_PNG_SIG), None, None
         idat = b""
+        plte = None
         ended = False
         while pos + 8 <= len(payload):
             (length,) = struct.unpack_from(">I", payload, pos)
@@ -235,16 +296,27 @@ def decode_image(payload: bytes):
                     ">IIBBBBB", body
                 )
                 if (
-                    bitd != 8 or ctype != 2 or comp != 0 or filt != 0
-                    or interlace != 0 or w == 0 or h == 0
+                    bitd != 8 or ctype not in (0, 2, 3) or comp != 0
+                    or filt != 0 or interlace != 0 or w == 0 or h == 0
                 ):
-                    return None  # only 8-bit RGB non-interlaced
-                if w * h > _PNG_MAX_PIXELS:
+                    return None  # 8-bit gray/RGB/palette, non-interlaced
+                if w * h > max_pixels:
                     # decoder contract cap: a lying IHDR (e.g. 20000 x
                     # 20000 over a 1 MB IDAT of compressed zeros) must
                     # not size ANY allocation — untrusted payloads flow
                     # here from extract_features / decode_video
                     return None
+            elif tag == b"PLTE":
+                if (
+                    ctype == 0  # spec: no PLTE for grayscale
+                    or plte is not None  # at most one PLTE
+                    or idat  # PLTE must precede IDAT
+                    or length == 0
+                    or length % 3
+                    or length > 768
+                ):
+                    return None
+                plte = body
             elif tag == b"IDAT":
                 idat += body
             elif tag == b"IEND":
@@ -255,7 +327,10 @@ def decode_image(payload: bytes):
             pos = body_end + 4
         if w is None or not ended or not idat:
             return None
-        expected = h * (1 + w * 3)
+        if ctype == 3 and plte is None:
+            return None  # palette image without a PLTE
+        bpp = 3 if ctype == 2 else 1
+        expected = h * (1 + w * bpp)
         # bound the inflate at expected+1 bytes: a bomb payload (valid
         # CRCs, IHDR declaring huge dims or an IDAT inflating past the
         # declared size) costs at most expected+1 bytes of output, never
@@ -268,8 +343,18 @@ def decode_image(payload: bytes):
         if len(raw) != expected or dec.unconsumed_tail or dec.decompress(
             b"", 1
         ):
-            return None  # stream must measure exactly h*(1+3w)
-        return _png_unfilter(raw, w, h)
+            return None  # stream must measure exactly h*(1+w*bpp)
+        flat = _png_unfilter(raw, w, h, bpp)
+        if flat is None:
+            return None
+        if ctype == 2:
+            return flat.reshape(h, w, 3)
+        if ctype == 0:  # grayscale -> replicate to RGB
+            return np.repeat(flat.reshape(h, w, 1), 3, axis=2)
+        lut = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(flat.max()) >= len(lut):
+            return None  # palette index out of PLTE bounds
+        return lut[flat.reshape(h, w)]
 
     if payload[:2] == b"P6":
         idx, fields = 2, []
@@ -357,7 +442,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 # copy: the common case (non-image payload) pays nothing
                 head = bytes(payload[:8])
                 img = (
-                    decode_image(payload)
+                    decode_image(payload, _PNG_MAX_PIXELS_UNTRUSTED)
                     if head[:2] in (b"BM", b"P6") or head == _PNG_SIG
                     else None
                 )
@@ -716,13 +801,14 @@ def synthesize_video(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_video(payload: bytes):
+def decode_video(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
     """STRICT container walk: magic, header, every frame's length prefix
     in bounds, every frame a byte-valid PNG of exactly the declared
     (h, w, 3) shape, and the last frame must end at the container's last
     byte. Returns [(frame_idx, rgb array), ...] or None — arbitrary
     payloads never false-positive (same contract as decode_image /
-    decode_wav)."""
+    decode_wav). ``max_pixels`` flows through to each frame's PNG
+    decode (untrusted paths pass _PNG_MAX_PIXELS_UNTRUSTED)."""
     import struct
 
     if payload is None or len(payload) < 12:
@@ -740,7 +826,7 @@ def decode_video(payload: bytes):
         pos += 4
         if pos + ln > len(payload):
             return None
-        img = decode_image(payload[pos : pos + ln])
+        img = decode_image(payload[pos : pos + ln], max_pixels)
         if img is None or img.shape != (h, w, 3):
             return None
         out.append((f, img))
@@ -767,7 +853,8 @@ def video_sampled_frame_stats(media: DataFrame, every: int = 2) -> DataFrame:
             mids, fidx, nf, ws, hs, ps = [], [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 frames = decode_video(
-                    bytes(payload) if payload is not None else None
+                    bytes(payload) if payload is not None else None,
+                    _PNG_MAX_PIXELS_UNTRUSTED,
                 )
                 if frames is None:
                     continue
@@ -893,7 +980,7 @@ def resize_image_stats(
             mids, sws, shs, ps = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 img = (
-                    decode_image(bytes(payload))
+                    decode_image(bytes(payload), _PNG_MAX_PIXELS_UNTRUSTED)
                     if payload is not None
                     else None
                 )

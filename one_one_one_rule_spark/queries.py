@@ -73,6 +73,22 @@ def _stage_parquet_slices(spark, slices, prefix: str) -> str:
     return src
 
 
+def _write_batch_partial(df, store: str, batch_id: int) -> None:
+    """Idempotent foreachBatch partial write: each micro-batch's output
+    goes to a deterministic batchId-keyed subdir in OVERWRITE mode, so a
+    retried micro-batch (foreachBatch is at-least-once) replaces its own
+    partial instead of double-appending — a retry can no longer
+    double-count sketch cells or duplicate sample rows. Read the store
+    back with ``_read_batch_partials``."""
+    df.write.mode("overwrite").parquet(f"{store}/batch-{batch_id:05d}")
+
+
+def _read_batch_partials(spark, store: str):
+    """Read every batch partial under ``store`` (recursive lookup — the
+    subdirs are batchId-keyed, not partition key=value dirs)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(store)
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn

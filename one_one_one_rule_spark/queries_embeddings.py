@@ -713,3 +713,84 @@ def embeddings_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_label_n",
         F.expr("top_label_n * 1000000 div n_vecs").alias("purity_ppm"),
     )
+
+
+@register(
+    "embeddings_quantile_normalize",
+    """
+WITH dims AS (
+  SELECT vec_id, t.i - 1 AS dim, embedding[t.i] AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(1, 9)) AS i) t
+),
+r AS (
+  SELECT dim, vec_id,
+         row_number() OVER (PARTITION BY dim ORDER BY v, vec_id) AS rk,
+         COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM dims
+),
+q AS (
+  SELECT dim, vec_id, CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) AS q_ppm
+  FROM r
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q_ppm) AS BIGINT) AS sum_q_ppm,
+       CAST(SUM(q_ppm * vec_id) AS BIGINT) AS weighted_checksum
+FROM q GROUP BY dim
+""",
+)
+def embeddings_quantile_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension QUANTILE NORMALIZATION (rank transform) of the
+    embedding matrix — the feature-scaling pass that makes heterogeneous
+    dimensions comparable before clustering / ANN indexing when raw
+    scales drift (the distribution-free alternative to the z-scoring in
+    embeddings_dim_stats): each value maps to its within-dimension rank
+    on an exact integer ppm grid, q = (rank-1) * 10^6 div (n-1), with a
+    (value, vec_id) total order so ties break deterministically and the
+    transform is bit-identical across engines and partitionings — no
+    float percentile interpolation anywhere.
+
+    Output is the per-dimension audit (n, Σq, Σq·vec_id weighted
+    checksum over the first 8 dims): the checksum pins every row's
+    individual rank, so a single swapped pair of ties breaks the hash.
+
+    Scale shape: posexplode → per-dim global sort (row_number over an
+    8-partition window). A full-width (128-dim) pass is the same plan
+    with 16x the exploded volume — each dimension sorts independently,
+    so at 100 TB this runs as range-partitioned sorts per dim (documented
+    cost: the explode multiplies rows by the dim count; production runs
+    it once per corpus snapshot and persists the per-dim rank tables)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).filter(F.col("dim") < 8)
+    w = Window.partitionBy("dim").orderBy("v", "vec_id")
+    n = Window.partitionBy("dim")
+    q = dims.select(
+        "dim",
+        "vec_id",
+        F.expr(
+            "(CAST(row_number() OVER (PARTITION BY dim ORDER BY v, vec_id)"
+            " AS BIGINT) - 1) * 1000000"
+        ).alias("rk6"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    ).select(
+        "dim",
+        "vec_id",
+        F.expr("rk6 div (n - 1)").alias("q_ppm"),
+    )
+    return q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q_ppm").cast("bigint").alias("sum_q_ppm"),
+        F.sum(F.col("q_ppm") * F.col("vec_id"))
+        .cast("bigint")
+        .alias("weighted_checksum"),
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        "sum_q_ppm",
+        "weighted_checksum",
+    )

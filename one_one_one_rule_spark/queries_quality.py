@@ -635,6 +635,190 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hard cap for the CONVERGED PageRank loop. The L1 delta contracts by
+#: the damping factor (~0.85/round); measured fixture depths (DuckDB
+#: replay of the identical integer iteration, threshold = 5% of total
+#: mass): sf0.001 -> 2 rounds, sf0.01 -> 5, sf0.1 -> 10 — all under 16.
+#: The Spark loop raises if the cap is hit without convergence (silent
+#: truncation would break both the fixpoint contract and the oracle
+#: equivalence).
+_PRC_MAX = 16
+#: Convergence when L1(s_t, s_{t-1}) * 20 < n_vertices * UNIT — i.e. the
+#: total score movement drops below 5% of total mass. Phrased as an
+#: integer cross-multiplication so both engines compare exactly.
+_PRC_EPS_DEN = 20
+
+
+def _pagerank_conv_sql() -> str:
+    """Unrolled oracle for the CONVERGED PageRank: run the identical
+    integer iteration for ``_PRC_MAX`` rounds, compute each round's
+    1-row L1 delta, pick the FIRST round whose delta clears the
+    threshold, and emit that round's top-k. Unlike the k-core peel,
+    rounds past convergence are NOT no-ops — so the oracle selects by
+    the same data-dependent stopping rule the Spark loop applies, rather
+    than relying on idempotent tails. All CTEs materialized (round-5
+    ENOSPC lesson: non-hinted chains re-expand per reference)."""
+
+    def step(prev: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT deg.u,
+         CAST({_PR_BASE} AS HUGEINT) + 85 * COALESCE(c.contrib, CAST(0 AS HUGEINT)) // 100 AS s
+  FROM deg LEFT JOIN (
+    SELECT e.v AS u, SUM({prev}.s // deg.d) AS contrib
+    FROM e JOIN {prev} ON e.u = {prev}.u JOIN deg ON e.u = deg.u
+    GROUP BY e.v
+  ) c ON deg.u = c.u
+)"""
+
+    ctes = [
+        """op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)""",
+        f"""und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_TRI_MIN_COPURCHASES}
+)""",
+        "e AS (\n  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und\n)",
+        "deg AS (\n  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u\n)",
+        f"s0 AS (\n  SELECT u, CAST({_PR_UNIT} AS HUGEINT) AS s FROM deg\n)",
+    ]
+    for r in range(1, _PRC_MAX + 1):
+        ctes.append(step(f"s{r - 1}", f"s{r}").strip())
+        ctes.append(
+            f"""d{r} AS (
+  SELECT CAST({r} AS BIGINT) AS r, SUM(ABS(a.s - b.s)) AS dl
+  FROM s{r} a JOIN s{r - 1} b ON a.u = b.u
+)"""
+        )
+    deltas = "\nUNION ALL\n".join(
+        f"SELECT r, dl FROM d{r}" for r in range(1, _PRC_MAX + 1)
+    )
+    scores = "\nUNION ALL\n".join(
+        f"SELECT u, s, CAST({r} AS BIGINT) AS r FROM s{r}"
+        for r in range(1, _PRC_MAX + 1)
+    )
+    ctes.append(
+        f"""conv AS (
+  SELECT MIN(r) AS r FROM ({deltas})
+  WHERE dl * {_PRC_EPS_DEN} < (SELECT COUNT(*) FROM deg) * CAST({_PR_UNIT} AS HUGEINT)
+)"""
+    )
+    joined = ",\n".join(ctes).replace(" AS (", " AS MATERIALIZED (")
+    return f"""
+WITH {joined}
+SELECT u AS p_partkey, CAST(s AS DECIMAL(38,0)) AS pagerank_units,
+       allr.r AS rounds
+FROM ({scores}) allr JOIN conv ON allr.r = conv.r
+ORDER BY s DESC, u ASC
+LIMIT {_PR_TOPK}
+"""
+
+
+@register("parts_copurchase_pagerank_converged", _pagerank_conv_sql())
+def parts_copurchase_pagerank_converged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PageRank iterated TO AN L1-DELTA FIXPOINT (production contract)
+    rather than a fixed round count — completing the converged-loop trio
+    (k-core peel shrinks a set, SSSP lowers a bound, PageRank contracts
+    a measure): each round runs the exact integer damped update of
+    parts_copurchase_pagerank, then a 1-row L1-delta aggregate
+    Σ|s_t − s_{t−1}| decides termination. The loop exits at the first
+    round whose total score movement falls below 1/``_PRC_EPS_DEN`` of
+    total mass (an exact integer cross-multiplication — no float
+    tolerance to drift between engines), and RAISES if ``_PRC_MAX``
+    rounds don't get there, so the oracle equivalence can never silently
+    truncate. The only driver-side values per round are two scalars (the
+    vertex count, computed once, and the delta) — no data is collected.
+
+    Oracle equivalence: the generated unrolled oracle runs the SAME
+    iteration for ``_PRC_MAX`` rounds, computes every round's 1-row
+    delta, and selects the FIRST round clearing the threshold — the
+    identical stopping rule, applied post-hoc (PageRank rounds past
+    convergence are not no-ops, so unlike the k-core oracle the unroll
+    must re-apply the rule, not rely on idempotent tails). The ``rounds``
+    output column pins the stopping depth itself into the hash gate.
+
+    Scale shape: per round, the same edge⋈score shuffle + combinable
+    contribution aggregate as the fixed-round query, plus one
+    vertex-sized join-aggregate for the delta (both sides checkpointed,
+    flat lineage); the delta is a single row, the scores never leave
+    the cluster. Measured depth at the bench scale is 10 rounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    und = _copurchase_edges(li, _TRI_MIN_COPURCHASES)
+    e = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    n_vertices = deg.count()  # bounded: one scalar, computed once
+    dec = "decimal(38,0)"
+
+    def floordiv(x, d):
+        return ((x - x % d) / d).cast(dec)
+
+    prev = deg.select("u", F.lit(_PR_UNIT).cast(dec).alias("s"))
+    rounds = None
+    for t in range(1, _PRC_MAX + 1):
+        contrib = (
+            e.join(prev, "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("cu"),
+                floordiv(F.col("s"), F.col("d")).alias("share"),
+            )
+            .groupBy("cu")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        damped = floordiv(
+            F.coalesce(F.col("contrib"), F.lit(0).cast(dec)) * 85,
+            F.lit(100),
+        )
+        cur = (
+            deg.join(contrib, deg.u == F.col("cu"), "left")
+            .select(
+                "u",
+                (F.lit(_PR_BASE).cast(dec) + damped).cast(dec).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            cur.alias("a")
+            .join(prev.alias("b"), "u")
+            .agg(
+                F.sum(F.abs(F.col("a.s") - F.col("b.s")))
+                .cast(dec)
+                .alias("dl")
+            )
+            .first()["dl"]
+        )
+        prev = cur
+        if int(delta) * _PRC_EPS_DEN < n_vertices * _PR_UNIT:
+            rounds = t
+            break
+    if rounds is None:
+        raise RuntimeError(
+            f"PageRank did not converge within {_PRC_MAX} rounds — "
+            "raise _PRC_MAX (and regenerate the oracle) rather than "
+            "truncating silently"
+        )
+    return (
+        prev.orderBy(F.desc("s"), F.asc("u"))
+        .limit(_PR_TOPK)
+        .select(
+            F.col("u").alias("p_partkey"),
+            F.col("s").alias("pagerank_units"),
+            F.lit(rounds).cast("bigint").alias("rounds"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Markov transition matrix over user event sequences
 # ---------------------------------------------------------------------------

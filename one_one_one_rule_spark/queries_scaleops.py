@@ -411,7 +411,12 @@ def _register_stream_incremental_dedup() -> None:
         deltas compact into it on a cadence (small-files compactor),
         keeping per-batch cost O(|delta| + matched buckets)."""
         from .operators.dedup import doc_hash_sets, incremental_lsh_dedup
-        from .queries import _session_tmp_dir, _stage_parquet_slices
+        from .queries import (
+        _read_batch_partials,
+        _session_tmp_dir,
+        _stage_parquet_slices,
+        _write_batch_partial,
+    )
 
         docs = load_table(spark, sf_dir, "documents")
         base = docs.filter(F.col("doc_id") % 10 != 0)
@@ -436,7 +441,7 @@ def _register_stream_incremental_dedup() -> None:
             verdicts = incremental_lsh_dedup(
                 None, bdf, 3, 0.3, base_sets=base_sets
             )
-            verdicts.write.mode("append").parquet(out)
+            _write_batch_partial(verdicts, out, batch_id)
 
         stream = (
             spark.readStream.schema(
@@ -454,7 +459,7 @@ def _register_stream_incremental_dedup() -> None:
             .start()
         )
         q.awaitTermination()
-        return spark.read.parquet(out)
+        return _read_batch_partials(spark, out)
 
 
 _register_stream_incremental_dedup()
@@ -557,7 +562,12 @@ def events_stream_cms_heavy_hitters(
     batch table (gate-scale verification; production keeps only the
     sketch store and the previous window's candidate list)."""
     from .operators.skew import cms_build, cms_estimate
-    from .queries import _session_tmp_dir, _stage_parquet_slices
+    from .queries import (
+        _read_batch_partials,
+        _session_tmp_dir,
+        _stage_parquet_slices,
+        _write_batch_partial,
+    )
 
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id")
     src = _stage_parquet_slices(
@@ -572,8 +582,8 @@ def events_stream_cms_heavy_hitters(
     ckpt = _session_tmp_dir("cms_ckpt_")
 
     def sketch_batch(bdf: DataFrame, batch_id: int) -> None:
-        cms_build(bdf, "user_id", width=512).write.mode("append").parquet(
-            store
+        _write_batch_partial(
+            cms_build(bdf, "user_id", width=512), store, batch_id
         )
 
     stream = (
@@ -591,7 +601,7 @@ def events_stream_cms_heavy_hitters(
     q.awaitTermination()
 
     sketch = (
-        spark.read.parquet(store)
+        _read_batch_partials(spark, store)
         .groupBy("r", "cell")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -848,7 +858,12 @@ def events_stream_quantile_sketch(
     merge breaks the hash. The exact-percentile audit side comes from
     the batch table (gate-scale verification; production keeps only the
     sketch store)."""
-    from .queries import _session_tmp_dir, _stage_parquet_slices
+    from .queries import (
+        _read_batch_partials,
+        _session_tmp_dir,
+        _stage_parquet_slices,
+        _write_batch_partial,
+    )
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
@@ -865,9 +880,10 @@ def events_stream_quantile_sketch(
     ckpt = _session_tmp_dir("qsk_ckpt_")
 
     def sketch_batch(bdf: DataFrame, batch_id: int) -> None:
-        _qsketch_rows(bdf).groupBy("event_type", "bucket").agg(
+        partial = _qsketch_rows(bdf).groupBy("event_type", "bucket").agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt")
-        ).write.mode("append").parquet(store)
+        )
+        _write_batch_partial(partial, store, batch_id)
 
     stream = (
         spark.readStream.schema("event_type string, value double")
@@ -884,7 +900,7 @@ def events_stream_quantile_sketch(
     q.awaitTermination()
 
     sketch = (
-        spark.read.parquet(store)
+        _read_batch_partials(spark, store)
         .groupBy("event_type", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -1097,7 +1113,12 @@ def events_stream_bottomk_sample(
     exists for gate-scale verification only."""
     from pyspark.sql import Window
 
-    from .queries import _session_tmp_dir, _stage_parquet_slices
+    from .queries import (
+        _read_batch_partials,
+        _session_tmp_dir,
+        _stage_parquet_slices,
+        _write_batch_partial,
+    )
 
     e = load_table(spark, sf_dir, "events").select("event_type", "event_id")
     src = _stage_parquet_slices(
@@ -1114,14 +1135,13 @@ def events_stream_bottomk_sample(
     w = Window.partitionBy("event_type").orderBy("h", "event_id")
 
     def sample_batch(bdf: DataFrame, batch_id: int) -> None:
-        (
+        partial = (
             bdf.select("event_type", "event_id", h.alias("h"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _BOTTOMK_K)
             .select("event_type", "event_id", "h")
-            .write.mode("append")
-            .parquet(store)
         )
+        _write_batch_partial(partial, store, batch_id)
 
     stream = (
         spark.readStream.schema("event_type string, event_id bigint")
@@ -1138,7 +1158,7 @@ def events_stream_bottomk_sample(
     q.awaitTermination()
 
     merged = (
-        spark.read.parquet(store)
+        _read_batch_partials(spark, store)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _BOTTOMK_K)
         .select(

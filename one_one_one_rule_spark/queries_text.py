@@ -1080,3 +1080,62 @@ def docs_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("vocab").cast("bigint").alias("vocab_size"),
     )
+
+
+@register(
+    "docs_quality_calibration",
+    """
+WITH r AS (
+  SELECT least(n_chars, 2000) * 1000000 // 2000 AS score_ppm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+b AS (
+  SELECT least((score_ppm * 10) // 1000000, 9) AS bin, score_ppm, label FROM r
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       CAST(SUM(label) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+FROM b GROUP BY bin
+""",
+)
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION AUDIT for a quality scorer — the reliability-diagram
+    aggregation every learned quality/toxicity filter needs before its
+    scores gate a 100 TB corpus: bucket documents by score decile and
+    compare each bin's mean score against its observed positive rate
+    (a well-calibrated scorer has the two track each other). The scorer
+    here is a deterministic heuristic (length saturation, exact integer
+    ppm: least(n_chars, 2000) * 10^6 div 2000) and the label is a
+    deterministic proxy (lang = 'en'), so the AGGREGATION MACHINERY —
+    binning, exact ppm ratios, per-bin counts — is what the hash gate
+    pins; swap in model scores and human labels and the query is a
+    production calibration job unchanged. All ratios are integer
+    divisions (div / //), never float division + cast: at 10^11-row
+    scale a 1-ulp double boundary would flip a truncation.
+
+    Scale shape: one map-only projection (score, label, bin) feeding one
+    combinable 10-group aggregate — map-side partials do all the work,
+    the shuffle carries 10 rows per task."""
+    d = load_table(spark, sf_dir, "documents")
+    score = F.expr("least(n_chars, 2000) * 1000000 div 2000")
+    rows = d.select(
+        score.alias("score_ppm"),
+        (F.col("lang") == "en").cast("bigint").alias("label"),
+    )
+    b = F.least(
+        F.expr("(score_ppm * 10) div 1000000"), F.lit(9).cast("bigint")
+    )
+    return (
+        rows.select(b.alias("bin"), "score_ppm", "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("score_ppm").cast("bigint").alias("sum_score_ppm"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+            F.expr("sum(label) * 1000000 div count(1)")
+            .cast("bigint")
+            .alias("pos_rate_ppm"),
+        )
+    )

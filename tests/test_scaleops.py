@@ -197,3 +197,26 @@ def test_sql_script_threshold_bounded_on_empty_orders(spark, tmp_path):
     )
     out = QUERIES["orders_sql_script_threshold"](spark, str(tmp_path))
     assert out.collect() == []
+
+
+def test_batch_partial_write_is_idempotent_under_retry(spark, tmp_path):
+    """foreachBatch delivery is at-least-once: re-running a batch's write
+    (same batch_id) must REPLACE its partial, not double-append — the
+    round-7 fix for the streaming sketch twins' store convention."""
+    from one_one_one_rule_spark.queries import (
+        _read_batch_partials,
+        _write_batch_partial,
+    )
+
+    store = str(tmp_path / "store")
+    b0 = spark.range(3).selectExpr("id", "id * 10 AS v")
+    b1 = spark.range(3, 5).selectExpr("id", "id * 10 AS v")
+    _write_batch_partial(b0, store, 0)
+    _write_batch_partial(b1, store, 1)
+    # batch 1 is retried (e.g. after a foreachBatch failure mid-commit):
+    # the store must still hold exactly one copy of its rows
+    _write_batch_partial(b1, store, 1)
+    got = sorted(
+        (r["id"], r["v"]) for r in _read_batch_partials(spark, store).collect()
+    )
+    assert got == [(0, 0), (1, 10), (2, 20), (3, 30), (4, 40)]

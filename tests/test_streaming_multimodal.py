@@ -626,16 +626,144 @@ def test_png_strict_rejection():
         + png[len(_PNG_SIG) + 25 :]  # original IDAT+IEND for a 3x3 image
     )
     assert decode_image(lying) is None
-    # grayscale (color type 0) is out of contract
+    # grayscale (color type 0) joined the contract in round 7: a
+    # byte-valid type-0 stream decodes to replicated RGB
     gray_ihdr = _s.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
     gray = (
         _PNG_SIG + _chunk(b"IHDR", gray_ihdr)
         + _chunk(b"IDAT", _z.compress(b"\x00" * (3 * 4)))
         + _chunk(b"IEND", b"")
     )
-    assert decode_image(gray) is None
+    out = decode_image(gray)
+    assert out is not None and out.shape == (3, 3, 3) and out.max() == 0
+    # 16-bit depth stays out of contract
+    deep_ihdr = _s.pack(">IIBBBBB", 3, 3, 16, 0, 0, 0, 0)
+    deep = (
+        _PNG_SIG + _chunk(b"IHDR", deep_ihdr)
+        + _chunk(b"IDAT", _z.compress(b"\x00" * (3 * 7)))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image(deep) is None
     # signature near-miss stays on the stub path
     assert decode_image(b"\x89PNG\r\n\x1a\x00" + png[8:]) is None
+
+
+def test_png_gray_and_palette_roundtrip():
+    """Round-7 widening: 8-bit grayscale (type 0) and palette (type 3)
+    decode to exact RGB, with strict PLTE validation."""
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        decode_image,
+        encode_png_gray,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, size=(5, 11)).astype("uint8")
+    out = decode_image(encode_png_gray(g))
+    assert out is not None and out.shape == (5, 11, 3)
+    assert (out == g[..., None]).all()
+
+    pal = rng.integers(0, 256, size=(17, 3)).astype("uint8")
+    idx = rng.integers(0, 17, size=(6, 9)).astype("uint8")
+    out = decode_image(encode_png_palette(idx, pal))
+    assert out is not None and np.array_equal(out, pal[idx])
+
+
+def test_png_palette_strict_rejection():
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_image,
+        encode_png_gray,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(4, 3)).astype("uint8")
+    idx = rng.integers(0, 4, size=(3, 5)).astype("uint8")
+    good = encode_png_palette(idx, pal)
+    assert decode_image(good) is not None
+
+    # index == len(palette): out of PLTE bounds
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 4
+    assert decode_image(encode_png_palette(bad_idx, pal)) is None
+
+    # palette image without a PLTE chunk
+    ihdr = _s.pack(">IIBBBBB", 5, 3, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    no_plte = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image(no_plte) is None
+
+    # PLTE after IDAT violates chunk ordering
+    late_plte = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image(late_plte) is None
+
+    # PLTE length not a multiple of 3
+    torn = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes()[:-1])
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image(torn) is None
+
+    # two PLTE chunks
+    twice = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image(twice) is None
+
+    # PLTE on a grayscale image (spec forbids it)
+    g = np.zeros((3, 5), dtype="uint8")
+    graw = b"".join(b"\x00" + g[y].tobytes() for y in range(3))
+    gihdr = _s.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 0)
+    gray_plte = (
+        _PNG_SIG + _png_chunk(b"IHDR", gihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", _z.compress(graw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image(gray_plte) is None
+    assert decode_image(encode_png_gray(g)) is not None
+
+
+def test_png_untrusted_pixel_cap():
+    """The untrusted-path cap bounds CPU (sequential unfilter loops) as
+    well as allocation: a payload over the cap decodes under the full
+    contract cap but is rejected on the untrusted paths."""
+    import numpy as np
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _PNG_MAX_PIXELS_UNTRUSTED,
+        decode_image,
+        encode_png_gray,
+    )
+
+    big = np.zeros((600, 600), dtype="uint8")  # 360k px > 2^18 cap
+    png = encode_png_gray(big)
+    assert decode_image(png) is not None
+    assert decode_image(png, _PNG_MAX_PIXELS_UNTRUSTED) is None
 
 
 def test_png_payloads_flow_through_extract_features(spark):

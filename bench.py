@@ -7,7 +7,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side materialization), timed after a session warm-up so JVM/codegen
-startup isn't billed to the first query.
+startup isn't billed to the first query. The committed per-query number is
+the MEDIAN of three timed runs taken across three full passes over the
+registry (pass-level interleaving: a transient co-tenant load spike lands
+in at most one of a query's samples); the raw samples ship alongside in
+``runs`` so any round can re-adjudicate scatter.
 
 Per-query isolation mode (round-5 VERDICT item 2 — the shared-session
 bench cannot distinguish a genuine plan regression from cross-query
@@ -43,6 +47,11 @@ from one_one_one_rule_spark.session import get_spark  # noqa: E402
 # Bench the FULL query registry (registration order) so a perf regression
 # in any operator is visible per round, not just the original headline set.
 HEADLINE = list(QUERIES)
+
+#: Timed passes over the registry; the committed per-query number is the
+#: MEDIAN across passes (robust to the ±10-35% single-shot scatter the
+#: round-6 isolation study measured — see BASELINE.md).
+N_RUNS = 3
 
 # Gate-orchestration queries: their wall time is dominated by correctness-
 # GATE mechanics, not engine cost — the events_stream_* entries stage
@@ -185,25 +194,37 @@ def main() -> None:
         except Exception:
             pass
 
-    # Best of two timed runs per query: single-shot numbers swing +-30% on
-    # a shared box (page cache, broadcast rebuild, GC); the min is the
-    # reproducible capability number.
+    # MEDIAN of three timed runs per query, taken across three FULL passes
+    # over the registry (round-6 VERDICT item 2): single-shot numbers swing
+    # ±10-35% on a shared box (page cache, broadcast rebuild, GC, co-tenant
+    # load), and a best-of estimator can mask a real regression in a noisy
+    # window. Pass-level interleaving spreads a query's three samples
+    # minutes apart, so a transient load spike cannot contaminate all of
+    # them the way three back-to-back runs would be.
     # One broken query must not kill the whole bench (round-2 postmortem:
     # a single AnalysisException produced rc=1 and zero numbers). Failures
     # report null; the JSON line always prints.
-    timings: dict[str, float | None] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = float("inf")
-        try:
-            for _ in range(2):
+    import statistics
+
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(N_RUNS):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            try:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            timings[name] = None
+                samples[name].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+            except Exception as exc:
+                print(
+                    f"bench: {name} FAILED (pass {_pass}): {exc}",
+                    file=sys.stderr,
+                )
+    timings: dict[str, float | None] = {
+        name: (round(statistics.median(s), 3) if s else None)
+        for name, s in samples.items()
+    }
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     gate_sec = round(
@@ -219,10 +240,13 @@ def main() -> None:
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
+            "estimator": "median",
+            "n_runs": N_RUNS,
             "engine_sec": round(total - gate_sec, 3),
             "gate_sec": gate_sec,
             "n_gate_queries": len(GATE_ORCHESTRATION),
             "queries": timings,
+            "runs": samples,
             "sf": sf,
             "cpus": cpus,
         }

@@ -69,6 +69,7 @@ def plan_metrics(df) -> dict[str, int]:
         "exchanges": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning"),
         "broadcasts": plan.count("BroadcastExchange"),
+        "cartesians": plan.count("CartesianProduct"),
         "scans": plan.count("FileScan"),
         "python_evals": plan.count("EvalPython")
         + plan.count("InPandas")  # MapInPandas / FlatMapGroupsInPandas

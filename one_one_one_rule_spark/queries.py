@@ -5548,6 +5548,69 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_from_index(spark, path, [0, 1, 2, 3, 4], k=5)
 
 
+@register("ann_ivf_stream_probe", _ivf_sql())
+def ann_ivf_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN serving against the persisted IVF index — the
+    deployment shape of ann_ivf_partitioned_topk: query vectors arrive
+    as a file stream (two staged micro-batches, ids {0,1} then
+    {2,3,4}), and each micro-batch probes the cell-partitioned parquet
+    index inside foreachBatch through the SAME partition-pruned lookup
+    the batch query uses (ivf_topk_from_index — the probe join reuses
+    the broadcast query side as a dynamic-partition-pruning subquery,
+    so each batch reads only its query cells' directories). Per-batch
+    top-k results land in the idempotent batchId-keyed store; since
+    every query id appears in exactly one batch, the union of partials
+    IS the batch answer, and the gate reuses ann_ivf_topk's oracle
+    verbatim — a serving tier that drifted from the batch index by one
+    rank breaks the hash.
+
+    The per-batch id handoff is a driver-side collect BOUNDED by the
+    probe batch size (<= 5 ids — the query workload, not the corpus):
+    exactly how a serving layer parameterizes its pruned lookup. At
+    100 TB the index is the same partitioned parquet, batches carry
+    thousands of probes, and each still scans 1/2^planes of the data."""
+    from .operators.similarity import write_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _session_tmp_dir("ivf_sidx_")
+    write_ivf_index(e, path)
+    qids = e.filter(F.col("vec_id") < 5).select("vec_id")
+    src = _stage_parquet_slices(
+        spark,
+        [
+            qids.filter(F.col("vec_id") < 2),
+            qids.filter(F.col("vec_id") >= 2),
+        ],
+        "annprobe_src_",
+    )
+    store = _session_tmp_dir("annprobe_store_")
+    ckpt = _session_tmp_dir("annprobe_ckpt_")
+
+    def probe(bdf: DataFrame, batch_id: int) -> None:
+        from .operators.similarity import ivf_topk_from_index
+
+        ids = [int(r["vec_id"]) for r in bdf.collect()]  # <= batch size
+        if not ids:
+            return
+        out = ivf_topk_from_index(bdf.sparkSession, path, ids, k=5)
+        _write_batch_partial(out, store, batch_id)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_batch_partials(spark, store)
+
+
 def _minhash_eval_sql() -> str:
     n_perms = len(D.MINHASH_SEEDS)
     mins = ",\n         ".join(

@@ -3183,6 +3183,136 @@ def parts_copurchase_sssp_converged(
     return dist.select("part", F.col("dist").alias("min_dist"))
 
 
+def _sssp_relax_loop(dist, frontier, e, what: str):
+    """Frontier-based Bellman-Ford relaxation to a fixpoint (shared by
+    the converged and incremental SSSP gates): relax the frontier over
+    ``e``, min-merge into ``dist``, continue from the strictly-improved
+    rows; raise past ``_SSSP_CONV_MAX`` rounds (silent truncation would
+    break the fixpoint contract AND the oracle equivalence). Driver-side
+    work per round is one scalar ``isEmpty()`` on a checkpointed
+    relation — nothing is collected."""
+    for _ in range(_SSSP_CONV_MAX):
+        if frontier.isEmpty():
+            return dist
+        relaxed = frontier.join(e, frontier["part"] == e["u"]).select(
+            F.col("v").alias("part"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("part")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
+            .filter(
+                F.col("o.dist").isNull()
+                | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .select(
+                F.col("n.part").alias("part"),
+                F.col("n.dist").alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dist = new_dist
+    if not frontier.isEmpty():
+        raise RuntimeError(
+            f"SSSP ({what}) did not converge within {_SSSP_CONV_MAX} "
+            "rounds — raise _SSSP_CONV_MAX (the unrolled oracle must "
+            "cover the fixture's true convergence depth)"
+        )
+    return dist
+
+
+@register(
+    "parts_copurchase_sssp_incremental",
+    _sssp_conv_sql(rounds=_SSSP_CONV_MAX),
+)
+def parts_copurchase_sssp_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL shortest-path maintenance — the arriving-edges form of
+    parts_copurchase_sssp_converged, and the 100 TB reason iterative
+    results are kept as tables at all: when a delta of edges lands, a
+    production pipeline must NOT re-relax the whole graph from scratch;
+    it relaxes the delta edges against the existing distance table and
+    propagates only from the vertices that actually improved (the
+    affected region), which is tiny when the delta is.
+
+    Mechanics: the fixture's edge set splits deterministically into a
+    base graph (~80%, (u+v) % 5 != 0) and a delta (~20%). Phase 1
+    converges distances on the base graph; phase 2 relaxes ONLY the
+    delta edges against the warm distances, seeds the frontier with the
+    strictly-improved rows, and re-enters the same fixpoint loop over
+    the MERGED edge set. Min-plus relaxation from any valid upper bound
+    reaches the true fixpoint, and every improvement chain on the merged
+    graph begins with a delta edge (base-only chains are already at
+    fixpoint), so the warm-started result EQUALS the full-graph fixpoint
+    — which is exactly what the gate asserts: the oracle is the SAME
+    unrolled full-graph relaxation the converged query uses, so any
+    incremental shortcut that loses an improvement path breaks the hash.
+
+    Scale shape: phase-2 cost is proportional to the delta's affected
+    region (frontier-sized joins), not the graph; both phases share the
+    checkpointed-frontier, scalar-isEmpty loop of the converged gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    eu = _copurchase_edges(li, _TRI_MIN_COPURCHASES, keep_weight=True)
+    w = F.greatest(F.lit(1), F.lit(10) - F.col("n_copurchases")).cast(
+        "bigint"
+    )
+    e_all = (
+        eu.select("u", "v", w.alias("w"))
+        .unionByName(
+            eu.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), w.alias("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    is_delta = (F.col("u") + F.col("v")) % 5 == 0  # symmetric in (u, v)
+    e_base = e_all.filter(~is_delta).localCheckpoint(eager=True)
+    e_delta = e_all.filter(is_delta).localCheckpoint(eager=True)
+    sources = (
+        li.select("l_partkey")
+        .distinct()
+        .filter(F.col("l_partkey") % 100 == 0)
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = _sssp_relax_loop(sources, sources, e_base, "base")
+    # delta arrival: one relaxation of the delta edges alone against the
+    # warm distance table; the strictly-improved rows seed the frontier
+    relaxed = dist.join(e_delta, dist["part"] == e_delta["u"]).select(
+        F.col("v").alias("part"),
+        (F.col("dist") + F.col("w")).alias("dist"),
+    )
+    new_dist = (
+        dist.unionByName(relaxed)
+        .groupBy("part")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    seed = (
+        new_dist.alias("n")
+        .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
+        .filter(
+            F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+        )
+        .select(
+            F.col("n.part").alias("part"), F.col("n.dist").alias("dist")
+        )
+        .localCheckpoint(eager=True)
+    )
+    final = _sssp_relax_loop(new_dist, seed, e_all, "incremental")
+    return final.select("part", F.col("dist").alias("min_dist"))
+
+
 # ---------------------------------------------------------------------------
 # Compliance / metadata ops (round 5b): GDPR deletion cascade, functional-
 # dependency discovery, sampling-based join-cardinality estimation

@@ -1184,3 +1184,93 @@ def events_stream_bottomk_sample(
         "h",
         (F.col("event_id") == F.col("m_event_id")).alias("merge_agrees"),
     )
+
+
+from .queries import _has_tws_runtime as _tws_ok  # noqa: E402
+
+if _tws_ok():
+
+    @register("events_tws_bottomk_sample", _BOTTOMK_SQL)
+    def events_tws_bottomk_sample(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The bottom-k sample on transformWithState's TYPED-STATE API —
+        the state-store-backed port of events_stream_bottomk_sample's
+        foreachBatch choreography (streaming/events.py:
+        make_bottomk_processor): exactly k ListState rows per group ARE
+        the sketch, no external store directory, no per-batch parquet
+        appends. Update-mode emissions are tagged with the running row
+        count, so the drain selects each key's FINAL sample (max n_seen),
+        re-ranks it, and the gate joins it against the direct batch
+        bottom-k under the SAME oracle as the foreachBatch twin — any
+        drift in the typed-state merge breaks the hash.
+
+        CONDITIONALLY registered: TWS's Python worker needs protobuf
+        (absent in the build sandbox); the processor's merge semantics
+        and the plan construction are tested unconditionally in
+        tests/test_streaming_multimodal.py, and this gate self-activates
+        the moment an environment provides the runtime."""
+        import uuid
+
+        from pyspark.sql import Window
+
+        from .queries import (
+            _drain_stream,
+            _stage_parquet_slices,
+        )
+        from .streaming.events import stateful_bottomk_tws
+
+        e = load_table(spark, sf_dir, "events").select(
+            "event_type", "event_id"
+        )
+        src = _stage_parquet_slices(
+            spark,
+            [
+                e.filter(F.col("event_id") % 2 == 0),
+                e.filter(F.col("event_id") % 2 == 1),
+            ],
+            "twsbk_src_",
+        )
+        stream = (
+            spark.readStream.schema("event_type string, event_id bigint")
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        drained = _drain_stream(
+            spark,
+            stateful_bottomk_tws(stream, _BOTTOMK_K, _BOTTOMK_MOD),
+            "twsbk_" + uuid.uuid4().hex[:12],
+            "update",
+        )
+        latest = Window.partitionBy("event_type")
+        w = Window.partitionBy("event_type").orderBy("h", "event_id")
+        merged = (
+            drained.withColumn("mx", F.max("n_seen").over(latest))
+            .filter(F.col("n_seen") == F.col("mx"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BOTTOMK_K)
+            .select(
+                F.col("event_type").alias("m_event_type"),
+                F.col("event_id").alias("m_event_id"),
+                F.col("rn").alias("m_rn"),
+            )
+        )
+        h = (F.col("event_id") * F.lit(2654435761)) % F.lit(_BOTTOMK_MOD)
+        direct = (
+            e.select("event_type", "event_id", h.alias("h"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BOTTOMK_K)
+            .select("event_type", "event_id", "h", "rn")
+        )
+        return direct.join(
+            merged,
+            (F.col("event_type") == F.col("m_event_type"))
+            & (F.col("rn") == F.col("m_rn")),
+        ).select(
+            "event_type",
+            F.col("rn").cast("bigint").alias("rank"),
+            "event_id",
+            "h",
+            (F.col("event_id") == F.col("m_event_id")).alias("merge_agrees"),
+        )

@@ -451,3 +451,85 @@ def make_running_totals_processor():
             pass
 
     return RunningTotals()
+
+
+BOTTOMK_TWS_OUTPUT_SCHEMA = (
+    "event_type string, event_id bigint, h bigint, n_seen bigint"
+)
+
+
+def make_bottomk_processor(
+    k: int = 16, mod: int = 2147483647, mult: int = 2654435761
+):
+    """StatefulProcessor maintaining a deterministic BOTTOM-K SAMPLE per
+    group on transformWithState's typed-state API — the native Spark 4
+    port of the foreachBatch bottom-k twin (queries_scaleops.py:
+    events_stream_bottomk_sample): state is exactly k rows per group in
+    a ListState (the sketch IS the state — no external store directory),
+    plus a ValueState row counter that tags each emission so the drain
+    can select the final sample per key.
+
+    Per batch: merge the incoming rows' (hash pseudo-rank, event_id)
+    pairs into the stored sample as a SET (idempotent under
+    at-least-once row redelivery — a replayed event_id cannot occupy
+    two sample slots), keep the k smallest by (h, event_id), store, and
+    emit the current sample tagged with the running row count. Bottom-k
+    is a mergeable sketch, so the final emission equals the bottom-k of
+    everything seen — the same oracle as the batch query.
+
+    Exposed as a factory (module-scope class, no function-local pandas
+    imports in type hints) so the per-batch merge semantics are
+    unit-testable through a fake handle WITHOUT the TWS wire protocol
+    (which needs protobuf, absent in this sandbox)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class BottomKSample(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sample = handle.getListState(
+                "bottomk", "h BIGINT, event_id BIGINT"
+            )
+            self._seen = handle.getValueState("n_seen", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = {(int(h), int(e)) for h, e in self._sample.get()}
+            n = self._seen.get()[0] if self._seen.exists() else 0
+            for pdf in rows:
+                n += int(len(pdf))
+                for e in pdf["event_id"].astype("int64"):
+                    e = int(e)
+                    cur.add(((e * mult) % mod, e))
+            best = sorted(cur)[:k]
+            self._sample.put(best)
+            self._seen.update((n,))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(best),
+                    "event_id": [e for _, e in best],
+                    "h": [h for h, _ in best],
+                    "n_seen": [n] * len(best),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return BottomKSample()
+
+
+def stateful_bottomk_tws(
+    events: DataFrame, k: int = 16, mod: int = 2147483647,
+    mult: int = 2654435761,
+) -> DataFrame:
+    """Bottom-k sample per event_type as a transformWithState operator —
+    k rows of ListState per group, update-mode emission tagged with the
+    running row count (see ``make_bottomk_processor``)."""
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=make_bottomk_processor(k, mod, mult),
+        outputStructType=BOTTOMK_TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""Measured scaling curves for the heaviest engine queries — SCALING.md.
+
+Round-6 VERDICT item 4: the 100 TB story rested on plan shapes plus 10x
+in-memory probes; this converts "would survive 100x" into data. For each
+query in ``SCALING_SET`` the probe runs the REAL registered query at
+sf0.001 / sf0.01 / sf0.1 and records
+
+* ``shuffle_rows`` — total shuffle-write RECORDS across ALL jobs the
+  query runs (read off the Spark status REST API by stage-id delta, so
+  checkpointed sub-jobs and iterative rounds are included). Row counts
+  are DETERMINISTIC — unlike seconds they cannot be inflated by a
+  co-tenant — which makes them the enforceable scaling metric:
+  tests/test_scaling.py recomputes the small leg in-process and asserts
+  the committed exponents hold.
+* ``secs`` — wall time (median of 3), context only.
+
+The fitted exponent is log(shuffle(sf_b)/shuffle(sf_a)) divided by
+log(rows_in(sf_b)/rows_in(sf_a)) over the query's PRIMARY table; a query
+whose exponent exceeds its documented bound is flagged (exit 1), so a
+rewrite that silently turns a linear pipeline quadratic fails the probe
+and the committed artifact shows exactly which leg blew up.
+
+Usage: python scripts/scaling_probe.py           # writes SCALING.{md,json}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from one_one_one_rule_spark.queries import QUERIES  # noqa: E402
+from one_one_one_rule_spark.session import get_spark  # noqa: E402
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+#: (query, primary input table, max exponent on the sf0.01 -> sf0.1 leg,
+#: documented complexity note). Bounds are the measured exponent plus
+#: honest slack: linear pipelines get 1.3; the iterative graph queries
+#: get more because their ROUND COUNT is data-dependent (k-core peels 10
+#: rounds at sf0.01 but 2 at sf0.1; SSSP/PageRank depth moves with the
+#: graph's diameter/conductance), so per-leg exponents jitter around
+#: linear without the per-round plan changing at all.
+SCALING_SET = [
+    ("events_pairwise_correlation_blocked", "events", 1.40,
+     "month-blocked delta join; pairs bounded by type-universe x blocks"),
+    ("docs_substring_dedup", "documents", 1.40,
+     "stride-1 windowed inverted index, df-capped; linear in window count"),
+    ("docs_ppjoin_pairs", "documents", 1.60,
+     "prefix-filter pruned pair generation; near-linear until token "
+     "frequency skew grows candidate lists"),
+    ("docs_minhash_lsh_pairs", "documents", 1.40,
+     "banded signature join; linear in docs x bands, pairs bucket-bounded"),
+    ("docs_lsh_recall_eval", "documents", 1.60,
+     "LSH candidates + exact-verify audit branch"),
+    ("embeddings_semantic_dedup", "embeddings", 1.60,
+     "k-means cells bound the quadratic term; in-cell pairs grow with "
+     "cell occupancy"),
+    ("embeddings_neardup_clusters", "embeddings", 2.20,
+     "QUADRATIC BY DESIGN at fixed LSH parameters — measured 2.09: "
+     "SRP-band candidate volume is ~N^2/2^bits when the 4x4-bit "
+     "signature stays fixed (it must, for the cross-engine oracle to "
+     "stay deterministic), so per-bucket occupancy grows with N. The "
+     "production knob is growing band bits ~log2(N) to PIN occupancy, "
+     "which restores linear candidates; the bound documents the "
+     "fixed-parameter ceiling instead of hiding it"),
+    ("ann_pq_topk", "embeddings", 1.40,
+     "PQ codebook train (bounded sample) + ADC scan; linear in vectors"),
+    ("parts_copurchase_kcore_converged", "lineitem", 1.80,
+     "per-round edge-linear; ROUND COUNT is data-dependent (10 rounds at "
+     "sf0.01 vs 2 at sf0.1), so per-leg exponents jitter"),
+    ("parts_copurchase_sssp_converged", "lineitem", 1.80,
+     "per-round frontier-linear relaxation; rounds = graph diameter"),
+    ("parts_copurchase_sssp_incremental", "lineitem", 1.80,
+     "warm-start delta maintenance: base-graph fixpoint + delta-seeded "
+     "re-relaxation over the merged graph"),
+    ("parts_copurchase_pagerank_converged", "lineitem", 1.80,
+     "per-round edge-linear; rounds set by L1-delta contraction"),
+    ("lineitem_bucketed_colocated_join", "lineitem", 1.30,
+     "one-time bucketed write shuffle; the join itself is zero-shuffle"),
+]
+
+
+def _rest_stages(sc) -> list[dict]:
+    url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
+    with urllib.request.urlopen(url) as r:
+        return json.load(r)
+
+
+def _shuffle_state(sc) -> tuple[int, int]:
+    """(max stage id seen, total shuffle write records) right now."""
+    stages = _rest_stages(sc)
+    max_id = max((s["stageId"] for s in stages), default=-1)
+    return max_id, sum(s.get("shuffleWriteRecords", 0) for s in stages)
+
+
+def _shuffle_rows_since(sc, last_id: int) -> int:
+    """Shuffle-write records of stages with id > last_id: stage-id-based
+    deltas survive UI eviction of OLD stages (a before/after total would
+    undercount whenever the run itself evicts pre-snapshot entries)."""
+    return sum(
+        s.get("shuffleWriteRecords", 0)
+        for s in _rest_stages(sc)
+        if s["stageId"] > last_id
+    )
+
+
+def main() -> None:
+    spark = get_spark(
+        "scaling_probe",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    results: dict[str, dict] = {}
+    rows_in: dict[str, dict[str, int]] = {}
+    for name, table, bound, note in SCALING_SET:
+        results[name] = {
+            "table": table,
+            "bound_01_to_1": bound,
+            "note": note,
+            "rows_in": {},
+            "shuffle_rows": {},
+            "secs": {},
+        }
+
+    for sf_dir in SF_DIRS:
+        sf = sf_dir.rsplit("/", 1)[-1]
+        for name, table, _bound, _note in SCALING_SET:
+            if table not in rows_in.setdefault(sf, {}):
+                rows_in[sf][table] = spark.read.parquet(
+                    f"{sf_dir}/{table}.parquet"
+                ).count()
+            results[name]["rows_in"][sf] = rows_in[sf][table]
+            fn = QUERIES[name]
+            secs, shuf = [], []
+            for _run in range(3):
+                last_id, _ = _shuffle_state(sc)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                secs.append(round(time.perf_counter() - t0, 3))
+                shuf.append(_shuffle_rows_since(sc, last_id))
+            results[name]["secs"][sf] = round(statistics.median(secs), 3)
+            results[name]["shuffle_rows"][sf] = int(statistics.median(shuf))
+            print(
+                f"{sf:8s} {name:42s} secs={secs} shuffle_rows={shuf}",
+                flush=True,
+            )
+
+    def expo(d: dict, a: str, b: str, key: str, rows: dict) -> float | None:
+        ya, yb = d[key][a], d[key][b]
+        xa, xb = rows[a], rows[b]
+        if ya <= 0 or yb <= 0 or xa <= 0 or xb <= 0 or xa == xb:
+            return None
+        return round(math.log(yb / ya) / math.log(xb / xa), 3)
+
+    violations = []
+    for name, _t, bound, _n in SCALING_SET:
+        d = results[name]
+        r = d["rows_in"]
+        d["exponent_shuffle_001_to_01"] = expo(
+            d, "sf0.001", "sf0.01", "shuffle_rows", r
+        )
+        d["exponent_shuffle_01_to_1"] = expo(
+            d, "sf0.01", "sf0.1", "shuffle_rows", r
+        )
+        d["exponent_secs_01_to_1"] = expo(d, "sf0.01", "sf0.1", "secs", r)
+        e = d["exponent_shuffle_01_to_1"]
+        if e is not None and e > bound:
+            violations.append((name, e, bound))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALING.json"), "w") as f:
+        json.dump(
+            {
+                "sf_dirs": SF_DIRS,
+                "metric": "shuffle_write_records_all_jobs",
+                "queries": results,
+            },
+            f,
+            indent=1,
+        )
+
+    lines = [
+        "# SCALING — measured scaling curves (scripts/scaling_probe.py)",
+        "",
+        "The heaviest engine queries run at three scale factors; the",
+        "enforced metric is total shuffle-write RECORDS across every job",
+        "the query executes (deterministic — includes checkpointed",
+        "sub-jobs and iterative rounds; seconds are context only, medians",
+        "of 3). `exp` columns are fitted log-log slopes vs the primary",
+        "table's row count; `bound` is the documented complexity ceiling",
+        "on the sf0.01 -> sf0.1 leg, enforced by tests/test_scaling.py.",
+        "",
+        "| query | table | shuffle rows sf0.001/0.01/0.1 |"
+        " exp 0.001->0.01 | exp 0.01->0.1 | bound | secs sf0.1 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, table, bound, _note in SCALING_SET:
+        d = results[name]
+        s = d["shuffle_rows"]
+        lines.append(
+            f"| {name} | {table} |"
+            f" {s['sf0.001']:,}/{s['sf0.01']:,}/{s['sf0.1']:,} |"
+            f" {d['exponent_shuffle_001_to_01']} |"
+            f" {d['exponent_shuffle_01_to_1']} | {bound} |"
+            f" {d['secs']['sf0.1']} |"
+        )
+    lines += [
+        "",
+        "Per-query complexity notes:",
+        "",
+    ]
+    for name, _t, _b, note in SCALING_SET:
+        lines.append(f"* **{name}** — {note}.")
+    if violations:
+        lines += ["", "## VIOLATIONS", ""]
+        for name, e, bound in violations:
+            lines.append(f"* {name}: exponent {e} > bound {bound}")
+    with open(os.path.join(repo, "SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    print(f"wrote SCALING.md / SCALING.json ({len(SCALING_SET)} queries)")
+    if violations:
+        print(f"SUPER-LINEAR VIOLATIONS: {violations}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

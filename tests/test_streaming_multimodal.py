@@ -1111,3 +1111,111 @@ def test_resize_nearest_integer_mapping_and_quarantine(spark):
         resize_nearest(img, 8, 8).astype(np.int64).sum()
     )
     assert (out[3]["src_w"], out[3]["src_h"]) == (13, 9)
+
+
+def test_tws_bottomk_processor_semantics_match_batch_formula(spark, sf_dir):
+    """The bottom-k StatefulProcessor's merge semantics, driven through a
+    fake state handle — NO protobuf, NO streaming runtime: rows arrive
+    split across three 'micro-batches' (with one batch REPLAYED to model
+    at-least-once delivery) and the final emission must equal the direct
+    bottom-k of the whole group, k smallest (h, event_id) with
+    h = (event_id * 2654435761) % (2^31 - 1)."""
+    import pandas as pd
+
+    from one_one_one_rule_spark.streaming.events import (
+        make_bottomk_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeListState:
+        def __init__(self):
+            self._rows = []
+
+        def get(self):
+            return iter(list(self._rows))
+
+        def put(self, rows):
+            self._rows = list(rows)
+
+    class FakeHandle:
+        def __init__(self):
+            self.cells = {}
+
+        def getValueState(self, name, schema, ttl=None):
+            return self.cells.setdefault(name, FakeValueState())
+
+        def getListState(self, name, schema, ttl=None):
+            return self.cells.setdefault(name, FakeListState())
+
+    K, MOD, MULT = 16, 2147483647, 2654435761
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id")
+        .toPandas()
+    )
+    for etype, pdf in rows.groupby("event_type"):
+        proc = make_bottomk_processor(K, MOD, MULT)
+        proc.init(FakeHandle())
+        third = max(1, len(pdf) // 3)
+        batches = [
+            pdf.iloc[:third],
+            pdf.iloc[third : 2 * third],
+            pdf.iloc[third : 2 * third],  # replayed batch: must be a no-op
+            pdf.iloc[2 * third :],
+        ]
+        out = None
+        for chunk in batches:
+            if chunk.empty:
+                continue
+            for out_pdf in proc.handleInputRows(
+                (etype,), iter([chunk]), None
+            ):
+                out = out_pdf
+        proc.close()
+        got = list(zip(out["h"], out["event_id"]))
+        expected = sorted(
+            ((int(e) * MULT) % MOD, int(e)) for e in pdf["event_id"]
+        )[:K]
+        assert got == expected, etype
+        # emissions are the stored sample: sorted, deduped, <= k rows
+        assert len(got) == min(K, pdf["event_id"].nunique())
+        assert isinstance(out, pd.DataFrame)
+
+
+def test_tws_bottomk_plan_construction_is_protobuf_free(spark, events_dir):
+    from one_one_one_rule_spark.streaming.events import (
+        stateful_bottomk_tws,
+    )
+
+    df = stateful_bottomk_tws(stream_events(spark, events_dir))
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<event_type:string,event_id:bigint,h:bigint,n_seen:bigint>"
+    )
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "TransformWithState" in plan
+
+
+def test_tws_bottomk_gate_registration_tracks_protobuf_availability():
+    import importlib.util
+
+    from one_one_one_rule_spark.queries import ORACLES, QUERIES
+
+    try:
+        available = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        available = False
+    assert ("events_tws_bottomk_sample" in QUERIES) == available
+    assert ("events_tws_bottomk_sample" in ORACLES) == available

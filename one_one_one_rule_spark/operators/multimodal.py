@@ -277,6 +277,7 @@ def decode_image(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
 
         pos, w, ctype = len(_PNG_SIG), None, None
         idat = b""
+        idat_seen = False  # buffer truthiness would miss a 0-length IDAT
         plte = None
         ended = False
         while pos + 8 <= len(payload):
@@ -310,7 +311,7 @@ def decode_image(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
                 if (
                     ctype == 0  # spec: no PLTE for grayscale
                     or plte is not None  # at most one PLTE
-                    or idat  # PLTE must precede IDAT
+                    or idat_seen  # PLTE must precede the first IDAT
                     or length == 0
                     or length % 3
                     or length > 768
@@ -318,6 +319,7 @@ def decode_image(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
                     return None
                 plte = body
             elif tag == b"IDAT":
+                idat_seen = True
                 idat += body
             elif tag == b"IEND":
                 if length != 0 or body_end + 4 != len(payload):

@@ -767,7 +767,6 @@ def embeddings_quantile_normalize(
     dims = e.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("dim", "v")
     ).filter(F.col("dim") < 8)
-    w = Window.partitionBy("dim").orderBy("v", "vec_id")
     n = Window.partitionBy("dim")
     q = dims.select(
         "dim",

@@ -3143,43 +3143,7 @@ def parts_copurchase_sssp_converged(
         )
         .localCheckpoint(eager=True)
     )
-    frontier = dist
-    converged = False
-    for _ in range(_SSSP_CONV_MAX):
-        relaxed = frontier.join(e, frontier["part"] == e["u"]).select(
-            F.col("v").alias("part"),
-            (F.col("dist") + F.col("w")).alias("dist"),
-        )
-        new_dist = (
-            dist.unionByName(relaxed)
-            .groupBy("part")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        improved = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
-            .filter(
-                F.col("o.dist").isNull()
-                | (F.col("n.dist") < F.col("o.dist"))
-            )
-            .select(
-                F.col("n.part").alias("part"),
-                F.col("n.dist").alias("dist"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        dist = new_dist
-        if improved.isEmpty():  # fixpoint: no distance improved
-            converged = True
-            break
-        frontier = improved
-    if not converged:
-        raise RuntimeError(
-            f"SSSP did not converge within {_SSSP_CONV_MAX} rounds — "
-            "raise _SSSP_CONV_MAX (the unrolled oracle must cover the "
-            "fixture's true convergence depth)"
-        )
+    dist = _sssp_relax_loop(dist, dist, e, "converged")
     return dist.select("part", F.col("dist").alias("min_dist"))
 
 

@@ -412,11 +412,11 @@ def _register_stream_incremental_dedup() -> None:
         keeping per-batch cost O(|delta| + matched buckets)."""
         from .operators.dedup import doc_hash_sets, incremental_lsh_dedup
         from .queries import (
-        _read_batch_partials,
-        _session_tmp_dir,
-        _stage_parquet_slices,
-        _write_batch_partial,
-    )
+            _read_batch_partials,
+            _session_tmp_dir,
+            _stage_parquet_slices,
+            _write_batch_partial,
+        )
 
         docs = load_table(spark, sf_dir, "documents")
         base = docs.filter(F.col("doc_id") % 10 != 0)

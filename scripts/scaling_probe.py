@@ -155,6 +155,10 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 secs.append(round(time.perf_counter() - t0, 3))
+                # the status store ingests listener events asynchronously;
+                # give the final stage a beat before snapshotting (the
+                # median over 3 runs also rejects a straggler undercount)
+                time.sleep(0.2)
                 shuf.append(_shuffle_rows_since(sc, last_id))
             results[name]["secs"][sf] = round(statistics.median(secs), 3)
             results[name]["shuffle_rows"][sf] = int(statistics.median(shuf))

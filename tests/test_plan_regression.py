@@ -21,6 +21,14 @@ plan row would silently exempt it from the contract.
 Metrics are compared at the SAME scale and session shape the audit used
 (sf0.01, local[4], 4 shuffle partitions — the conftest session), because
 AQE's broadcast decisions are data-size-dependent.
+
+Known blind spot (stated, not hidden): queries that ``localCheckpoint``
+per round — the converged graph loops, the streaming drains — expose
+only their post-checkpoint TAIL plan to ``plan_metrics``, so their
+committed rows are ~0 and a regression inside the per-round join would
+not move them. Those queries' total shuffle VOLUME across all sub-jobs
+is enforced by tests/test_scaling.py over SCALING.json instead; the two
+gates are complementary, not redundant.
 """
 
 import os

@@ -715,6 +715,17 @@ def test_png_palette_strict_rejection():
     )
     assert decode_image(late_plte) is None
 
+    # ... including when a ZERO-LENGTH IDAT precedes the PLTE (buffer
+    # truthiness would miss it — round-7 review finding)
+    sneaky = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"")
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image(sneaky) is None
+
     # PLTE length not a multiple of 3
     torn = (
         _PNG_SIG + _png_chunk(b"IHDR", ihdr)

@@ -555,6 +555,42 @@ LIMIT {_PR_TOPK}
 """
 
 
+def _pr_floordiv(x, d, dec: str = "decimal(38,0)"):
+    """Exact integer floor division on decimal(38,0): the dividend is made
+    exactly divisible first, so the decimal divide carries no
+    scale-rounding ambiguity (positive values: floor ≡ truncate)."""
+    return ((x - x % d) / d).cast(dec)
+
+
+def _pr_round(e: DataFrame, deg: DataFrame, s: DataFrame) -> DataFrame:
+    """ONE damped PageRank update: s' = base + floor(0.85 · Σ floor(s/d))
+    over 128-bit-safe decimal(38,0) — the per-round relation shared by
+    the fixed-round and converged gates AND pinned by
+    tests/test_plan_shapes.py (the iterative loops checkpoint each
+    round, so the registry-wide plan ratchet only sees their tails;
+    this builder is what lets the per-round plan be asserted
+    directly). Un-checkpointed: callers decide lineage truncation."""
+    dec = "decimal(38,0)"
+    contrib = (
+        e.join(s, "u")
+        .join(deg, "u")
+        .select(
+            F.col("v").alias("cu"),
+            _pr_floordiv(F.col("s"), F.col("d")).alias("share"),
+        )
+        .groupBy("cu")
+        .agg(F.sum("share").alias("contrib"))
+    )
+    damped = _pr_floordiv(
+        F.coalesce(F.col("contrib"), F.lit(0).cast(dec)) * 85,
+        F.lit(100),
+    )
+    return deg.join(contrib, deg.u == F.col("cu"), "left").select(
+        "u",
+        (F.lit(_PR_BASE).cast(dec) + damped).cast(dec).alias("s"),
+    )
+
+
 @register("parts_copurchase_pagerank", _pagerank_sql())
 def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph — the iterative graph-
@@ -597,34 +633,9 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (x - x % d) / d: the dividend is exactly divisible, so the decimal
     # divide is exact and no scale-rounding ambiguity can creep in.
     dec = "decimal(38,0)"
-
-    def floordiv(x, d):
-        return ((x - x % d) / d).cast(dec)
-
     s = deg.select("u", F.lit(_PR_UNIT).cast(dec).alias("s"))
     for _ in range(_PR_ITERS):
-        contrib = (
-            e.join(s, "u")
-            .join(deg, "u")
-            .select(
-                F.col("v").alias("cu"),
-                floordiv(F.col("s"), F.col("d")).alias("share"),
-            )
-            .groupBy("cu")
-            .agg(F.sum("share").alias("contrib"))
-        )
-        damped = floordiv(
-            F.coalesce(F.col("contrib"), F.lit(0).cast(dec)) * 85,
-            F.lit(100),
-        )
-        s = (
-            deg.join(contrib, deg.u == F.col("cu"), "left")
-            .select(
-                "u",
-                (F.lit(_PR_BASE).cast(dec) + damped).cast(dec).alias("s"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        s = _pr_round(e, deg, s).localCheckpoint(eager=False)
     return (
         s.orderBy(F.desc("s"), F.asc("u"))
         .limit(_PR_TOPK)
@@ -759,35 +770,10 @@ def parts_copurchase_pagerank_converged(
     )
     n_vertices = deg.count()  # bounded: one scalar, computed once
     dec = "decimal(38,0)"
-
-    def floordiv(x, d):
-        return ((x - x % d) / d).cast(dec)
-
     prev = deg.select("u", F.lit(_PR_UNIT).cast(dec).alias("s"))
     rounds = None
     for t in range(1, _PRC_MAX + 1):
-        contrib = (
-            e.join(prev, "u")
-            .join(deg, "u")
-            .select(
-                F.col("v").alias("cu"),
-                floordiv(F.col("s"), F.col("d")).alias("share"),
-            )
-            .groupBy("cu")
-            .agg(F.sum("share").alias("contrib"))
-        )
-        damped = floordiv(
-            F.coalesce(F.col("contrib"), F.lit(0).cast(dec)) * 85,
-            F.lit(100),
-        )
-        cur = (
-            deg.join(contrib, deg.u == F.col("cu"), "left")
-            .select(
-                "u",
-                (F.lit(_PR_BASE).cast(dec) + damped).cast(dec).alias("s"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        cur = _pr_round(e, deg, prev).localCheckpoint(eager=True)
         delta = (
             cur.alias("a")
             .join(prev.alias("b"), "u")
@@ -3147,6 +3133,36 @@ def parts_copurchase_sssp_converged(
     return dist.select("part", F.col("dist").alias("min_dist"))
 
 
+def _sssp_round(dist, frontier, e):
+    """ONE Bellman-Ford relaxation step: frontier ⋈ edges, min-merge
+    into the distance table, strictly-improved rows become the next
+    frontier. Un-checkpointed — shared by the fixpoint loop below AND
+    pinned directly by tests/test_plan_shapes.py (the loop checkpoints
+    each round, so the registry plan ratchet only sees its tail).
+    Returns (new_dist, improved)."""
+    relaxed = frontier.join(e, frontier["part"] == e["u"]).select(
+        F.col("v").alias("part"),
+        (F.col("dist") + F.col("w")).alias("dist"),
+    )
+    new_dist = (
+        dist.unionByName(relaxed)
+        .groupBy("part")
+        .agg(F.min("dist").alias("dist"))
+    )
+    improved = (
+        new_dist.alias("n")
+        .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
+        .filter(
+            F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+        )
+        .select(
+            F.col("n.part").alias("part"),
+            F.col("n.dist").alias("dist"),
+        )
+    )
+    return new_dist, improved
+
+
 def _sssp_relax_loop(dist, frontier, e, what: str):
     """Frontier-based Bellman-Ford relaxation to a fixpoint (shared by
     the converged and incremental SSSP gates): relax the frontier over
@@ -3158,16 +3174,12 @@ def _sssp_relax_loop(dist, frontier, e, what: str):
     for _ in range(_SSSP_CONV_MAX):
         if frontier.isEmpty():
             return dist
-        relaxed = frontier.join(e, frontier["part"] == e["u"]).select(
-            F.col("v").alias("part"),
-            (F.col("dist") + F.col("w")).alias("dist"),
-        )
-        new_dist = (
-            dist.unionByName(relaxed)
-            .groupBy("part")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+        new_dist, _ = _sssp_round(dist, frontier, e)
+        new_dist = new_dist.localCheckpoint(eager=True)
+        # rebuild the improved set over the CHECKPOINTED new_dist so the
+        # next round's frontier reads the truncated lineage, not the
+        # un-checkpointed round plan (_sssp_round's improved relation is
+        # the un-checkpointed form the plan-shape test pins)
         frontier = (
             new_dist.alias("n")
             .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
@@ -3252,16 +3264,8 @@ def parts_copurchase_sssp_incremental(
     dist = _sssp_relax_loop(sources, sources, e_base, "base")
     # delta arrival: one relaxation of the delta edges alone against the
     # warm distance table; the strictly-improved rows seed the frontier
-    relaxed = dist.join(e_delta, dist["part"] == e_delta["u"]).select(
-        F.col("v").alias("part"),
-        (F.col("dist") + F.col("w")).alias("dist"),
-    )
-    new_dist = (
-        dist.unionByName(relaxed)
-        .groupBy("part")
-        .agg(F.min("dist").alias("dist"))
-        .localCheckpoint(eager=True)
-    )
+    new_raw, _ = _sssp_round(dist, dist, e_delta)
+    new_dist = new_raw.localCheckpoint(eager=True)
     seed = (
         new_dist.alias("n")
         .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
@@ -3730,6 +3734,30 @@ FROM v{rounds} LEFT JOIN dfin ON dfin.x = v{rounds}.part
 """
 
 
+def _kcore_degrees(verts: DataFrame, edges: DataFrame) -> DataFrame:
+    """In-subgraph degree per live vertex (0 for isolated) — one half of
+    the k-core peel round, shared by the fixed-round and converged gates
+    AND pinned by tests/test_plan_shapes.py (the loops checkpoint each
+    round, so the registry plan ratchet only sees their tails)."""
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return verts.join(deg, verts.part == deg.x, "left").select(
+        "part", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+    )
+
+
+def _kcore_induce(edges: DataFrame, verts: DataFrame) -> DataFrame:
+    """Subgraph induced by the surviving vertex set — the other half of
+    the peel round (two keyed semi-join-shaped joins, edge-linear)."""
+    a = verts.select(F.col("part").alias("u"))
+    b = verts.select(F.col("part").alias("v"))
+    return edges.join(a, "u").join(b, "v")
+
+
 @register("parts_copurchase_kcore", _kcore_sql())
 def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=3, 3 synchronous peel rounds) of the
@@ -3761,15 +3789,7 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     removed_parts = []
     for r in range(1, _KCORE_ROUNDS + 1):
-        deg = (
-            edges.select(F.col("u").alias("x"))
-            .unionAll(edges.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        dd = verts.join(deg, verts.part == deg.x, "left").select(
-            "part", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
-        )
+        dd = _kcore_degrees(verts, edges)
         rm = dd.filter(F.col("deg") < _KCORE_K).select("part")
         removed_parts.append(
             rm.select(
@@ -3783,23 +3803,11 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("part")
             .localCheckpoint(eager=True)
         )
-        a = verts.select(F.col("part").alias("u"))
-        b = verts.select(F.col("part").alias("v"))
-        edges = (
-            edges.join(a, "u").join(b, "v").localCheckpoint(eager=True)
-        )
-    dfin = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    survivors = verts.join(dfin, verts.part == dfin.x, "left").select(
+        edges = _kcore_induce(edges, verts).localCheckpoint(eager=True)
+    survivors = _kcore_degrees(verts, edges).select(
         "part",
         F.lit(0).cast("bigint").alias("removed_round"),
-        F.coalesce(F.col("deg"), F.lit(0))
-        .cast("bigint")
-        .alias("final_degree"),
+        F.col("deg").cast("bigint").alias("final_degree"),
     )
     out = survivors
     for rm in removed_parts:
@@ -3855,19 +3863,7 @@ def parts_copurchase_kcore_converged(
     removed_parts = []
     converged = False
     for r in range(1, _KCORE_CONV_MAX + 1):
-        deg = (
-            edges.select(F.col("u").alias("x"))
-            .unionAll(edges.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        dd = (
-            verts.join(deg, verts.part == deg.x, "left")
-            .select(
-                "part", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
-            )
-            .localCheckpoint(eager=True)
-        )
+        dd = _kcore_degrees(verts, edges).localCheckpoint(eager=True)
         rm = dd.filter(F.col("deg") < _KCORE_K).select("part")
         if rm.isEmpty():  # fixpoint: this round removes nothing
             converged = True
@@ -3884,27 +3880,17 @@ def parts_copurchase_kcore_converged(
             .select("part")
             .localCheckpoint(eager=True)
         )
-        a = verts.select(F.col("part").alias("u"))
-        b = verts.select(F.col("part").alias("v"))
-        edges = edges.join(a, "u").join(b, "v").localCheckpoint(eager=True)
+        edges = _kcore_induce(edges, verts).localCheckpoint(eager=True)
     if not converged:
         raise RuntimeError(
             f"k-core did not converge within {_KCORE_CONV_MAX} rounds — "
             "raise _KCORE_CONV_MAX (the unrolled oracle must cover the "
             "fixture's true convergence depth)"
         )
-    dfin = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    survivors = verts.join(dfin, verts.part == dfin.x, "left").select(
+    survivors = _kcore_degrees(verts, edges).select(
         "part",
         F.lit(0).cast("bigint").alias("removed_round"),
-        F.coalesce(F.col("deg"), F.lit(0))
-        .cast("bigint")
-        .alias("final_degree"),
+        F.col("deg").cast("bigint").alias("final_degree"),
     )
     out = survivors
     for rm_df in removed_parts:

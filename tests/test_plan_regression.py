@@ -26,9 +26,12 @@ Known blind spot (stated, not hidden): queries that ``localCheckpoint``
 per round — the converged graph loops, the streaming drains — expose
 only their post-checkpoint TAIL plan to ``plan_metrics``, so their
 committed rows are ~0 and a regression inside the per-round join would
-not move them. Those queries' total shuffle VOLUME across all sub-jobs
-is enforced by tests/test_scaling.py over SCALING.json instead; the two
-gates are complementary, not redundant.
+not move them. Two other gates cover them: tests/test_scaling.py
+enforces their total shuffle VOLUME across all sub-jobs (SCALING.json),
+and the ``*_round_plan_shape`` tests in tests/test_plan_shapes.py pin
+their UN-checkpointed per-round plans via the shared round builders
+(``_pr_round`` / ``_kcore_degrees`` / ``_kcore_induce`` /
+``_sssp_round``) — the three gates are complementary, not redundant.
 """
 
 import os

@@ -478,3 +478,115 @@ def test_bucketed_colocated_join_has_zero_shuffles(spark, sf_dir):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
+
+
+# ---------------------------------------------------------------------------
+# Per-round plan shapes of the iterative graph loops (round 7)
+#
+# The converged/incremental graph gates localCheckpoint every round, so the
+# registry-wide PLANS.md ratchet only sees their post-checkpoint TAILS
+# (rows ~0 — documented blind spot). These tests pin the UN-CHECKPOINTED
+# per-round relations directly, via the same builder functions the loops
+# execute (_pr_round / _kcore_degrees / _kcore_induce / _sssp_round), so a
+# fact-side broadcast hint, a cartesian product, or a Python-eval node
+# sneaking into the heaviest iterative kernels fails here even though the
+# loop's checkpoints hide it from the plan audit.
+# ---------------------------------------------------------------------------
+
+
+def _graph_inputs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.queries_quality import (
+        _copurchase_edges,
+        _TRI_MIN_COPURCHASES,
+    )
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    und = _copurchase_edges(li, _TRI_MIN_COPURCHASES)
+    e = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    return li, e
+
+
+def test_pagerank_round_plan_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.instrumentation import plan_metrics
+    from one_one_one_rule_spark.queries_quality import _PR_UNIT, _pr_round
+
+    _li, e = _graph_inputs(spark, sf_dir)
+    deg = e.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).localCheckpoint(eager=True)
+    s = deg.select("u", F.lit(_PR_UNIT).cast("decimal(38,0)").alias("s"))
+    m = plan_metrics(_pr_round(e, deg, s))
+    assert m["cartesians"] == 0 and m["python_evals"] == 0
+    # one combinable contribution aggregate + the keyed joins: the round
+    # must stay within 5 shuffle exchanges (edge+score sides of the u
+    # join, deg side, the groupBy, the final deg-left-join alignment) —
+    # measured shape; a 6th exchange means a new shuffle crept in
+    assert m["exchanges"] <= 5, m
+    plan = _pr_round(e, deg, s)._jdf.queryExecution().executedPlan().toString()
+    # map-side partial aggregation on the contribution sum (the property
+    # that keeps the shuffle carrying vertex-sized, not edge-sized, data)
+    assert "partial_sum" in plan or "Partial" in plan, plan[:2000]
+
+
+def test_sssp_round_plan_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.instrumentation import plan_metrics
+    from one_one_one_rule_spark.queries_quality import _sssp_round
+
+    li, und_e = _graph_inputs(spark, sf_dir)
+    e = und_e.select("u", "v", F.lit(1).cast("bigint").alias("w"))
+    dist = (
+        li.select("l_partkey")
+        .distinct()
+        .filter(F.col("l_partkey") % 100 == 0)
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_dist, improved = _sssp_round(dist, dist, e)
+    for df in (new_dist, improved):
+        m = plan_metrics(df)
+        assert m["cartesians"] == 0 and m["python_evals"] == 0
+        assert m["exchanges"] <= 4, m
+    # the min-merge must combine map-side: the shuffle carries one row
+    # per (partition, vertex), never the relaxed edge stream
+    plan = new_dist._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan or "Partial" in plan, plan[:2000]
+
+
+def test_kcore_round_plan_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.instrumentation import plan_metrics
+    from one_one_one_rule_spark.queries_quality import (
+        _KCORE_K,
+        _kcore_degrees,
+        _kcore_induce,
+    )
+
+    _li, e = _graph_inputs(spark, sf_dir)
+    verts = (
+        e.select(F.col("u").alias("part")).union(e.select("v")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    dd = _kcore_degrees(verts, e)
+    m = plan_metrics(dd)
+    assert m["cartesians"] == 0 and m["python_evals"] == 0
+    assert m["exchanges"] <= 3, m
+    plan = dd._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "Partial" in plan, plan[:2000]
+    survivors = dd.filter(F.col("deg") >= _KCORE_K).select("part")
+    induced = _kcore_induce(e, survivors)
+    m2 = plan_metrics(induced)
+    assert m2["cartesians"] == 0 and m2["python_evals"] == 0
+    assert m2["exchanges"] <= 6, m2

@@ -3133,6 +3133,25 @@ def parts_copurchase_sssp_converged(
     return dist.select("part", F.col("dist").alias("min_dist"))
 
 
+def _sssp_improved(new_dist, old_dist):
+    """Rows of ``new_dist`` whose distance strictly improved on (or is
+    absent from) ``old_dist`` — the frontier predicate, defined ONCE and
+    shared by the round builder, the fixpoint loop (over the
+    checkpointed new_dist, where lineage truncation matters) and the
+    incremental delta seed."""
+    return (
+        new_dist.alias("n")
+        .join(old_dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
+        .filter(
+            F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+        )
+        .select(
+            F.col("n.part").alias("part"),
+            F.col("n.dist").alias("dist"),
+        )
+    )
+
+
 def _sssp_round(dist, frontier, e):
     """ONE Bellman-Ford relaxation step: frontier ⋈ edges, min-merge
     into the distance table, strictly-improved rows become the next
@@ -3149,18 +3168,7 @@ def _sssp_round(dist, frontier, e):
         .groupBy("part")
         .agg(F.min("dist").alias("dist"))
     )
-    improved = (
-        new_dist.alias("n")
-        .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
-        .filter(
-            F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
-        )
-        .select(
-            F.col("n.part").alias("part"),
-            F.col("n.dist").alias("dist"),
-        )
-    )
-    return new_dist, improved
+    return new_dist, _sssp_improved(new_dist, dist)
 
 
 def _sssp_relax_loop(dist, frontier, e, what: str):
@@ -3180,18 +3188,8 @@ def _sssp_relax_loop(dist, frontier, e, what: str):
         # next round's frontier reads the truncated lineage, not the
         # un-checkpointed round plan (_sssp_round's improved relation is
         # the un-checkpointed form the plan-shape test pins)
-        frontier = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
-            .filter(
-                F.col("o.dist").isNull()
-                | (F.col("n.dist") < F.col("o.dist"))
-            )
-            .select(
-                F.col("n.part").alias("part"),
-                F.col("n.dist").alias("dist"),
-            )
-            .localCheckpoint(eager=True)
+        frontier = _sssp_improved(new_dist, dist).localCheckpoint(
+            eager=True
         )
         dist = new_dist
     if not frontier.isEmpty():
@@ -3266,17 +3264,7 @@ def parts_copurchase_sssp_incremental(
     # warm distance table; the strictly-improved rows seed the frontier
     new_raw, _ = _sssp_round(dist, dist, e_delta)
     new_dist = new_raw.localCheckpoint(eager=True)
-    seed = (
-        new_dist.alias("n")
-        .join(dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
-        .filter(
-            F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
-        )
-        .select(
-            F.col("n.part").alias("part"), F.col("n.dist").alias("dist")
-        )
-        .localCheckpoint(eager=True)
-    )
+    seed = _sssp_improved(new_dist, dist).localCheckpoint(eager=True)
     final = _sssp_relax_loop(new_dist, seed, e_all, "incremental")
     return final.select("part", F.col("dist").alias("min_dist"))
 

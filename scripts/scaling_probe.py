@@ -92,6 +92,16 @@ SCALING_SET = [
 ]
 
 
+def _drain_listener_bus(sc) -> None:
+    """Block until the async status-store listener bus has ingested every
+    queued event — the deterministic fix for the snapshot race (a sleep
+    only narrows it; under co-tenant load ingestion can lag arbitrarily)."""
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty(30000)
+    except Exception:
+        time.sleep(0.5)  # private-API fallback if the signature moves
+
+
 def _rest_stages(sc) -> list[dict]:
     url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
     with urllib.request.urlopen(url) as r:
@@ -100,6 +110,7 @@ def _rest_stages(sc) -> list[dict]:
 
 def _shuffle_state(sc) -> tuple[int, int]:
     """(max stage id seen, total shuffle write records) right now."""
+    _drain_listener_bus(sc)
     stages = _rest_stages(sc)
     max_id = max((s["stageId"] for s in stages), default=-1)
     return max_id, sum(s.get("shuffleWriteRecords", 0) for s in stages)
@@ -109,6 +120,7 @@ def _shuffle_rows_since(sc, last_id: int) -> int:
     """Shuffle-write records of stages with id > last_id: stage-id-based
     deltas survive UI eviction of OLD stages (a before/after total would
     undercount whenever the run itself evicts pre-snapshot entries)."""
+    _drain_listener_bus(sc)
     return sum(
         s.get("shuffleWriteRecords", 0)
         for s in _rest_stages(sc)
@@ -155,10 +167,6 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 secs.append(round(time.perf_counter() - t0, 3))
-                # the status store ingests listener events asynchronously;
-                # give the final stage a beat before snapshotting (the
-                # median over 3 runs also rejects a straggler undercount)
-                time.sleep(0.2)
                 shuf.append(_shuffle_rows_since(sc, last_id))
             results[name]["secs"][sf] = round(statistics.median(secs), 3)
             results[name]["shuffle_rows"][sf] = int(statistics.median(shuf))

@@ -532,7 +532,7 @@ def test_pagerank_round_plan_shape(spark, sf_dir):
     plan = _pr_round(e, deg, s)._jdf.queryExecution().executedPlan().toString()
     # map-side partial aggregation on the contribution sum (the property
     # that keeps the shuffle carrying vertex-sized, not edge-sized, data)
-    assert "partial_sum" in plan or "Partial" in plan, plan[:2000]
+    assert "partial_sum" in plan, plan[:2000]
 
 
 def test_sssp_round_plan_shape(spark, sf_dir):
@@ -561,7 +561,7 @@ def test_sssp_round_plan_shape(spark, sf_dir):
     # the min-merge must combine map-side: the shuffle carries one row
     # per (partition, vertex), never the relaxed edge stream
     plan = new_dist._jdf.queryExecution().executedPlan().toString()
-    assert "partial_min" in plan or "Partial" in plan, plan[:2000]
+    assert "partial_min" in plan, plan[:2000]
 
 
 def test_kcore_round_plan_shape(spark, sf_dir):
@@ -584,7 +584,7 @@ def test_kcore_round_plan_shape(spark, sf_dir):
     assert m["cartesians"] == 0 and m["python_evals"] == 0
     assert m["exchanges"] <= 3, m
     plan = dd._jdf.queryExecution().executedPlan().toString()
-    assert "partial_count" in plan or "Partial" in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
     survivors = dd.filter(F.col("deg") >= _KCORE_K).select("part")
     induced = _kcore_induce(e, survivors)
     m2 = plan_metrics(induced)

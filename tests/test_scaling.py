@@ -80,6 +80,12 @@ def test_committed_big_leg_exponents_within_bounds():
 
 
 def _shuffle_state(sc):
+    # drain the async listener bus first: the status store ingests events
+    # asynchronously, and a fixed sleep only narrows the snapshot race
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty(30000)
+    except Exception:
+        time.sleep(0.5)
     url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
     with urllib.request.urlopen(url) as r:
         stages = json.load(r)
@@ -92,7 +98,6 @@ def _run_and_count(spark, name, sf_dir):
     QUERIES[name](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    time.sleep(0.2)  # let the status store ingest the final stage events
     _, stages = _shuffle_state(sc)
     return sum(
         s.get("shuffleWriteRecords", 0)

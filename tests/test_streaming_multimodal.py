@@ -1230,3 +1230,57 @@ def test_tws_bottomk_gate_registration_tracks_protobuf_availability():
         available = False
     assert ("events_tws_bottomk_sample" in QUERIES) == available
     assert ("events_tws_bottomk_sample" in ORACLES) == available
+
+
+def test_streaming_rollup_on_rocksdb_state_store(spark, sf_dir, events_dir):
+    """The SAME watermarked rollup, executed on the ROCKSDB state store
+    provider — the state backend a production deployment runs, because
+    the default in-memory (HDFS-backed) provider holds every key's state
+    on-heap and cannot survive 100 TB key cardinality. RocksDB keeps
+    state off-heap with changelog checkpointing; the gate is that the
+    drained result is IDENTICAL to the batch aggregate (provider choice
+    is an execution detail, never semantics). Conf is session-scoped, so
+    it is restored in finally."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        stream = stream_events(spark, events_dir)
+        run_available_now(
+            hourly_rollup_stream(stream),
+            "rollup_rocksdb",
+            output_mode="complete",
+        )
+        got = {
+            (r.hour, r.event_type): (r.n_events, r.total_value, r.sum_k)
+            for r in spark.sql("SELECT * FROM rollup_rocksdb").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    batch = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    expected = {
+        (r.hour, r.event_type): (r.n_events, r.total_value, r.sum_k)
+        for r in batch.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+        )
+        .collect()
+    }
+    assert got == expected

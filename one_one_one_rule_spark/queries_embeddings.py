@@ -715,12 +715,11 @@ def embeddings_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embeddings_quantile_normalize",
-    """
+def _qnorm_sql(n_dims: int) -> str:
+    return f"""
 WITH dims AS (
   SELECT vec_id, t.i - 1 AS dim, embedding[t.i] AS v
-  FROM embeddings, LATERAL (SELECT unnest(range(1, 9)) AS i) t
+  FROM embeddings, LATERAL (SELECT unnest(range(1, {n_dims + 1})) AS i) t
 ),
 r AS (
   SELECT dim, vec_id,
@@ -736,37 +735,18 @@ SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(q_ppm) AS BIGINT) AS sum_q_ppm,
        CAST(SUM(q_ppm * vec_id) AS BIGINT) AS weighted_checksum
 FROM q GROUP BY dim
-""",
-)
-def embeddings_quantile_normalize(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-dimension QUANTILE NORMALIZATION (rank transform) of the
-    embedding matrix — the feature-scaling pass that makes heterogeneous
-    dimensions comparable before clustering / ANN indexing when raw
-    scales drift (the distribution-free alternative to the z-scoring in
-    embeddings_dim_stats): each value maps to its within-dimension rank
-    on an exact integer ppm grid, q = (rank-1) * 10^6 div (n-1), with a
-    (value, vec_id) total order so ties break deterministically and the
-    transform is bit-identical across engines and partitionings — no
-    float percentile interpolation anywhere.
+"""
 
-    Output is the per-dimension audit (n, Σq, Σq·vec_id weighted
-    checksum over the first 8 dims): the checksum pins every row's
-    individual rank, so a single swapped pair of ties breaks the hash.
 
-    Scale shape: posexplode → per-dim global sort (row_number over an
-    8-partition window). A full-width (128-dim) pass is the same plan
-    with 16x the exploded volume — each dimension sorts independently,
-    so at 100 TB this runs as range-partitioned sorts per dim (documented
-    cost: the explode multiplies rows by the dim count; production runs
-    it once per corpus snapshot and persists the per-dim rank tables)."""
+def _quantile_normalize(spark: SparkSession, sf_dir: str, n_dims: int):
+    """Shared body of the two quantile-normalization gates — see
+    embeddings_quantile_normalize for semantics."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("dim", "v")
-    ).filter(F.col("dim") < 8)
+    ).filter(F.col("dim") < n_dims)
     n = Window.partitionBy("dim")
     q = dims.select(
         "dim",
@@ -793,3 +773,43 @@ def embeddings_quantile_normalize(
         "sum_q_ppm",
         "weighted_checksum",
     )
+
+
+@register("embeddings_quantile_normalize", _qnorm_sql(8))
+def embeddings_quantile_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension QUANTILE NORMALIZATION (rank transform) of the
+    embedding matrix — the feature-scaling pass that makes heterogeneous
+    dimensions comparable before clustering / ANN indexing when raw
+    scales drift (the distribution-free alternative to the z-scoring in
+    embeddings_dim_stats): each value maps to its within-dimension rank
+    on an exact integer ppm grid, q = (rank-1) * 10^6 div (n-1), with a
+    (value, vec_id) total order so ties break deterministically and the
+    transform is bit-identical across engines and partitionings — no
+    float percentile interpolation anywhere.
+
+    Output is the per-dimension audit (n, Σq, Σq·vec_id weighted
+    checksum): the checksum pins every row's individual rank, so a
+    single swapped pair of ties breaks the hash. This gate covers the
+    first 8 dimensions (the quick-audit slice); the _full twin below
+    runs the whole 64-dim matrix.
+
+    Scale shape: posexplode → per-dim global sort (row_number over the
+    dim-partitioned window). Each dimension sorts independently, so at
+    100 TB this runs as range-partitioned sorts per dim (documented
+    cost: the explode multiplies rows by the dim count; production runs
+    it once per corpus snapshot and persists the per-dim rank tables)."""
+    return _quantile_normalize(spark, sf_dir, 8)
+
+
+@register("embeddings_quantile_normalize_full", _qnorm_sql(64))
+def embeddings_quantile_normalize_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL-WIDTH (all 64 dimensions) quantile normalization — the
+    production pass itself, not the audit slice: identical plan with 8x
+    the exploded volume, 64 independent dim-partitioned sorts. Same
+    exact-integer rank grid and per-dim checksum gate, so every rank of
+    every dimension is hash-pinned."""
+    return _quantile_normalize(spark, sf_dir, 64)

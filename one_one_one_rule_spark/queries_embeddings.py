@@ -738,28 +738,100 @@ FROM q GROUP BY dim
 """
 
 
+#: monotonically_increasing_id packs the partition id into the bits above
+#: this shift; the low 33 bits are the row's index WITHIN its partition.
+_MID_PARTITION_SHIFT = 33
+
+
+def _qnorm_sorted_mid(dims: DataFrame) -> DataFrame:
+    """Pre-checkpoint segment of the distributed rank: range-partition the
+    exploded (dim, v, vec_id) rows on the FULL sort key — so every
+    partition holds a contiguous slice of some dimension's value order and
+    a single dimension spreads across MANY partitions — locally sort, and
+    stamp each row with ``monotonically_increasing_id`` (partition id in
+    the high bits, within-partition row index in the low 33). This is the
+    segment whose plan the hot-reducer fix is about: a RANGE exchange and
+    a partition-local sort, NO ``Window PARTITION BY dim`` (which would
+    hash all N rows of a dimension into ONE task);
+    tests/test_plan_shapes.py pins exactly that. ``v`` is projected away
+    after the sort — ranks only need order, not the value."""
+    return (
+        dims.repartitionByRange("dim", "v", "vec_id")
+        .sortWithinPartitions("dim", "v", "vec_id")
+        .withColumn("mid", F.monotonically_increasing_id())
+        .select("dim", "vec_id", "mid")
+    )
+
+
 def _quantile_normalize(spark: SparkSession, sf_dir: str, n_dims: int):
     """Shared body of the two quantile-normalization gates — see
-    embeddings_quantile_normalize for semantics."""
-    from pyspark.sql import Window
+    embeddings_quantile_normalize for semantics.
 
+    Two-pass DISTRIBUTED rank (round-7 verdict item 1 — the previous
+    ``row_number() OVER (PARTITION BY dim)`` sorted each dimension's
+    entire column in one task, capping parallelism at the dim count and
+    making every task a single-reducer external sort at corpus scale):
+
+    1. range-partition + local sort on (dim, v, vec_id), stamp local row
+       indexes via ``monotonically_increasing_id``, ``localCheckpoint``
+       (eager) so the offsets job and the rank job read the SAME
+       materialized partitioning — without it the two jobs re-plan the
+       range exchange independently and the stamped indexes could drift;
+    2. aggregate per-(partition, dim) first-index + row count — a tiny
+       combinable groupBy (≤ partitions × n_dims rows; the only driver
+       traffic, scalars only) — and turn it into cumulative rank offsets;
+    3. broadcast the offsets back: global rank = (local index − first
+       index of this (partition, dim) run) + cumulative offset. Same
+       exact integer ppm grid and (v, vec_id) tie-break as before, so the
+       oracle is unchanged; parallelism per dimension is now the number
+       of range partitions covering it, not 1.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("dim", "v")
     ).filter(F.col("dim") < n_dims)
-    n = Window.partitionBy("dim")
-    q = dims.select(
-        "dim",
-        "vec_id",
-        F.expr(
-            "(CAST(row_number() OVER (PARTITION BY dim ORDER BY v, vec_id)"
-            " AS BIGINT) - 1) * 1000000"
-        ).alias("rk6"),
-        F.count(F.lit(1)).over(n).alias("n"),
-    ).select(
-        "dim",
-        "vec_id",
-        F.expr("rk6 div (n - 1)").alias("q_ppm"),
+    mid = _qnorm_sorted_mid(dims).localCheckpoint(eager=True)
+    lidx = F.col("mid").bitwiseAND((1 << _MID_PARTITION_SHIFT) - 1)
+    firsts = (
+        mid.groupBy(
+            F.shiftright(F.col("mid"), _MID_PARTITION_SHIFT).alias("pid"),
+            F.col("dim"),
+        )
+        .agg(F.min(lidx).alias("base"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    # cumulative offsets: a (pid, dim) run's rank offset is the total count
+    # of that dim in all partitions with a smaller pid (range partitioning
+    # ordered the partitions by the sort key, so pid order IS value order)
+    by_dim: dict[int, list] = {}
+    for r in firsts:
+        by_dim.setdefault(r["dim"], []).append((r["pid"], r["base"], r["cnt"]))
+    offset_rows = []
+    for dim, runs in by_dim.items():
+        runs.sort()
+        n_dim = sum(cnt for _pid, _base, cnt in runs)
+        off = 0
+        for pid, base, cnt in runs:
+            offset_rows.append((pid, dim, base, off, n_dim))
+            off += cnt
+    offsets = F.broadcast(
+        spark.createDataFrame(
+            offset_rows, "pid long, dim int, base long, offset long, n long"
+        )
+    )
+    q = (
+        mid.withColumn(
+            "pid", F.shiftright(F.col("mid"), _MID_PARTITION_SHIFT)
+        )
+        .join(offsets, ["pid", "dim"])
+        .select(
+            "dim",
+            "vec_id",
+            F.expr(
+                f"((mid & {(1 << _MID_PARTITION_SHIFT) - 1}) - base + offset)"
+                " * 1000000 div (n - 1)"
+            ).alias("q_ppm"),
+        )
     )
     return q.groupBy("dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -795,11 +867,14 @@ def embeddings_quantile_normalize(
     first 8 dimensions (the quick-audit slice); the _full twin below
     runs the whole 64-dim matrix.
 
-    Scale shape: posexplode → per-dim global sort (row_number over the
-    dim-partitioned window). Each dimension sorts independently, so at
-    100 TB this runs as range-partitioned sorts per dim (documented
-    cost: the explode multiplies rows by the dim count; production runs
-    it once per corpus snapshot and persists the per-dim rank tables)."""
+    Scale shape: posexplode → two-pass distributed rank (range-partition
+    on the full (dim, v, vec_id) sort key + local sort + broadcast
+    cumulative per-(partition, dim) offsets — see _quantile_normalize).
+    Each dimension's sort spreads over ALL range partitions covering it,
+    so per-dim parallelism is unbounded; the only driver traffic is the
+    ≤ partitions × n_dims offset table (documented cost: the explode
+    multiplies rows by the dim count; production runs it once per corpus
+    snapshot and persists the per-dim rank tables)."""
     return _quantile_normalize(spark, sf_dir, 8)
 
 
@@ -809,7 +884,9 @@ def embeddings_quantile_normalize_full(
 ) -> DataFrame:
     """The FULL-WIDTH (all 64 dimensions) quantile normalization — the
     production pass itself, not the audit slice: identical plan with 8x
-    the exploded volume, 64 independent dim-partitioned sorts. Same
-    exact-integer rank grid and per-dim checksum gate, so every rank of
-    every dimension is hash-pinned."""
+    the exploded volume, ranks computed by the same two-pass distributed
+    rank (range exchange + local sorts + broadcast offsets — never a
+    single-task-per-dimension window sort). Same exact-integer rank grid
+    and per-dim checksum gate, so every rank of every dimension is
+    hash-pinned."""
     return _quantile_normalize(spark, sf_dir, 64)

@@ -163,8 +163,12 @@ def main() -> int:
         pat = _re.compile(args.only)
         selected = [n for n in selected if pat.search(n)]
     partial = len(selected) != len(qs)
-    out_path = args.out or os.path.join(
-        REPO, "CORRECTNESS_PARTIAL.json" if partial else "CORRECTNESS_LOCAL.json"
+    # partial-sweep residue never lands in the repo tree (round-7 verdict
+    # item 8): defaults go to /tmp; only a FULL sweep defaults in-repo
+    out_path = args.out or (
+        os.path.join("/tmp", "CORRECTNESS_PARTIAL.json")
+        if partial
+        else os.path.join(REPO, "CORRECTNESS_LOCAL.json")
     )
     if partial and os.path.basename(out_path) in (
         "CORRECTNESS_LOCAL.json", "CORRECTNESS_SF01_LOCAL.json"

@@ -590,3 +590,38 @@ def test_kcore_round_plan_shape(spark, sf_dir):
     m2 = plan_metrics(induced)
     assert m2["cartesians"] == 0 and m2["python_evals"] == 0
     assert m2["exchanges"] <= 6, m2
+
+
+def test_qnorm_rank_is_range_partitioned_not_windowed(spark, sf_dir):
+    """Round-7 verdict item 1: the quantile-normalization rank must be the
+    two-pass distributed rank — a RANGE exchange over the full
+    (dim, v, vec_id) sort key with partition-local sorts — never a
+    ``Window PARTITION BY dim``, whose hash-partitioning caps parallelism
+    at the dimension count and sorts each dimension's entire column in a
+    single task. Pins the pre-checkpoint segment (the checkpointed gate
+    query exposes only its tail plan) AND the tail itself."""
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.instrumentation import plan_metrics
+    from one_one_one_rule_spark.queries_embeddings import _qnorm_sorted_mid
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).filter(F.col("dim") < 8)
+    mid = _qnorm_sorted_mid(dims)
+    plan = mid._jdf.queryExecution().executedPlan().toString()
+    # per-dim parallelism > 1: the exchange is RANGE on the sort key (a
+    # dimension spans many partitions), and there is no Window at all
+    assert "rangepartitioning(dim" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    m = plan_metrics(mid)
+    assert m["python_evals"] == 0 and m["cartesians"] == 0
+    # tail of the full gate query: broadcast offset join + combinable
+    # final agg, still no Window and no Python
+    tail = QUERIES["embeddings_quantile_normalize"](spark, sf_dir)
+    tplan = tail._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in tplan, tplan[:2000]
+    assert "BroadcastHashJoin" in tplan
+    assert "partial_sum" in tplan

@@ -51,16 +51,26 @@ def norm_chain_sql(a: str, dim: int) -> str:
 def srp_planes(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic signed-random-projection hyperplanes.
 
-    Small integer coefficients from a fixed multiplicative-hash formula —
-    generated identically wherever called (no RNG state), so the Spark plan
-    and the DuckDB oracle SQL embed the exact same literals.
-    """
+    Small integer coefficients from a fixed SplitMix64-style mix —
+    generated identically wherever called (no RNG state, exact Python
+    ints), so the Spark plan and the DuckDB oracle SQL embed the exact
+    same literals. The mix matters: the previous single multiplicative
+    hash reduced every coefficient to ``(j*dim + i) mod 19`` — a PERIOD-19
+    1-D lattice, i.e. at most 19 distinct plane patterns — so growing the
+    plane count past ~19 (the band_bits_for_corpus scale knob) added
+    duplicated planes and zero extra discrimination. The 64-bit mix gives
+    effectively independent coefficients at any (j, i)."""
+    mask = (1 << 64) - 1
+
+    def coef(t: int) -> int:
+        h = ((t + 1) * 0x9E3779B97F4A7C15) & mask
+        h ^= h >> 29
+        h = (h * 0xBF58476D1CE4E5B9) & mask
+        h ^= h >> 32
+        return h % 19 - 9
+
     return [
-        [
-            ((j * dim + i) * 2654435761 + 12345) % 19 - 9
-            for i in range(dim)
-        ]
-        for j in range(n_planes)
+        [coef(j * dim + i) for i in range(dim)] for j in range(n_planes)
     ]
 
 

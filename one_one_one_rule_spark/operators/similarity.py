@@ -162,35 +162,38 @@ def srp_signature(vectors: DataFrame, n_planes: int, dim: int = EMBED_DIM) -> Da
     return vectors.withColumn("srp_sig", sig.cast("bigint"))
 
 
-def cosine_neardup_pairs(
-    vectors: DataFrame,
-    threshold: float = NEARDUP_COSINE,
-    dim: int = EMBED_DIM,
-) -> DataFrame:
-    """Embedding-cosine near-dup pairs, SRP-LSH bucketed (the scale path).
+def band_bits_for_corpus(n_vecs: int) -> int:
+    """The production knob SCALING.md names for the SRP near-dup tier:
+    per-band bucket occupancy is ~N / 2^band_bits, so candidate volume is
+    ~N^2 / 2^band_bits per band — QUADRATIC at fixed bits. Growing bits
+    with log2(N) pins expected occupancy (and therefore candidates per
+    vector) to a constant, restoring linear total candidates. Floor at
+    the gate fixture's 4 bits; ceiling at 16 so 4 bands still fit a
+    64-bit signature (beyond ~2^16 vectors per desired-occupancy unit,
+    widen the signature column instead). The REGISTERED gates pin
+    band_bits=4 explicitly so the cross-engine oracle stays fixed;
+    tests/test_scale_shapes.py measures that candidate growth is ~N^2 at
+    fixed bits and ~N under this rule."""
+    n = max(int(n_vecs), 2)
+    return max(SRP_BAND_BITS, min(16, (n - 1).bit_length()))
 
-    Candidates = pairs agreeing on >= 1 of 4 four-bit sign bands —
-    selectivity ~(1/16)/band over random pairs, recall -> 1.0 as
-    cosine -> 1 where near-dups live (~0.54 at the tail threshold 0.4).
-    A pair matching several bands is verified ONCE: instead of a
-    DISTINCT (a full shuffle of the candidate stream), a pair is kept
-    only on its minimal matching band — an expression-level filter over
-    the two signatures, so candidate generation, dedup, and verify all
-    run pipelined. The wide embedding arrays are joined back just for
-    the verify step. No forced broadcast anywhere: both the band table
-    and the normalized-vector table are corpus-linear, so the build-side
-    decision belongs to AQE runtime stats — at gate scale it picks
-    broadcast, at 100 TB the band join becomes an equi-shuffle on
-    (band, key) and the verify joins shuffle on vec_id, with the same
-    min-band dedup still expression-level. The exact variant of the same
-    predicate is the all-pairs cross join; only this bucketed shape
-    survives at scale.
-    """
-    sigs = srp_signature(vectors, SRP_PLANES, dim).select("vec_id", "srp_sig")
-    mask = (1 << SRP_BAND_BITS) - 1
+
+def srp_candidate_pairs(
+    vectors: DataFrame,
+    dim: int = EMBED_DIM,
+    band_bits: int = SRP_BAND_BITS,
+) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs agreeing on >= 1 sign band, deduped
+    to their minimal matching band — the pre-verify stage of
+    cosine_neardup_pairs, factored out so the band_bits scaling knob can
+    be measured on candidate VOLUME directly. Uses SRP_BANDS bands of
+    ``band_bits`` bits each (n_planes = bands x bits <= 64)."""
+    n_planes = SRP_BANDS * band_bits
+    sigs = srp_signature(vectors, n_planes, dim).select("vec_id", "srp_sig")
+    mask = (1 << band_bits) - 1
     keys = F.array(
         *[
-            F.shiftright(F.col("srp_sig"), SRP_BAND_BITS * b).bitwiseAND(
+            F.shiftright(F.col("srp_sig"), band_bits * b).bitwiseAND(
                 F.lit(mask)
             )
             for b in range(SRP_BANDS)
@@ -209,15 +212,45 @@ def cosine_neardup_pairs(
     # min-band dedup: no band before the joined one also matches
     no_earlier_match = F.expr(
         f"band = 0 OR forall(sequence(0, band - 1), bb -> "
-        f"(shiftright(sig_a, {SRP_BAND_BITS} * bb) & {mask}) != "
-        f"(shiftright(sig_b, {SRP_BAND_BITS} * bb) & {mask}))"
+        f"(shiftright(sig_a, {band_bits} * bb) & {mask}) != "
+        f"(shiftright(sig_b, {band_bits} * bb) & {mask}))"
     )
-    cand = (
+    return (
         ba.join(bb, ["band", "key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(no_earlier_match)
         .select("vec_a", "vec_b")
     )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    dim: int = EMBED_DIM,
+    band_bits: int = SRP_BAND_BITS,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, SRP-LSH bucketed (the scale path).
+
+    Candidates = pairs agreeing on >= 1 of 4 four-bit sign bands —
+    selectivity ~(1/16)/band over random pairs, recall -> 1.0 as
+    cosine -> 1 where near-dups live (~0.54 at the tail threshold 0.4).
+    A pair matching several bands is verified ONCE: instead of a
+    DISTINCT (a full shuffle of the candidate stream), a pair is kept
+    only on its minimal matching band — an expression-level filter over
+    the two signatures, so candidate generation, dedup, and verify all
+    run pipelined. The wide embedding arrays are joined back just for
+    the verify step. No forced broadcast anywhere: both the band table
+    and the normalized-vector table are corpus-linear, so the build-side
+    decision belongs to AQE runtime stats — at gate scale it picks
+    broadcast, at 100 TB the band join becomes an equi-shuffle on
+    (band, key) and the verify joins shuffle on vec_id, with the same
+    min-band dedup still expression-level. The exact variant of the same
+    predicate is the all-pairs cross join; only this bucketed shape
+    survives at scale. ``band_bits`` is the occupancy knob — the gates
+    pin the fixture's 4 bits; production derives it from corpus size via
+    band_bits_for_corpus so candidate volume stays linear.
+    """
+    cand = srp_candidate_pairs(vectors, dim, band_bits)
     # Pre-normalize once per vector (O(n·dim)) so the per-pair verify is a
     # single dim-term dot product — halves the per-candidate flops vs
     # dot/(|a|·|b|) and drops the sqrt. Same element order in the oracle →
@@ -346,6 +379,44 @@ def ivf_topk_from_index(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "cosine", "rn")
     )
+
+
+#: Serving-tier bound on one pruned index lookup (round-7 verdict item 6):
+#: the probe join broadcasts the query side and feeds the DPP subquery an
+#: IN-list of the probe ids, and BOTH grow with the micro-batch. 1024 ids
+#: x (id + embedding row) keeps the broadcast in the low MB and the
+#: IN-list far from expression-tree limits; an oversized micro-batch is
+#: split into slices of this size, never sent through as one lookup.
+MAX_PROBE_IDS = 1024
+
+
+def ivf_topk_from_index_chunked(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = EMBED_DIM,
+    max_ids: int = MAX_PROBE_IDS,
+) -> DataFrame:
+    """``ivf_topk_from_index`` with the probe workload split into
+    <= ``max_ids`` slices. Each query id's top-k depends only on its own
+    cell's rows, so the union of slice results IS the single-lookup
+    answer (tests/test_ann_kmeans.py proves equality); what the split
+    bounds is the per-lookup broadcast build and the DPP IN-list, which
+    otherwise scale with whatever batch size the stream happens to
+    deliver. This is the entry point the streaming serving tier uses."""
+    if max_ids < 1:
+        raise ValueError(f"max_ids must be >= 1, got {max_ids}")
+    chunks = [
+        query_ids[i : i + max_ids]
+        for i in range(0, len(query_ids), max_ids)
+    ] or [[]]
+    out = ivf_topk_from_index(spark, path, chunks[0], k=k, dim=dim)
+    for chunk in chunks[1:]:
+        out = out.unionByName(
+            ivf_topk_from_index(spark, path, chunk, k=k, dim=dim)
+        )
+    return out
 
 
 def ivf_topk(

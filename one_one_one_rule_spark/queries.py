@@ -1102,8 +1102,15 @@ SELECT vec_a, vec_b, cosine FROM pairs
 @register("embeddings_neardup_lsh", _neardup_sql())
 def embeddings_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH sign-band blocking —
-    the bucketed scale path that avoids the O(n^2) cross join."""
-    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    the bucketed scale path that avoids the O(n^2) cross join. band_bits
+    is PINNED at the fixture's 4 so the cross-engine oracle is fixed;
+    production passes band_bits_for_corpus(N) (similarity.py) to keep
+    bucket occupancy — and candidate volume — linear as N grows."""
+    from .operators.similarity import SRP_BAND_BITS
+
+    return cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), band_bits=SRP_BAND_BITS
+    )
 
 
 def _ivf_sql() -> str:
@@ -3493,9 +3500,13 @@ def embeddings_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SRP-LSH cosine pair graph, electing min vec_id as canonical — the
     actionable form of embedding dedup (keep one representative per
     cluster). Gated on exact cluster assignments via the recursive
-    reachability oracle."""
+    reachability oracle. band_bits pinned at the fixture's 4 (see
+    embeddings_neardup_lsh — SCALING.md documents the fixed-bits
+    quadratic and band_bits_for_corpus is the production knob)."""
+    from .operators.similarity import SRP_BAND_BITS
+
     pairs = cosine_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings"), band_bits=SRP_BAND_BITS
     ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
@@ -5564,11 +5575,14 @@ def ann_ivf_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim — a serving tier that drifted from the batch index by one
     rank breaks the hash.
 
-    The per-batch id handoff is a driver-side collect BOUNDED by the
-    probe batch size (<= 5 ids — the query workload, not the corpus):
-    exactly how a serving layer parameterizes its pruned lookup. At
-    100 TB the index is the same partitioned parquet, batches carry
-    thousands of probes, and each still scans 1/2^planes of the data."""
+    The per-batch id handoff is a driver-side collect of the probe IDS
+    ONLY (8 bytes each — the query workload, not the corpus), and the
+    lookup itself goes through ivf_topk_from_index_chunked: a batch
+    larger than similarity.MAX_PROBE_IDS is split into bounded slices so
+    the broadcast query side and the DPP IN-list never scale with
+    whatever batch size the stream delivers. At 100 TB the index is the
+    same partitioned parquet, batches carry thousands of probes, and
+    each bounded slice still scans 1/2^planes of the data."""
     from .operators.similarity import write_ivf_index
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -5587,12 +5601,14 @@ def ann_ivf_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _session_tmp_dir("annprobe_ckpt_")
 
     def probe(bdf: DataFrame, batch_id: int) -> None:
-        from .operators.similarity import ivf_topk_from_index
+        from .operators.similarity import ivf_topk_from_index_chunked
 
-        ids = [int(r["vec_id"]) for r in bdf.collect()]  # <= batch size
+        ids = [int(r["vec_id"]) for r in bdf.collect()]  # ids only
         if not ids:
             return
-        out = ivf_topk_from_index(bdf.sparkSession, path, ids, k=5)
+        # chunked: one bounded broadcast+DPP lookup per MAX_PROBE_IDS
+        # slice, unioned lazily into the single idempotent batch write
+        out = ivf_topk_from_index_chunked(bdf.sparkSession, path, ids, k=5)
         _write_batch_partial(out, store, batch_id)
 
     stream = (

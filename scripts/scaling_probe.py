@@ -89,6 +89,15 @@ SCALING_SET = [
      "per-round edge-linear; rounds set by L1-delta contraction"),
     ("lineitem_bucketed_colocated_join", "lineitem", 1.30,
      "one-time bucketed write shuffle; the join itself is zero-shuffle"),
+    ("docs_curation", "documents", 1.60,
+     "staged survivor pipeline reusing the gated tier expressions; each "
+     "stage is filter/index-bounded like its standalone twin"),
+    ("parts_copurchase_rules", "lineitem", 1.80,
+     "support-filtered pair mining over the co-purchase edges; same "
+     "edge-bounded shape as the graph tier"),
+    ("embeddings_quantile_normalize_full", "embeddings", 1.30,
+     "two-pass distributed rank: range exchange + local sorts + broadcast "
+     "offsets; explode x64 then strictly linear"),
 ]
 
 

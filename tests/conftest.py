@@ -14,7 +14,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        # test_scaling reads shuffle-write records off the status REST API
+        # across MANY stages; match scaling_probe's retention so a
+        # stage-heavy session can't evict post-snapshot stages and
+        # undercount (honored only at JVM launch, like driver.memory)
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     yield s
 
 

@@ -191,3 +191,39 @@ def test_persisted_ivf_index_matches_memory_and_prunes(
 
     cells = [d for d in os.listdir(path) if d.startswith("cell=")]
     assert 1 <= len(cells) <= 16
+
+
+def test_chunked_probe_equals_single_lookup_and_bounds_slices(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-7 verdict item 6: the streaming serving tier must never send
+    an oversized micro-batch through one pruned lookup — the broadcast
+    query side and the DPP IN-list grow with batch size. The chunked
+    entry point splits the workload into <= max_ids slices; each slice
+    is bounded AND the union is bit-identical to the single lookup."""
+    from one_one_one_rule_spark.operators import similarity as sim
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(load_table(spark, sf_dir, "embeddings"), path)
+    ids = [0, 1, 2, 3, 4, 5, 6]
+
+    seen: list[int] = []
+    real = sim.ivf_topk_from_index
+
+    def spy(spark_, p, query_ids, k=5, dim=sim.EMBED_DIM):
+        seen.append(len(query_ids))
+        return real(spark_, p, query_ids, k=k, dim=dim)
+
+    monkeypatch.setattr(sim, "ivf_topk_from_index", spy)
+    chunked = sim.ivf_topk_from_index_chunked(
+        spark, path, ids, k=3, max_ids=3
+    )
+    got = sorted(tuple(r) for r in chunked.collect())
+    assert seen == [3, 3, 1], "slices must be bounded by max_ids"
+    exp = sorted(
+        tuple(r) for r in real(spark, path, ids, k=3).collect()
+    )
+    assert got == exp
+    # the production constant itself is sane and documented
+    assert 1 <= sim.MAX_PROBE_IDS <= 10_000

@@ -82,9 +82,28 @@ def test_plans_md_parses_and_covers_shape():
     )
 
 
+#: Conditionally-registered queries (transformWithState needs protobuf at
+#: runtime — see queries._has_tws_runtime). PLANS.md is generated in the
+#: protobuf-free build sandbox, so these have no committed row; in a
+#: protobuf-enabled environment they would otherwise fail the "missing
+#: row" assert purely because an unrelated package is installed. They are
+#: excluded from the ratchet explicitly: their plan shape is pinned by
+#: the protobuf-free construction tests in tests/test_streaming_multimodal
+#: and tests/test_scaleops instead.
+CONDITIONALLY_REGISTERED = {
+    "events_stream_tws_user_totals",
+    "events_tws_bottomk_sample",
+}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_shape_does_not_regress(spark, name):
     committed = COMMITTED.get(name)
+    if committed is None and name in CONDITIONALLY_REGISTERED:
+        pytest.skip(
+            f"{name} is conditionally registered (tws runtime present) and "
+            "PLANS.md is generated without it; plan pinned elsewhere"
+        )
     assert committed is not None, (
         f"{name} is registered but has no committed PLANS.md row — run "
         "scripts/plan_audit.py and commit the regenerated file so the "

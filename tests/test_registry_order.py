@@ -47,3 +47,39 @@ def test_driver_sample_prefix_is_pinned():
 def test_every_oracle_has_a_query():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracle entries without a query: {missing}"
+
+
+#: Registry size WITHOUT the two conditionally-registered transformWithState
+#: gates (queries._has_tws_runtime) — the build sandbox lacks protobuf, so
+#: this is what the driver sees. Update when (and only when) queries are
+#: added or removed; the test below proves the tws pair is exactly a +2 on
+#: top of it, i.e. the env bump to a protobuf-enabled deploy is one
+#: ``pip install`` away from the full gated registry with no half state.
+BASE_REGISTRY_SIZE = 219
+
+_TWS_GATES = {"events_stream_tws_user_totals", "events_tws_bottomk_sample"}
+
+
+def test_tws_conditional_registration_is_all_or_nothing():
+    """Round-7 verdict item 5: _has_tws_runtime() decides registry
+    membership silently — prove the decision is atomic in BOTH states.
+    When the runtime is present, both tws queries register WITH oracles;
+    when absent, neither appears anywhere and the registry is exactly the
+    base size (no half-registration, no oracle orphan either way)."""
+    from one_one_one_rule_spark.queries import _has_tws_runtime
+
+    available = _has_tws_runtime()
+    in_q = _TWS_GATES & set(QUERIES)
+    in_o = _TWS_GATES & set(ORACLES)
+    if available:
+        assert in_q == _TWS_GATES and in_o == _TWS_GATES
+        for name in _TWS_GATES:
+            head = ORACLES[name].strip().split(None, 1)[0].upper()
+            assert head in ("WITH", "SELECT"), name
+    else:
+        assert not in_q and not in_o
+    assert len(QUERIES) == BASE_REGISTRY_SIZE + (2 if available else 0), (
+        f"registry size {len(QUERIES)} != base {BASE_REGISTRY_SIZE} "
+        f"(+2 iff tws runtime present={available}) — update "
+        "BASE_REGISTRY_SIZE when adding queries"
+    )

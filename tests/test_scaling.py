@@ -80,6 +80,10 @@ def test_committed_big_leg_exponents_within_bounds():
 
 
 def _shuffle_state(sc):
+    # the probe metric comes off the status REST API — a session with the
+    # UI disabled has no endpoint at all; skip rather than crash on None
+    if sc.uiWebUrl is None:
+        pytest.skip("spark.ui disabled in this session — no status REST API")
     # drain the async listener bus first: the status store ingests events
     # asynchronously, and a fixed sleep only narrows the snapshot race
     try:
@@ -124,4 +128,84 @@ def test_leg_exponent_reproduces(spark, name, sfa, sfb, key):
         f"{got:.3f} exceeds committed {committed} + {SLACK} — the query's "
         "shuffle volume now grows faster than the committed curve; rerun "
         "scripts/scaling_probe.py and justify the new exponent"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Selection-rule completeness (round-7 verdict item 3): SCALING.md used to
+# cover 13 hand-picked queries — new heavy/iterative work joined only if
+# someone remembered. The rule below is enforced, so a qualifying query
+# with no committed scaling row FAILS here the round it appears.
+# ---------------------------------------------------------------------------
+
+#: How many of the most expensive committed-bench ENGINE queries must
+#: carry a scaling row (gate-orchestration entries excluded: their wall
+#: time is drain choreography, not engine cost).
+TOP_N_BY_BENCH = 10
+
+#: Qualifying queries whose scaling behavior is measured through a listed
+#: VARIANT's row instead of their own. Each exemption names the covering
+#: row; the test fails if the covering row itself is missing.
+COVERED_BY_VARIANT = {
+    # explicitly-labeled small-universe baseline: its pair count is
+    # bounded by the type universe squared, not by event count — the
+    # production-shaped twin carries the measured curve
+    "events_pairwise_correlation": "events_pairwise_correlation_blocked",
+    # fixed-round twins share their per-round builders (and therefore
+    # their per-round plans, pinned in test_plan_shapes) with the
+    # converged variants that carry the measured curves
+    "parts_copurchase_kcore": "parts_copurchase_kcore_converged",
+    "parts_copurchase_pagerank": "parts_copurchase_pagerank_converged",
+    "parts_copurchase_sssp": "parts_copurchase_sssp_converged",
+}
+
+
+def _qualifying_queries() -> dict[str, str]:
+    """name -> reason it must carry a scaling row."""
+    import re
+
+    from bench import GATE_ORCHESTRATION
+
+    qualifying: dict[str, str] = {}
+    # 1. every iterative fixpoint / incremental-maintenance query: their
+    #    cost is round-count x per-round volume, exactly what the
+    #    per-plan gates cannot see
+    for name in QUERIES:
+        if re.search(r"_(converged|incremental)$", name):
+            qualifying[name] = "iterative (_converged/_incremental)"
+    # 2. every full-corpus production pass over the LLM-pipeline tables
+    #    (the audit-slice twins are quick gates; the _full ones are the
+    #    pass a 100 TB run actually executes)
+    for name in QUERIES:
+        if re.fullmatch(r"(docs|documents|embeddings)_\w+_full", name):
+            qualifying[name] = "full-corpus production pass"
+    # 3. top-N engine queries by the COMMITTED bench medians
+    with open(os.path.join(REPO, "BENCH_LOCAL.json")) as f:
+        bench = json.load(f)
+    engine = {
+        n: t
+        for n, t in bench["queries"].items()
+        if t is not None
+        and n not in GATE_ORCHESTRATION
+        and not n.startswith("events_stream_")
+        and n in QUERIES
+    }
+    for name, _t in sorted(engine.items(), key=lambda kv: -kv[1])[
+        :TOP_N_BY_BENCH
+    ]:
+        qualifying.setdefault(name, f"top-{TOP_N_BY_BENCH} by bench median")
+    return qualifying
+
+
+def test_scaling_rows_cover_the_selection_rule():
+    rows = set(SCALING["queries"])
+    missing = {}
+    for name, reason in _qualifying_queries().items():
+        covering = COVERED_BY_VARIANT.get(name, name)
+        if covering not in rows:
+            missing[name] = (reason, covering)
+    assert not missing, (
+        "queries qualify for the scaling probe but have no committed "
+        f"SCALING.json row (name: (reason, expected row)): {missing} — "
+        "add them to scripts/scaling_probe.py SCALING_SET and rerun it"
     )

@@ -326,6 +326,13 @@ def decode_image(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
                     return None  # IEND must close the file exactly
                 ended = True
                 break
+            elif idat_seen:
+                # spec: IDAT chunks must be CONSECUTIVE — once the IDAT
+                # run has started, only further IDATs or IEND may follow
+                # (mirrors the PLTE-before-IDAT rule above); an ancillary
+                # chunk interleaved into the IDAT run is a malformed
+                # file, not a decodable one
+                return None
             pos = body_end + 4
         if w is None or not ended or not idat:
             return None

@@ -1139,3 +1139,243 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos_rate_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (round 8): concat-and-chunk — the assembly step that
+# turns a curated corpus into fixed-length training sequences. Reference
+# scope: beyond the valuation pipeline; required of the engine by the
+# LLM-data-pipeline mandate (SURVEY.md §6).
+# ---------------------------------------------------------------------------
+
+#: Training sequence length for the packing gates. Production uses 2k-8k;
+#: the fixtures' ~55-token documents pack ~meaningfully at 64 (every
+#: chunk straddles documents, both boundary branches exercised).
+PACK_SEQ_LEN = 64
+
+
+def _pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + global exclusive token offset in the
+    virtual concatenated stream (doc_id order) — the distributed prefix
+    sum (operators/ranks.py), never a single-task global window."""
+    from .operators.ranks import with_running_offset
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " "))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    return with_running_offset(d, ["doc_id"], "n_tokens", "off")
+
+
+def _pack_spans_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d
+)
+SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS off,
+       CAST(off // {PACK_SEQ_LEN} AS BIGINT) AS first_chunk,
+       CAST((off + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS last_chunk,
+       CAST((off + n_tokens - 1) // {PACK_SEQ_LEN}
+            - off // {PACK_SEQ_LEN} AS BIGINT) AS n_boundary_crossings
+FROM o
+"""
+
+
+@register("docs_pack_doc_spans", _pack_spans_sql())
+def docs_pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document placement in the concat-and-chunk training stream:
+    global token offset (exclusive prefix sum over doc_id order), the
+    first/last training chunk the document touches, and how many chunk
+    boundaries split it. This row set IS the packing manifest a loader
+    needs to slice documents into fixed-length sequences.
+
+    Complements docs_pack_sequences (queries.py), which SHARDS the
+    corpus first so each shard packs under an independent per-shard
+    window: that layout is right when shards are the unit of training
+    reproducibility. This tier is the other deployment shape — ONE
+    canonical global stream (what you need when chunk ids must be stable
+    across cluster sizes and match a sequential reference pipeline) —
+    and therefore has to solve, not avoid, the global running total.
+
+    The offset is the scale-interesting part: a global running total is
+    the textbook single-task window, computed here as the two-pass
+    distributed prefix sum (operators/ranks.py:with_running_offset —
+    range exchange + partition-local vectorized cumsum + broadcast
+    partition prefixes; driver traffic one scalar per partition). The
+    hash gate pins EVERY document's offset, so a one-row drift anywhere
+    in the cumsum machinery breaks it. All integers — no float anywhere.
+
+    Scale shape at 100 TB: parallelism = range partition count at every
+    step; the only Python is one Arrow-batched cumsum over int64."""
+    o = _pack_offsets(spark, sf_dir)
+    first = F.expr(f"off div {PACK_SEQ_LEN}")
+    last = F.expr(f"(off + n_tokens - 1) div {PACK_SEQ_LEN}")
+    return o.select(
+        "doc_id",
+        "n_tokens",
+        "off",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first).alias("n_boundary_crossings"),
+    )
+
+
+def _pack_chunks_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d
+),
+e AS (
+  SELECT doc_id, n_tokens, off, t.c AS chunk_id
+  FROM o, LATERAL (SELECT unnest(range(CAST(off // {PACK_SEQ_LEN} AS BIGINT),
+    CAST((off + n_tokens - 1) // {PACK_SEQ_LEN} + 1 AS BIGINT))) AS c) t
+)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id,
+       CAST(SUM(LEAST((chunk_id + 1) * {PACK_SEQ_LEN}, off + n_tokens)
+                - GREATEST(chunk_id * {PACK_SEQ_LEN}, off)) AS BIGINT)
+         AS n_tokens
+FROM e GROUP BY chunk_id
+"""
+
+
+@register("docs_sequence_pack", _pack_chunks_sql())
+def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk-side view of concat-and-chunk packing: one row per
+    fixed-length training sequence with its document fan-in (how many
+    docs contribute), the first/last contributing doc, and the exact
+    token count (PACK_SEQ_LEN everywhere except the ragged tail) —
+    i.e. the per-sequence manifest of the packed training set.
+
+    Built from the same distributed offsets as docs_pack_doc_spans:
+    each document explodes into only the chunks it overlaps (sequence()
+    over its span — total explode volume is corpus_tokens/SEQ_LEN + one
+    row per doc, NOT docs x chunks), then one combinable groupBy(chunk).
+    The per-chunk token sum re-derives each doc's clipped contribution
+    from (off, n_tokens), so the gate cross-checks the offsets against
+    an independent arithmetic path."""
+    o = _pack_offsets(spark, sf_dir)
+    e = o.select(
+        "doc_id",
+        "n_tokens",
+        "off",
+        F.explode(
+            F.sequence(
+                F.expr(f"off div {PACK_SEQ_LEN}"),
+                F.expr(f"(off + n_tokens - 1) div {PACK_SEQ_LEN}"),
+            )
+        ).alias("chunk_id"),
+    )
+    L = PACK_SEQ_LEN
+    return (
+        e.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+            F.sum(
+                F.least(
+                    (F.col("chunk_id") + 1) * L,
+                    F.col("off") + F.col("n_tokens"),
+                )
+                - F.greatest(F.col("chunk_id") * L, F.col("off"))
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "n_docs",
+            "first_doc_id",
+            "last_doc_id",
+            "n_tokens",
+        )
+    )
+
+
+#: Incremental-packing split point: documents below are the "already
+#: ingested" base corpus, at/above are today's delta. 400 keeps the
+#: delta meaningful at every fixture scale (sf0.001/0.01 have 500 docs,
+#: sf0.1 has 5000).
+PACK_BASE_SPLIT = 400
+
+
+@register("docs_pack_incremental", _pack_spans_sql())
+def docs_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL concat-and-chunk maintenance — the daily-ingest shape
+    of docs_pack_doc_spans: the base corpus's offsets are already
+    computed (and in production, persisted); a delta batch appends to
+    the END of the virtual stream, so its offsets are just
+    base_total + delta-local prefix sum. The base is NEVER re-scanned
+    for its per-row offsets at delta time — only its one-scalar total
+    crosses over (same warm-start contract as
+    parts_copurchase_sssp_incremental: the incremental path must reach
+    the exact full-recompute fixpoint, so the gate reuses the FULL-run
+    oracle verbatim; appended streams make that exact, since earlier
+    offsets cannot change).
+
+    doc_id is the ingest order here; production uses (ingest_date,
+    doc_id) — any total order in which deltas sort AFTER the base works,
+    and that ordering discipline is precisely what makes packing
+    incrementally maintainable at all."""
+    from .operators.ranks import with_running_offset
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " "))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    base = with_running_offset(
+        d.filter(F.col("doc_id") < PACK_BASE_SPLIT),
+        ["doc_id"],
+        "n_tokens",
+        "off",
+    ).localCheckpoint(eager=True)
+    # the ONLY base-side state the delta needs: one scalar
+    [tot] = base.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+    ).collect()
+    delta = with_running_offset(
+        d.filter(F.col("doc_id") >= PACK_BASE_SPLIT),
+        ["doc_id"],
+        "n_tokens",
+        "off",
+    ).withColumn("off", F.col("off") + F.lit(int(tot["t"])))
+    spans = base.unionByName(delta)
+    first = F.expr(f"off div {PACK_SEQ_LEN}")
+    last = F.expr(f"(off + n_tokens - 1) div {PACK_SEQ_LEN}")
+    return spans.select(
+        "doc_id",
+        "n_tokens",
+        "off",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first).alias("n_boundary_crossings"),
+    )

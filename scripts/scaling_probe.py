@@ -67,14 +67,18 @@ SCALING_SET = [
     ("embeddings_semantic_dedup", "embeddings", 1.60,
      "k-means cells bound the quadratic term; in-cell pairs grow with "
      "cell occupancy"),
-    ("embeddings_neardup_clusters", "embeddings", 2.20,
-     "QUADRATIC BY DESIGN at fixed LSH parameters — measured 2.09: "
-     "SRP-band candidate volume is ~N^2/2^bits when the 4x4-bit "
-     "signature stays fixed (it must, for the cross-engine oracle to "
-     "stay deterministic), so per-bucket occupancy grows with N. The "
-     "production knob is growing band bits ~log2(N) to PIN occupancy, "
-     "which restores linear candidates; the bound documents the "
-     "fixed-parameter ceiling instead of hiding it"),
+    ("embeddings_neardup_clusters", "embeddings", 2.40,
+     "QUADRATIC BY DESIGN at fixed LSH parameters — measured 2.27 "
+     "(up from 2.09 when round 8 fixed the degenerate plane generator; "
+     "better-spread planes balance the 16 fixed buckets, which RAISES "
+     "the fixed-parameter candidate curve toward the theoretical "
+     "N^2/2^bits): SRP-band candidate volume grows quadratically while "
+     "the 4x4-bit signature stays fixed (it must, for the cross-engine "
+     "oracle to stay deterministic). The production knob now exists in "
+     "code — band_bits_for_corpus grows bits ~log2(N) to pin occupancy, "
+     "restoring linear candidates (measured in tests/test_scale_shapes."
+     "py:test_band_bits_knob_restores_linear_candidate_volume); the "
+     "bound documents the fixed-parameter ceiling instead of hiding it"),
     ("ann_pq_topk", "embeddings", 1.40,
      "PQ codebook train (bounded sample) + ADC scan; linear in vectors"),
     ("parts_copurchase_kcore_converged", "lineitem", 1.80,
@@ -98,6 +102,9 @@ SCALING_SET = [
     ("embeddings_quantile_normalize_full", "embeddings", 1.30,
      "two-pass distributed rank: range exchange + local sorts + broadcast "
      "offsets; explode x64 then strictly linear"),
+    ("docs_pack_incremental", "documents", 1.30,
+     "warm-start packing: base offsets + one-scalar total handoff + "
+     "delta-local prefix sum; strictly linear in docs"),
 ]
 
 

@@ -1,0 +1,58 @@
+"""The distributed exclusive prefix sum (operators/ranks.py) — unit
+contract + plan shape. The oracle-hash gates (docs_pack_doc_spans /
+docs_sequence_pack) pin end-to-end values; these tests pin the operator's
+properties directly: exactness vs a sequential reference, partition
+invariance, and the no-global-window plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from one_one_one_rule_spark.operators.ranks import with_running_offset
+
+
+def _reference(rows):
+    # sequential exclusive prefix sum over the sorted order
+    out, acc = {}, 0
+    for k, w in sorted(rows):
+        out[k] = acc
+        acc += w
+    return out
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_running_offset_matches_sequential_reference(spark, n_parts):
+    import random
+
+    rng = random.Random(8)
+    rows = [(i, rng.randrange(0, 50)) for i in range(997)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, w long").repartition(n_parts)
+    got = {
+        r["k"]: r["off"]
+        for r in with_running_offset(df, ["k"], "w", "off").collect()
+    }
+    assert got == _reference(rows)
+
+
+def test_running_offset_handles_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "k long, w long")
+    assert with_running_offset(empty, ["k"], "w").count() == 0
+    one = spark.createDataFrame([(5, 7)], "k long, w long")
+    [r] = with_running_offset(one, ["k"], "w").collect()
+    assert r["offset_before"] == 0
+
+
+def test_running_offset_plan_has_no_global_window(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("w")
+    )
+    out = with_running_offset(df, ["k"], "w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the single-task shape this operator exists to avoid
+    assert "Window" not in plan, plan[:2000]
+    # exactly one Arrow-batched python map (the local cumsum), no
+    # row-at-a-time eval
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") == 1, (
+        plan[:2000]
+    )
+    assert "BatchEvalPython" not in plan

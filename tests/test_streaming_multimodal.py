@@ -1284,3 +1284,44 @@ def test_streaming_rollup_on_rocksdb_state_store(spark, sf_dir, events_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_png_rejects_interleaved_chunk_in_idat_run():
+    """PNG spec: IDAT chunks must be consecutive. An ancillary chunk
+    spliced INTO the IDAT run (IDAT, tEXt, IDAT) is malformed even
+    though concatenating the IDATs would still inflate cleanly — the
+    strict decoder rejects it (mirrors the PLTE-before-IDAT rule)."""
+    import struct as _s
+    import zlib as _z
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_image,
+    )
+
+    def _chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    z = _z.compress(b"\x00" * (3 * 4))
+    mid = len(z) // 2
+    good = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", z[:mid])
+        + _chunk(b"IDAT", z[mid:]) + _chunk(b"IEND", b"")
+    )
+    assert decode_image(good) is not None
+    interleaved = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", z[:mid])
+        + _chunk(b"tEXt", b"k\x00v") + _chunk(b"IDAT", z[mid:])
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image(interleaved) is None
+    # ancillary chunks BEFORE the IDAT run remain fine
+    pre = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"tEXt", b"k\x00v")
+        + _chunk(b"IDAT", z) + _chunk(b"IEND", b"")
+    )
+    assert decode_image(pre) is not None

@@ -48,6 +48,16 @@ def with_running_offset(
     ``order_cols`` must be a total order (ties would make the offset
     partition-dependent).
     """
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
+    wtype = df.schema[weight_col].dataType
+    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+        # floats would make the cumsum order-sensitive; decimals would
+        # arrive in pandas as objects — both violate the exactness
+        # contract, so fail at the call site, not three stages in
+        raise TypeError(
+            f"weight_col {weight_col!r} must be integral, got {wtype}"
+        )
     spark = df.sparkSession
     parts = (
         df.repartitionByRange(*order_cols)
@@ -56,9 +66,20 @@ def with_running_offset(
     )
     totals = (
         parts.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.sum(weight_col).alias("w"))
+        .agg(
+            F.sum(weight_col).alias("w"),
+            (F.count(F.lit(1)) - F.count(weight_col)).alias("nulls"),
+        )
         .collect()
     )
+    if any(r["nulls"] for r in totals):
+        # SUM skips NULLs JVM-side while Arrow would deliver them to the
+        # cumsum as NaN-bearing float64 — the two passes would silently
+        # disagree; a NULL weight has no meaningful offset anyway
+        raise ValueError(
+            f"weight_col {weight_col!r} contains NULLs — filter or "
+            "coalesce them before computing running offsets"
+        )
     prefix: dict[int, int] = {}
     acc = 0
     # range partitioning ordered the partitions by the sort key, so pid

@@ -152,6 +152,13 @@ def srp_signature(vectors: DataFrame, n_planes: int, dim: int = EMBED_DIM) -> Da
     projections use the fold form (plane_dot_fold) — same IEEE result as
     an explicit chain with a 4x smaller AST.
     """
+    if not 0 < n_planes <= 63:
+        # bit j is the literal 2^j; 2^63 overflows a signed JVM long, so
+        # a 64-plane signature cannot live in one bigint column
+        raise ValueError(
+            f"n_planes must be in [1, 63] for a signed-bigint signature,"
+            f" got {n_planes}"
+        )
     planes = srp_planes(n_planes, dim)
     sig = None
     for j, plane in enumerate(planes):
@@ -168,14 +175,17 @@ def band_bits_for_corpus(n_vecs: int) -> int:
     ~N^2 / 2^band_bits per band — QUADRATIC at fixed bits. Growing bits
     with log2(N) pins expected occupancy (and therefore candidates per
     vector) to a constant, restoring linear total candidates. Floor at
-    the gate fixture's 4 bits; ceiling at 16 so 4 bands still fit a
-    64-bit signature (beyond ~2^16 vectors per desired-occupancy unit,
-    widen the signature column instead). The REGISTERED gates pin
-    band_bits=4 explicitly so the cross-engine oracle stays fixed;
-    tests/test_scale_shapes.py measures that candidate growth is ~N^2 at
-    fixed bits and ~N under this rule."""
+    the gate fixture's 4 bits; ceiling at 15 — 4 bands x 15 bits = 60
+    planes, the most that fit a SIGNED 64-bit signature (bit 63 would
+    need the literal 2^63, which overflows a JVM long — srp_signature
+    raises loudly on n_planes > 63; beyond ~2^15 vectors per
+    desired-occupancy unit, widen the signature column instead). The
+    REGISTERED gates pin band_bits=4 explicitly so the cross-engine
+    oracle stays fixed; tests/test_scale_shapes.py measures that
+    candidate growth is ~N^2 at fixed bits and ~N under this rule, and
+    exercises the ceiling value end-to-end."""
     n = max(int(n_vecs), 2)
-    return max(SRP_BAND_BITS, min(16, (n - 1).bit_length()))
+    return max(SRP_BAND_BITS, min(15, (n - 1).bit_length()))
 
 
 def srp_candidate_pairs(

@@ -1154,13 +1154,12 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SEQ_LEN = 64
 
 
-def _pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts + global exclusive token offset in the
-    virtual concatenated stream (doc_id order) — the distributed prefix
-    sum (operators/ranks.py), never a single-task global window."""
-    from .operators.ranks import with_running_offset
-
-    d = (
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens) for every non-empty document — the ONE owner of
+    the packing tier's tokenization rule (whitespace tokens, empty docs
+    dropped); the full and incremental gates both build on it so the rule
+    cannot diverge between them."""
+    return (
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
@@ -1170,7 +1169,32 @@ def _pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
     )
-    return with_running_offset(d, ["doc_id"], "n_tokens", "off")
+
+
+def _pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + global exclusive token offset in the
+    virtual concatenated stream (doc_id order) — the distributed prefix
+    sum (operators/ranks.py), never a single-task global window."""
+    from .operators.ranks import with_running_offset
+
+    return with_running_offset(
+        _doc_token_counts(spark, sf_dir), ["doc_id"], "n_tokens", "off"
+    )
+
+
+def _span_select(offsets: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, off) -> the chunk-span manifest columns; the one
+    owner of the chunk-boundary arithmetic for both span gates."""
+    first = F.expr(f"off div {PACK_SEQ_LEN}")
+    last = F.expr(f"(off + n_tokens - 1) div {PACK_SEQ_LEN}")
+    return offsets.select(
+        "doc_id",
+        "n_tokens",
+        "off",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first).alias("n_boundary_crossings"),
+    )
 
 
 def _pack_spans_sql() -> str:
@@ -1220,17 +1244,7 @@ def docs_pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape at 100 TB: parallelism = range partition count at every
     step; the only Python is one Arrow-batched cumsum over int64."""
-    o = _pack_offsets(spark, sf_dir)
-    first = F.expr(f"off div {PACK_SEQ_LEN}")
-    last = F.expr(f"(off + n_tokens - 1) div {PACK_SEQ_LEN}")
-    return o.select(
-        "doc_id",
-        "n_tokens",
-        "off",
-        first.alias("first_chunk"),
-        last.alias("last_chunk"),
-        (last - first).alias("n_boundary_crossings"),
-    )
+    return _span_select(_pack_offsets(spark, sf_dir))
 
 
 def _pack_chunks_sql() -> str:
@@ -1342,16 +1356,7 @@ def docs_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally maintainable at all."""
     from .operators.ranks import with_running_offset
 
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " "))
-            .cast("bigint")
-            .alias("n_tokens"),
-        )
-        .filter(F.col("n_tokens") > 0)
-    )
+    d = _doc_token_counts(spark, sf_dir)
     base = with_running_offset(
         d.filter(F.col("doc_id") < PACK_BASE_SPLIT),
         ["doc_id"],
@@ -1368,14 +1373,4 @@ def docs_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "off",
     ).withColumn("off", F.col("off") + F.lit(int(tot["t"])))
-    spans = base.unionByName(delta)
-    first = F.expr(f"off div {PACK_SEQ_LEN}")
-    last = F.expr(f"(off + n_tokens - 1) div {PACK_SEQ_LEN}")
-    return spans.select(
-        "doc_id",
-        "n_tokens",
-        "off",
-        first.alias("first_chunk"),
-        last.alias("last_chunk"),
-        (last - first).alias("n_boundary_crossings"),
-    )
+    return _span_select(base.unionByName(delta))

@@ -56,3 +56,14 @@ def test_running_offset_plan_has_no_global_window(spark):
         plan[:2000]
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_running_offset_rejects_null_and_nonintegral_weights(spark):
+    withnull = spark.createDataFrame(
+        [(1, 2), (2, None), (3, 4)], "k long, w long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        with_running_offset(withnull, ["k"], "w").collect()
+    floats = spark.createDataFrame([(1, 1.5)], "k long, w double")
+    with pytest.raises(TypeError, match="integral"):
+        with_running_offset(floats, ["k"], "w")

@@ -160,7 +160,15 @@ def test_band_bits_knob_restores_linear_candidate_volume(spark):
     assert scaled_ratio < 7, (scaled, scaled_ratio)
     assert scaled_ratio < fixed_ratio / 2
     # the derivation itself: monotone, floored at the gate's 4 bits,
-    # capped to keep 4 bands inside the 64-bit signature
+    # capped at 15 (4 x 15 = 60 planes — the most a SIGNED bigint
+    # signature can hold; bit 63 would need the long-overflowing 2^63)
     assert band_bits_for_corpus(10) == 4
     assert band_bits_for_corpus(1000) == 10
-    assert band_bits_for_corpus(1 << 40) == 16
+    assert band_bits_for_corpus(1 << 40) == 15
+    # the ceiling value is buildable end-to-end, not just computable
+    assert srp_candidate_pairs(vectors(40), dim, band_bits=15).count() >= 0
+    # and the signed-bigint limit fails loudly, never as a py4j overflow
+    from one_one_one_rule_spark.operators.similarity import srp_signature
+
+    with pytest.raises(ValueError, match="n_planes"):
+        srp_signature(vectors(4), 64, dim)

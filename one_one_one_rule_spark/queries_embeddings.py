@@ -890,3 +890,258 @@ def embeddings_quantile_normalize_full(
     and per-dim checksum gate, so every rank of every dimension is
     hash-pinned."""
     return _quantile_normalize(spark, sf_dir, 64)
+
+
+#: JL random-projection output width and sign-hash parameters: Rademacher
+#: (+-1) signs derived from a multiplicative hash of (dim, component) —
+#: no RNG, no stored matrix, identical on any engine.
+_RP_COMPONENTS = 8
+_RP_DIMS = 64
+_RP_MULT = 2654435761
+_RP_MOD = 9973
+
+
+def _rp_sign_sql(j: str, k: int) -> str:
+    return (
+        f"CASE WHEN (({j} * {_RP_COMPONENTS} + {k} + 1) * {_RP_MULT}) "
+        f"% {_RP_MOD} < {_RP_MOD // 2} THEN 1 ELSE -1 END"
+    )
+
+
+def _rp_sql() -> str:
+    comps = ",\n       ".join(
+        f"CAST(list_sum(list_transform(range({_RP_DIMS}), j -> "
+        f"{_rp_sign_sql('j', k)} * CAST(round(CAST(embedding[j + 1] AS "
+        f"DOUBLE) * 1000000.0e0) AS BIGINT))) AS DOUBLE) / 1e6 AS p{k}"
+        for k in range(_RP_COMPONENTS)
+    )
+    return f"""
+SELECT vec_id, CAST(label AS INT) AS label,
+       {comps}
+FROM embeddings
+"""
+
+
+@register("embeddings_random_projection", _rp_sql())
+def embeddings_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> 8 dims) with a
+    HASH-MATERIALIZED Rademacher matrix: sign(j,k) = +-1 from a
+    multiplicative hash of the (input dim, output component) pair — the
+    projection matrix is never stored, shipped, or broadcast; every
+    executor re-derives any entry in one integer expression. This is the
+    dimensionality-reduction front end for sketching / clustering /
+    dedup at scale (SRP-LSH in operators/similarity.py uses hyperplanes
+    for BITS; this produces the real-valued reduced vectors).
+
+    Determinism: each input coordinate is quantized to the exact int64
+    micro-unit grid (round(v*1e6) — the engine's established q6 idiom),
+    the +-1-weighted sum over 64 dims is pure integer arithmetic (bounded
+    by 64 * |q6| << 2^63), and the single final divide by 1e6 is one
+    IEEE op on both engines — so the gate pins all 8 components of every
+    vector bitwise.
+
+    Plan shape: pure projection via a fold over the array column
+    (F.aggregate — JVM-side, whole-stage codegen, zero Python), no
+    shuffle, no explode: one scan-stage pass, trivially linear at
+    100 TB, and the 8x reduced output bounds every downstream stage."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def comp(k: int):
+        def step(acc, j):
+            h = ((j * _RP_COMPONENTS + k + 1) * _RP_MULT) % _RP_MOD
+            sign = F.when(h < _RP_MOD // 2, F.lit(1)).otherwise(F.lit(-1))
+            q6 = F.round(
+                F.element_at(F.col("embedding"), (j + 1).cast("int")).cast(
+                    "double"
+                )
+                * 1000000.0
+            ).cast("bigint")
+            return acc + sign.cast("bigint") * q6
+
+        return (
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(_RP_DIMS - 1)),
+                F.lit(0).cast("bigint"),
+                step,
+            ).cast("double")
+            / 1e6
+        ).alias(f"p{k}")
+
+    return e.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        *[comp(k) for k in range(_RP_COMPONENTS)],
+    )
+
+
+#: MMR re-rank knobs: top-`_MMR_SHORTLIST` by relevance feed a greedy
+#: k=`_MMR_K` selection scored 7·rel − 3·max-sim (λ=0.7 scaled to the
+#: integer grid — no float anywhere in the selection).
+_MMR_SHORTLIST = 50
+_MMR_K = 10
+_MMR_QUERY_ID = 0
+
+
+def _mmr_sql() -> str:
+    q6 = (
+        "list_transform(embedding, v -> "
+        "CAST(round(CAST(v AS DOUBLE) * 1000000.0e0) AS BIGINT))"
+    )
+    dot = (
+        "CAST(list_sum(list_transform(range(64), j -> {a}[j + 1] * "
+        "{b}[j + 1])) AS BIGINT)"
+    )
+    steps = []
+    sels = []
+    for r in range(1, _MMR_K + 1):
+        if r == 1:
+            steps.append(
+                "s1 AS MATERIALIZED (SELECT vec_id, rel,"
+                " CAST(7 * rel AS BIGINT) AS mmr,"
+                " 1 AS rank FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"
+            )
+            sels.append("sel1 AS MATERIALIZED (SELECT vec_id FROM s1)")
+            continue
+        steps.append(
+            f"s{r} AS MATERIALIZED (\n"
+            f"  SELECT c.vec_id, c.rel,\n"
+            f"         CAST(7 * c.rel - 3 * (SELECT MAX(s.s) FROM sim s\n"
+            f"           WHERE s.av = c.vec_id AND s.bv IN\n"
+            f"             (SELECT vec_id FROM sel{r - 1})) AS BIGINT) AS mmr,\n"
+            f"         {r} AS rank\n"
+            f"  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})\n"
+            f"  ORDER BY mmr DESC, c.vec_id LIMIT 1\n"
+            f")"
+        )
+        sels.append(
+            f"sel{r} AS MATERIALIZED (SELECT vec_id FROM sel{r - 1} "
+            f"UNION ALL SELECT vec_id FROM s{r})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{r}" for r in range(1, _MMR_K + 1)
+    )
+    ctes = []
+    for s, sel in zip(steps, sels):
+        ctes.append(s)
+        ctes.append(sel)
+    # MATERIALIZED: the k unrolled steps each reference cand/sim; without
+    # it DuckDB may inline-expand the CTEs per step and re-scan the
+    # parquet O(k) times (observed as fd exhaustion)
+    return f"""
+WITH qd AS MATERIALIZED (
+  SELECT {q6} AS qv FROM embeddings WHERE vec_id = {_MMR_QUERY_ID}
+),
+cand0 AS MATERIALIZED (
+  SELECT vec_id, {q6} AS cv FROM embeddings WHERE vec_id <> {_MMR_QUERY_ID}
+),
+cand AS MATERIALIZED (
+  SELECT c.vec_id, c.cv,
+         {dot.format(a="c.cv", b="q.qv")} AS rel
+  FROM cand0 c, qd q
+  ORDER BY rel DESC, vec_id LIMIT {_MMR_SHORTLIST}
+),
+sim AS MATERIALIZED (
+  SELECT a.vec_id AS av, b.vec_id AS bv,
+         {dot.format(a="a.cv", b="b.cv")} AS s
+  FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+),
+{",".join(chr(10) + c for c in ctes)}
+SELECT CAST(rank AS INT) AS sel_rank, vec_id, rel AS rel_q,
+       CAST(mmr AS BIGINT) AS mmr_q
+FROM ({union})
+"""
+
+
+@register("ann_mmr_rerank", _mmr_sql())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse top-k — the re-rank stage that
+    sits after every retrieval tier here (brute/IVF/PQ): from the
+    relevance top-50 shortlist for query vector 0, greedily select k=10
+    maximizing ``7·rel − 3·max_sim(candidate, already-selected)`` — λ=0.7
+    on a pure INTEGER grid (unit-norm fixture embeddings quantized to q6
+    micro-units, so integer dot products ARE the cosine scale; scores,
+    maxima and tie-breaks all exact, engine-portable).
+
+    Split of labor mirrors production serving: the DISTRIBUTED work is
+    shortlist construction (scan-stage q6 relevance fold +
+    TakeOrderedAndProject top-50 — never a global sort) and the output
+    rows' relevance values; the greedy selection itself is O(k·m²·d) on
+    the ≤50-row shortlist — inherently serving-side, executed on the
+    driver over collected BOUNDED state (50 quantized vectors, ≈25 KB —
+    same contract as the collected IVF centroids/PQ codebooks), then
+    broadcast-joined back so every output row's relevance still comes
+    from the distributed path. The oracle unrolls the full greedy as 10
+    chained SQL selection steps over the same integer grid — an
+    independent end-to-end re-derivation, not a replay.
+
+    At 100 TB: shortlist cost is the ANN tier's (cell-pruned/partial
+    top-k); the re-rank is O(1) per query regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q6 = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1000000.0).cast("bigint"),
+    )
+    [qrow] = (
+        e.filter(F.col("vec_id") == _MMR_QUERY_ID)
+        .select(q6.alias("qv"))
+        .collect()
+    )
+    qv = [int(x) for x in qrow["qv"]]
+    rel = F.aggregate(
+        F.zip_with(
+            q6,
+            F.array(*[F.lit(x).cast("bigint") for x in qv]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    shortlist = (
+        e.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .select("vec_id", q6.alias("cv"), rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_SHORTLIST)
+        .localCheckpoint(eager=True)
+    )
+    # bounded driver state: the shortlist's quantized vectors (≤ 50 × 64
+    # int64 ≈ 25 KB), the same order of magnitude as the collected
+    # centroids/codebooks of the IVF/PQ tiers
+    rows = shortlist.collect()
+    cand = {int(r["vec_id"]): ([int(x) for x in r["cv"]], int(r["rel"])) for r in rows}
+
+    def idot(a: list[int], b: list[int]) -> int:
+        return sum(x * y for x, y in zip(a, b))
+
+    selected: list[tuple[int, int, int]] = []  # (rank, vec_id, mmr)
+    chosen: list[int] = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for vid, (cv, rl) in cand.items():
+            if vid in chosen:
+                continue
+            if not chosen:
+                score = 7 * rl
+            else:
+                score = 7 * rl - 3 * max(
+                    idot(cv, cand[s][0]) for s in chosen
+                )
+            # max score, min vec_id on ties — the oracle's ORDER BY
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, score)
+        chosen.append(best[1])
+        selected.append((rank, best[1], best[2]))
+    pick = spark.createDataFrame(
+        selected, "sel_rank int, vec_id long, mmr_q long"
+    )
+    return (
+        shortlist.join(F.broadcast(pick), "vec_id")
+        .select(
+            "sel_rank",
+            "vec_id",
+            F.col("rel").alias("rel_q"),
+            "mmr_q",
+        )
+    )

@@ -1374,3 +1374,78 @@ def docs_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off",
     ).withColumn("off", F.col("off") + F.lit(int(tot["t"])))
     return _span_select(base.unionByName(delta))
+
+
+#: Systematic-sample size: the number of evenly spaced ticks laid over
+#: the cumulative-weight axis. Small enough that every fixture doc's
+#: weight is well under one stride (multi-pick rows still occur when a
+#: long doc straddles a tick).
+SYSTEMATIC_K = 25
+
+
+@register(
+    "docs_weighted_systematic_sample",
+    f"""
+WITH t AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM documents
+  WHERE n_chars IS NOT NULL
+),
+o AS (
+  SELECT doc_id, lang, n_chars,
+         COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(((off + n_chars) * {SYSTEMATIC_K}) // total
+            - (off * {SYSTEMATIC_K}) // total AS BIGINT) AS n_picks
+FROM o, t
+WHERE ((off + n_chars) * {SYSTEMATIC_K}) // total
+      - (off * {SYSTEMATIC_K}) // total > 0
+""",
+)
+def docs_weighted_systematic_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weight-proportional SYSTEMATIC sampling — the deterministic,
+    engine-portable way to draw a size-k weight-proportional sample that
+    the A-ES/Gumbel-key textbook methods cannot give you exactly
+    (their keys are ``u^(1/w)`` / ``-ln(u)/w`` — transcendental, so no
+    two engines agree bitwise). Lay k evenly spaced ticks over the
+    cumulative-weight axis (tick m at m*total/k); a document is selected
+    once per tick inside its span ``(off, off + w]``. Selection
+    probability is proportional to weight, exactly k picks total, and
+    the membership test is PURE INTEGER arithmetic:
+    ``(cum*k) div total - (off*k) div total >= 1`` — no float, no RNG,
+    identical on every engine (products bounded by total*k; at
+    100 TB-scale totals route through DECIMAL the way
+    functions/numeric.py already does for sums).
+
+    The cumulative weight is the distributed prefix sum
+    (operators/ranks.py:with_running_offset — range exchange +
+    partition-local cumsum + broadcast partition prefixes), NOT a
+    single-task global window; the corpus total is the one extra scalar.
+    Same placement machinery as the packing tier, different consumer:
+    this is the corpus-subsample/curriculum-draw primitive."""
+    from .operators.ranks import with_running_offset
+
+    k = SYSTEMATIC_K
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("w"))
+    )
+    off = with_running_offset(d, ["doc_id"], "w", "off")
+    [row] = off.agg(F.coalesce(F.sum("w"), F.lit(0)).alias("t")).collect()
+    total = int(row["t"])
+    picks = F.expr(f"((off + w) * {k}) div {total} - (off * {k}) div {total}")
+    return (
+        off.withColumn("n_picks", picks.cast("bigint"))
+        .filter(F.col("n_picks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("w").alias("n_chars"),
+            "n_picks",
+        )
+    )

@@ -48,64 +48,95 @@ def with_running_offset(
     ``order_cols`` must be a total order (ties would make the offset
     partition-dependent).
     """
+    return with_running_offsets(df, order_cols, {out_col: weight_col})
+
+
+def with_running_offsets(
+    df: DataFrame,
+    order_cols: list[str],
+    outputs: dict[str, str],
+) -> DataFrame:
+    """Multi-weight form: ``outputs`` maps each new column name to the
+    integral weight column whose exclusive prefix sum it receives — ALL
+    sums ride ONE range exchange, one totals job, and one Arrow cumsum
+    pass (e.g. token offset + weight-1 global rank together)."""
     from pyspark.sql.types import ByteType, IntegerType, ShortType
 
-    wtype = df.schema[weight_col].dataType
-    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
-        # floats would make the cumsum order-sensitive; decimals would
-        # arrive in pandas as objects — both violate the exactness
-        # contract, so fail at the call site, not three stages in
-        raise TypeError(
-            f"weight_col {weight_col!r} must be integral, got {wtype}"
-        )
+    for out_col, weight_col in outputs.items():
+        wtype = df.schema[weight_col].dataType
+        if not isinstance(
+            wtype, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            # floats would make the cumsum order-sensitive; decimals would
+            # arrive in pandas as objects — both violate the exactness
+            # contract, so fail at the call site, not three stages in
+            raise TypeError(
+                f"weight_col {weight_col!r} must be integral, got {wtype}"
+            )
     spark = df.sparkSession
     parts = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .localCheckpoint(eager=True)
     )
+    wcols = list(outputs.values())
     totals = (
         parts.groupBy(F.spark_partition_id().alias("pid"))
         .agg(
-            F.sum(weight_col).alias("w"),
-            (F.count(F.lit(1)) - F.count(weight_col)).alias("nulls"),
+            *[F.sum(w).alias(f"w_{w}") for w in dict.fromkeys(wcols)],
+            *[
+                (F.count(F.lit(1)) - F.count(w)).alias(f"nulls_{w}")
+                for w in dict.fromkeys(wcols)
+            ],
         )
         .collect()
     )
-    if any(r["nulls"] for r in totals):
-        # SUM skips NULLs JVM-side while Arrow would deliver them to the
-        # cumsum as NaN-bearing float64 — the two passes would silently
-        # disagree; a NULL weight has no meaningful offset anyway
-        raise ValueError(
-            f"weight_col {weight_col!r} contains NULLs — filter or "
-            "coalesce them before computing running offsets"
-        )
-    prefix: dict[int, int] = {}
-    acc = 0
+    for w in dict.fromkeys(wcols):
+        if any(r[f"nulls_{w}"] for r in totals):
+            # SUM skips NULLs JVM-side while Arrow would deliver them to
+            # the cumsum as NaN-bearing float64 — the two passes would
+            # silently disagree; a NULL weight has no meaningful offset
+            raise ValueError(
+                f"weight_col {w!r} contains NULLs — filter or "
+                "coalesce them before computing running offsets"
+            )
     # range partitioning ordered the partitions by the sort key, so pid
     # order IS row order: partition p's offset is the total weight of
     # all partitions before it
+    prefix: dict[int, dict[str, int]] = {}
+    acc = {w: 0 for w in dict.fromkeys(wcols)}
     for r in sorted(totals, key=lambda r: r["pid"]):
-        prefix[r["pid"]] = acc
-        acc += int(r["w"])
+        prefix[r["pid"]] = dict(acc)
+        for w in acc:
+            acc[w] += int(r[f"w_{w}"])
     b_prefix = spark.sparkContext.broadcast(prefix)
     schema = StructType(
-        list(parts.schema.fields) + [StructField(out_col, LongType())]
+        list(parts.schema.fields)
+        + [StructField(out_col, LongType()) for out_col in outputs]
     )
+    pairs = list(outputs.items())
 
     def cumsum(batches):
         from pyspark import TaskContext
 
         # no exchange sits between the checkpoint and this map, so the
         # task's partition id is the checkpointed pid the totals job saw
-        carry = b_prefix.value.get(TaskContext.get().partitionId(), 0)
+        pid = TaskContext.get().partitionId()
+        carry = dict(b_prefix.value.get(pid, {}))
         for pdf in batches:
             if not len(pdf):
                 continue  # all-empty frames trip pandas concat warnings
-            w = pdf[weight_col].to_numpy()
-            c = w.cumsum()
-            pdf[out_col] = carry + c - w
-            carry += int(c[-1])
+            # one cumsum per UNIQUE weight col (two outputs may share a
+            # weight; advancing the carry twice would skew the second)
+            vals = {}
+            for weight_col in dict.fromkeys(w for _, w in pairs):
+                w = pdf[weight_col].to_numpy()
+                c = w.cumsum()
+                base = carry.get(weight_col, 0)
+                vals[weight_col] = base + c - w
+                carry[weight_col] = base + int(c[-1])
+            for out_col, weight_col in pairs:
+                pdf[out_col] = vals[weight_col]
             yield pdf
 
     return parts.mapInPandas(cumsum, schema)

@@ -1449,3 +1449,83 @@ def docs_weighted_systematic_sample(
             "n_picks",
         )
     )
+
+
+#: Deterministic-shuffle key: multiplicative hash (engine-portable, no
+#: RNG) — the same constant family as the sampling tier. The modulus is
+#: prime and far above the fixture doc counts so the (hkey, doc_id) order
+#: behaves like a random permutation at every scale.
+SHUFFLE_MULT = 2654435761
+SHUFFLE_MOD = 1000003
+
+
+def _shuffled_spans_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (doc_id * {SHUFFLE_MULT}) % {SHUFFLE_MOD} AS hkey
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+),
+o AS (
+  SELECT doc_id, n_tokens, hkey,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+         CAST(row_number() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT)
+           AS shuffle_pos
+  FROM d
+)
+SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos, n_tokens,
+       CAST(off AS BIGINT) AS off,
+       CAST(off // {PACK_SEQ_LEN} AS BIGINT) AS first_chunk,
+       CAST((off + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS last_chunk
+FROM o
+"""
+
+
+@register("docs_shuffled_pack_spans", _shuffled_spans_sql())
+def docs_shuffled_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL DETERMINISTIC SHUFFLE + concat-and-chunk placement — the
+    missing first step of real training-data assembly: a training run
+    never packs the corpus in ingest order; it packs a reproducible
+    PERMUTATION of it. The permutation here is order-by-multiplicative-
+    hash (hkey = doc_id * 2654435761 mod 1000003, doc_id tiebreak) — no
+    RNG, no seed file, identical on every engine and every cluster size;
+    each document gets its global shuffle position AND its token offset
+    in the shuffled virtual stream, i.e. the manifest for packing the
+    SHUFFLED corpus.
+
+    Both global order statistics (position = rank, offset = weighted
+    prefix sum) come from ONE pass of the distributed prefix-sum
+    operator (operators/ranks.py) over the (hkey, doc_id) range
+    partitioning — position is recovered as the exclusive prefix sum of
+    weight 1 folded into the same cumsum pass's partition offsets, never
+    a single-task global window. The oracle recomputes both with
+    textbook SQL windows.
+
+    At 100 TB: one range exchange on (hkey, doc_id); the hash key is
+    computed scan-side so the range partitioner sees a uniform key
+    space — the shuffle this query performs is exactly the shuffle its
+    OUTPUT represents."""
+    from .operators.ranks import with_running_offsets
+
+    d = _doc_token_counts(spark, sf_dir).withColumn(
+        "hkey", (F.col("doc_id") * SHUFFLE_MULT) % SHUFFLE_MOD
+    )
+    # both order statistics ride ONE range exchange / one cumsum pass:
+    # prefix-sum of ones == zero-based global rank in (hkey, doc_id) order
+    pos = with_running_offsets(
+        d.withColumn("one", F.lit(1).cast("bigint")),
+        ["hkey", "doc_id"],
+        {"off": "n_tokens", "shuffle_pos": "one"},
+    )
+    L = PACK_SEQ_LEN
+    return pos.select(
+        "doc_id",
+        F.col("shuffle_pos").cast("bigint").alias("shuffle_pos"),
+        "n_tokens",
+        F.col("off").cast("bigint").alias("off"),
+        F.expr(f"off div {L}").cast("bigint").alias("first_chunk"),
+        F.expr(f"(off + n_tokens - 1) div {L}")
+        .cast("bigint")
+        .alias("last_chunk"),
+    )

@@ -105,6 +105,11 @@ SCALING_SET = [
     ("docs_pack_incremental", "documents", 1.30,
      "warm-start packing: base offsets + one-scalar total handoff + "
      "delta-local prefix sum; strictly linear in docs"),
+    ("events_interval_overlap_join", "events", 1.50,
+     "grid-blocked interval join: session build + cell explode are "
+     "linear; the PAIR term is density-driven (more sessions on the "
+     "same fixed time span overlap more), inherent to overlap "
+     "semantics, and stays a small fraction of shuffle volume"),
 ]
 
 

@@ -67,3 +67,28 @@ def test_running_offset_rejects_null_and_nonintegral_weights(spark):
     floats = spark.createDataFrame([(1, 1.5)], "k long, w double")
     with pytest.raises(TypeError, match="integral"):
         with_running_offset(floats, ["k"], "w")
+
+
+def test_multi_weight_offsets_one_pass(spark):
+    from one_one_one_rule_spark.operators.ranks import with_running_offsets
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("w"),
+        F.lit(1).cast("bigint").alias("one"),
+    )
+    out = with_running_offsets(
+        df, ["k"], {"off": "w", "rank0": "one", "off2": "w"}
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    acc = 0
+    for k in range(200):
+        assert rows[k]["off"] == acc
+        # two outputs sharing one weight col must agree (regression:
+        # a per-output carry advance would skew the second)
+        assert rows[k]["off2"] == acc
+        assert rows[k]["rank0"] == k
+        acc += k % 7
+    # all three sums ride ONE Arrow cumsum pass
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") == 1

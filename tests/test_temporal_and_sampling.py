@@ -1,0 +1,81 @@
+"""Invariant tests for the round-8 temporal/sampling/MMR tier — the
+properties the hash gates imply but don't state: exact-k systematic
+sampling, tolerance/arbitration bounds on the nearest as-of join, and
+greedy-selection sanity on the MMR re-rank. Runs at the suite's sf
+(default sf0.001); cross-engine value equality is the oracle gates' job
+(tests/test_oracle_parity.py covers these at the same sf)."""
+
+from pyspark.sql import functions as F
+
+from one_one_one_rule_spark.queries import QUERIES
+from one_one_one_rule_spark.queries_embeddings import _MMR_K, _MMR_QUERY_ID
+from one_one_one_rule_spark.queries_temporal import NEAREST_TOL_US
+from one_one_one_rule_spark.queries_text import SYSTEMATIC_K
+
+
+def test_systematic_sample_draws_exactly_k_ticks(spark, sf_dir):
+    df = QUERIES["docs_weighted_systematic_sample"](spark, sf_dir)
+    [row] = df.agg(F.sum("n_picks").alias("k")).collect()
+    assert row["k"] == SYSTEMATIC_K
+    # a pick implies positive weight
+    assert df.filter(F.col("n_chars") <= 0).count() == 0
+
+
+def test_asof_nearest_within_tolerance_and_consistent(spark, sf_dir):
+    rows = QUERIES["events_asof_nearest"](spark, sf_dir).collect()
+    assert rows, "no purchases in fixture?"
+    matched = [r for r in rows if r["matched_click_id"] is not None]
+    assert matched, "tolerance window matched nothing"
+    for r in matched:
+        assert 0 <= r["gap_us"] <= NEAREST_TOL_US
+        assert r["direction"] in ("backward", "forward")
+        # direction agrees with the rendered timestamps (second grain —
+        # equal-second rows can be either side, skip those)
+        if r["click_ts"] != r["purchase_ts"]:
+            if r["direction"] == "backward":
+                assert r["click_ts"] < r["purchase_ts"]
+            else:
+                assert r["click_ts"] > r["purchase_ts"]
+    for r in rows:
+        if r["matched_click_id"] is None:
+            assert r["direction"] is None and r["gap_us"] is None
+
+
+def test_mmr_selection_shape_and_greedy_head(spark, sf_dir):
+    out = QUERIES["ann_mmr_rerank"](spark, sf_dir).collect()
+    assert len(out) == _MMR_K
+    by_rank = {r["sel_rank"]: r for r in out}
+    assert sorted(by_rank) == list(range(1, _MMR_K + 1))
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == _MMR_K and _MMR_QUERY_ID not in ids
+    # rank 1 is the pure-relevance argmax: mmr = 7*rel and max rel overall
+    head = by_rank[1]
+    assert head["mmr_q"] == 7 * head["rel_q"]
+    assert head["rel_q"] == max(r["rel_q"] for r in out)
+    # mmr = 7*rel - 3*max_sim, so the residual is always a multiple of 3
+    # (max_sim itself may be NEGATIVE — anti-correlated unit vectors — in
+    # which case the "penalty" legitimately adds)
+    for rank in range(2, _MMR_K + 1):
+        r = by_rank[rank]
+        assert (7 * r["rel_q"] - r["mmr_q"]) % 3 == 0
+
+
+def test_interval_overlap_counts_are_symmetric_in_total(spark, sf_dir):
+    # the summed pair count over left sessions equals the raw pair count
+    # of the naive inequality join computed from the engine's own session
+    # sets — a self-consistency check fully inside Spark (the DuckDB
+    # cross-check is the oracle gate)
+    from one_one_one_rule_spark.queries_temporal import _sessions
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cs = _sessions(e, "click", "c_")
+    ps = _sessions(e, "purchase", "p_")
+    naive = cs.crossJoin(ps).filter(
+        (F.col("c_s_us") <= F.col("p_e_us"))
+        & (F.col("p_s_us") <= F.col("c_e_us"))
+    )
+    n_naive = naive.count()
+    df = QUERIES["events_interval_overlap_join"](spark, sf_dir)
+    [row] = df.agg(F.sum("n_overlap_sessions").alias("n")).collect()
+    assert row["n"] == n_naive

@@ -122,6 +122,14 @@ def main() -> int:
     ap.add_argument("--only", metavar="NAME_REGEX", default=None)
     args = ap.parse_args()
 
+    # the GENERATED oracles (oracles_ann / oracles_text) train their
+    # model artifacts against SPARK_GRAFT_ORACLE_SF_DIR at import time;
+    # sweeping a DIFFERENT --sf-dir against oracles trained at the
+    # default gate scale produces bogus hash fails (model vs data skew),
+    # so align them before the registry import unless the caller pinned
+    # the env var explicitly
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", args.sf_dir)
+
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
     )

@@ -48,6 +48,8 @@ REPRODUCE = [
     ("ann_pq_topk", "sf0.01", "sf0.1", "exponent_shuffle_01_to_1"),
     ("docs_substring_dedup", "sf0.01", "sf0.1",
      "exponent_shuffle_01_to_1"),
+    ("events_interval_overlap_join",
+     "sf0.001", "sf0.01", "exponent_shuffle_001_to_01"),
 ]
 #: Recomputed-exponent slack over the committed small-leg value: the
 #: test session's parallelism (local[4]) can split map stages

@@ -89,3 +89,94 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_cell_skew_is_aqe_split_and_exact(spark):
+    """The operator docstring claims hot grid cells are 'ordinary
+    equi-join skew (AQE-split)'. Prove it: ~90% of both interval sets
+    pile into ONE 1-hour cell, the join runs under test-scaled skew
+    thresholds (production keeps defaults; same ratio trips the same
+    path at GBs), and the executed plan must show numSkewedSplits while
+    the aggregate matches DuckDB's literal inequality join."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from test_scale_probe import _executed_skew_metrics
+
+    def mk(n, salt, prefix):
+        # i % 10 < 9 -> hot hour (cell 0); else spread over 400 cells
+        rows = []
+        for i in range(n):
+            if i % 10 < 9:
+                s = (i * 37 + salt) % 3590
+            else:
+                s = 3600 * (1 + (i * 53 + salt) % 400) + (i * 37) % 3590
+            rows.append((i, s, s + 10))
+        return pd.DataFrame(
+            rows, columns=[f"{prefix}id", f"{prefix}s", f"{prefix}e"]
+        )
+
+    lp, rp = mk(2500, 0, "l"), mk(2500, 17, "r")
+    left = spark.createDataFrame(lp).withColumn(
+        # fatten shuffle bytes past the scaled threshold with a pad the
+        # shuffle codec cannot compress away (per-row sha512 hex)
+        "pad",
+        SF.concat(
+            SF.sha2(SF.col("lid").cast("string"), 512),
+            SF.sha2((SF.col("lid") * 31).cast("string"), 512),
+        ),
+    )
+    right = spark.createDataFrame(rp)
+    con = duckdb.connect()
+    con.register("L", lp)
+    con.register("R", rp)
+    [(n_exp, chk_exp)] = con.execute(
+        "SELECT COUNT(*), SUM(l.lid * 3 + r.rid) FROM L l, R r "
+        "WHERE l.ls <= r.re AND r.rs <= l.le"
+    ).fetchall()
+    con.close()
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
+        )
+        out = overlap_join_grid(
+            left, right, "ls", "le", "rs", "re", 3600
+        ).agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.col("lid") * 3 + SF.col("rid")).alias("chk"),
+            # referencing pad blocks column pruning, so the shuffle
+            # actually carries the incompressible payload
+            SF.sum(SF.length("pad")).alias("padlen"),
+        )
+        rows, skew = _executed_skew_metrics(out)
+        assert rows[0]["n"] == n_exp
+        assert rows[0]["chk"] == chk_exp
+        assert skew["numSkewedPartitions"] >= 1, (
+            f"hot grid cell never triggered the AQE skew split: {skew}"
+        )
+        assert skew["numSkewedSplits"] >= 2
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

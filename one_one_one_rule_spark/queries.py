@@ -5532,6 +5532,7 @@ from . import queries_finance  # noqa: E402,F401
 from . import queries_quality  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_temporal  # noqa: E402,F401
+from . import queries_spatial  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

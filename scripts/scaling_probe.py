@@ -110,6 +110,12 @@ SCALING_SET = [
      "linear; the PAIR term is density-driven (more sessions on the "
      "same fixed time span overlap more), inherent to overlap "
      "semantics, and stays a small fraction of shuffle volume"),
+    ("customer_geo_neighbors", "customer", 1.50,
+     "2D grid proximity join: the x9 cell explode is a fixed fan-out; "
+     "CANDIDATE volume at a fixed radius grows with density (toward "
+     "N^2/area inside the join), but the per-point aggregate combines "
+     "map-side so raw pairs never cross a shuffle — records stay "
+     "~linear; the production knob is radius/cell scaled to density"),
 ]
 
 

@@ -51,6 +51,11 @@ def overlap_join_grid(
     is generated, so the anchor bin always matches), just mildly
     unbalanced for data straddling zero; epoch timestamps never do.
     """
+    if cell < 1:
+        # a zero step would only surface as an executor-side sequence()
+        # error three stages in; negative cells break the bin arithmetic
+        # the exactly-once credit depends on
+        raise ValueError(f"cell must be a positive integer, got {cell!r}")
     lc = left.withColumn(
         "_cell",
         F.explode(

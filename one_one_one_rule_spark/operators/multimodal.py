@@ -278,6 +278,7 @@ def decode_image(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
         pos, w, ctype = len(_PNG_SIG), None, None
         idat = b""
         idat_seen = False  # buffer truthiness would miss a 0-length IDAT
+        idat_done = False  # an ancillary chunk after the run closes it
         plte = None
         ended = False
         while pos + 8 <= len(payload):
@@ -319,6 +320,11 @@ def decode_image(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
                     return None
                 plte = body
             elif tag == b"IDAT":
+                if idat_done:
+                    # spec: IDAT chunks must be consecutive WITH EACH
+                    # OTHER — an IDAT after the run was closed by an
+                    # ancillary chunk is a malformed splice
+                    return None
                 idat_seen = True
                 idat += body
             elif tag == b"IEND":
@@ -327,12 +333,15 @@ def decode_image(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
                 ended = True
                 break
             elif idat_seen:
-                # spec: IDAT chunks must be CONSECUTIVE — once the IDAT
-                # run has started, only further IDATs or IEND may follow
-                # (mirrors the PLTE-before-IDAT rule above); an ancillary
-                # chunk interleaved into the IDAT run is a malformed
-                # file, not a decodable one
-                return None
+                # a chunk between the IDAT run and IEND: ANCILLARY
+                # chunks (bit 5 of the first type byte set — tEXt, tIME,
+                # zTXt...) are spec-legal there and merely CLOSE the run
+                # (libpng commonly writes tIME after IDAT); a CRITICAL
+                # chunk here (IHDR/PLTE — uppercase first letter) is
+                # misplaced and malformed
+                if not (tag[0] & 0x20):
+                    return None
+                idat_done = True
             pos = body_end + 4
         if w is None or not ended or not idat:
             return None

@@ -130,7 +130,11 @@ def with_running_offsets(
             # weight; advancing the carry twice would skew the second)
             vals = {}
             for weight_col in dict.fromkeys(w for _, w in pairs):
-                w = pdf[weight_col].to_numpy()
+                # widen BEFORE the cumsum: Byte/Short/Integer weights are
+                # accepted by the type gate but arrive as narrow numpy
+                # dtypes, and numpy cumsum keeps the input dtype — an
+                # int32 running total would silently wrap past 2^31
+                w = pdf[weight_col].to_numpy(dtype="int64")
                 c = w.cumsum()
                 base = carry.get(weight_col, 0)
                 vals[weight_col] = base + c - w

@@ -1435,9 +1435,12 @@ def docs_weighted_systematic_sample(
         .filter(F.col("n_chars").isNotNull())
         .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("w"))
     )
-    off = with_running_offset(d, ["doc_id"], "w", "off")
-    [row] = off.agg(F.coalesce(F.sum("w"), F.lit(0)).alias("t")).collect()
+    # total from the PRE-offset frame: aggregating the operator's output
+    # would re-execute its Arrow cumsum pass just to rediscover a sum the
+    # totals job already produced
+    [row] = d.agg(F.coalesce(F.sum("w"), F.lit(0)).alias("t")).collect()
     total = int(row["t"])
+    off = with_running_offset(d, ["doc_id"], "w", "off")
     picks = F.expr(f"((off + w) * {k}) div {total} - (off * {k}) div {total}")
     return (
         off.withColumn("n_picks", picks.cast("bigint"))

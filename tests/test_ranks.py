@@ -92,3 +92,16 @@ def test_multi_weight_offsets_one_pass(spark):
     # all three sums ride ONE Arrow cumsum pass
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") == 1
+
+
+def test_integer_weights_do_not_wrap_at_int32(spark):
+    # IntegerType weights are accepted by the type gate but arrive in
+    # pandas as int32; the cumsum must widen to int64 BEFORE summing or
+    # the running total wraps past 2^31 (code-review regression)
+    big = 1 << 30
+    df = spark.createDataFrame(
+        [(i, big) for i in range(6)], "k long, w int"
+    ).coalesce(1)
+    rows = {r["k"]: r["offset_before"]
+            for r in with_running_offset(df, ["k"], "w").collect()}
+    assert rows[5] == 5 * big  # > 2^31: wrapped int32 would be negative

@@ -17,7 +17,10 @@ def test_geo_neighbors_symmetry_and_radius(spark, sf_dir):
     assert total > 0, "radius matched nothing at this sf — dead gate"
     for r in rows:
         if r["n_neighbors"] > 0:
-            assert 0 < r["min_d2"] <= GEO_RADIUS * GEO_RADIUS
+            # 0 is legitimate: the two coordinate hashes share modulus
+            # GEO_SPAN, so custkeys 100000 apart coincide exactly (first
+            # occurs at >= 100001 customers, beyond these fixtures)
+            assert 0 <= r["min_d2"] <= GEO_RADIUS * GEO_RADIUS
         else:
             assert r["min_d2"] is None
 

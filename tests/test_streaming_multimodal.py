@@ -1325,3 +1325,53 @@ def test_png_rejects_interleaved_chunk_in_idat_run():
         + _chunk(b"IDAT", z) + _chunk(b"IEND", b"")
     )
     assert decode_image(pre) is not None
+
+
+def test_png_accepts_ancillary_after_idat_run_rejects_critical():
+    """PNG spec: IDAT chunks must be consecutive WITH EACH OTHER, but
+    ancillary chunks between the IDAT run and IEND are legal (libpng
+    commonly writes tIME/tEXt there) — the strict decoder must accept
+    them (code-review fix: the first cut rejected any post-run chunk).
+    A CRITICAL chunk after the run stays malformed."""
+    import struct as _s
+    import zlib as _z
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_image,
+    )
+
+    def _chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    z = _z.compress(b"\x00" * (3 * 4))
+    # ancillary after the (complete) IDAT run: valid file, must decode
+    post = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", z)
+        + _chunk(b"tIME", b"\x07\xe9\x08\x10\x00\x00\x00")
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_image(post) is not None
+    # two ancillary chunks after the run: still valid
+    post2 = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", z)
+        + _chunk(b"tIME", b"\x07\xe9\x08\x10\x00\x00\x00")
+        + _chunk(b"tEXt", b"k\x00v") + _chunk(b"IEND", b"")
+    )
+    assert decode_image(post2) is not None
+    # a CRITICAL (uppercase-first) chunk after the run is misplaced
+    crit = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", z)
+        + _chunk(b"SBIT", b"\x08") + _chunk(b"IEND", b"")
+    )
+    assert decode_image(crit) is None
+    # PLTE after IDAT stays rejected via its own placement rule
+    plte_late = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", z)
+        + _chunk(b"PLTE", b"\x00" * 3) + _chunk(b"IEND", b"")
+    )
+    assert decode_image(plte_late) is None

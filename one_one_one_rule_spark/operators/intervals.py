@@ -56,6 +56,16 @@ def overlap_join_grid(
         # error three stages in; negative cells break the bin arithmetic
         # the exactly-once credit depends on
         raise ValueError(f"cell must be a positive integer, got {cell!r}")
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        # the post-join filter resolves l_start/r_start/l_end/r_end with
+        # plain F.col — a shared name would surface as AMBIGUOUS_REFERENCE
+        # three stages in (or bind to the wrong side on older Spark), so
+        # enforce the documented no-collision precondition at the call site
+        raise ValueError(
+            "left/right column names must not collide, shared: "
+            f"{sorted(shared)}"
+        )
     lc = left.withColumn(
         "_cell",
         F.explode(

@@ -338,7 +338,12 @@ def decode_image(payload: bytes, max_pixels: int = _PNG_MAX_PIXELS):
                 # zTXt...) are spec-legal there and merely CLOSE the run
                 # (libpng commonly writes tIME after IDAT); a CRITICAL
                 # chunk here (IHDR/PLTE — uppercase first letter) is
-                # misplaced and malformed
+                # misplaced and malformed. Order-constrained ancillary
+                # tags the spec requires BEFORE the first IDAT (tRNS,
+                # gAMA, cHRM, sBIT, sRGB) are accepted here too — this
+                # decoder ignores all of them, so a misplaced one cannot
+                # change the pixels; if tRNS support is ever added, the
+                # post-IDAT position must start rejecting these tags
                 if not (tag[0] & 0x20):
                     return None
                 idat_done = True

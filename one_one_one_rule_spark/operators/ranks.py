@@ -62,6 +62,17 @@ def with_running_offsets(
     pass (e.g. token offset + weight-1 global rank together)."""
     from pyspark.sql.types import ByteType, IntegerType, ShortType
 
+    if not outputs:
+        # an empty mapping would still pay the range exchange + totals
+        # job and return the input unchanged — always a caller bug
+        raise ValueError("outputs must map at least one column")
+    clashes = set(outputs) & set(df.columns)
+    if clashes:
+        # a duplicate field name only fails (or misbinds) at Arrow
+        # conversion inside mapInPandas; fail at the call site instead
+        raise ValueError(
+            f"output columns already present in df: {sorted(clashes)}"
+        )
     for out_col, weight_col in outputs.items():
         wtype = df.schema[weight_col].dataType
         if not isinstance(

@@ -1083,12 +1083,18 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda v: F.round(v.cast("double") * 1000000.0).cast("bigint"),
     )
-    [qrow] = (
+    qrows = (
         e.filter(F.col("vec_id") == _MMR_QUERY_ID)
         .select(q6.alias("qv"))
         .collect()
     )
-    qv = [int(x) for x in qrow["qv"]]
+    if len(qrows) != 1:
+        # fixture drift must fail legibly, not as a bare unpacking error
+        raise ValueError(
+            f"expected exactly one query vector with vec_id="
+            f"{_MMR_QUERY_ID}, found {len(qrows)} in {sf_dir}"
+        )
+    qv = [int(x) for x in qrows[0]["qv"]]
     rel = F.aggregate(
         F.zip_with(
             q6,
@@ -1109,6 +1115,13 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64 ≈ 25 KB), the same order of magnitude as the collected
     # centroids/codebooks of the IVF/PQ tiers
     rows = shortlist.collect()
+    if len(rows) < _MMR_K:
+        # the greedy below selects exactly _MMR_K distinct ids; a short
+        # (or empty) shortlist means the fixture shrank under k
+        raise ValueError(
+            f"MMR shortlist has {len(rows)} rows, need >= {_MMR_K} "
+            f"non-query vectors in {sf_dir}"
+        )
     cand = {int(r["vec_id"]): ([int(x) for x in r["cv"]], int(r["rel"])) for r in rows}
 
     def idot(a: list[int], b: list[int]) -> int:

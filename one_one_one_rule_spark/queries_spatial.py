@@ -94,12 +94,20 @@ def customer_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"x div {r}").alias("cx"),
         F.expr(f"y div {r}").alias("cy"),
     )
+    # clamp the neighborhood to the lattice: cells live in
+    # [0, (GEO_SPAN-1) div r]; the off-lattice edge cells (cx = -1 or
+    # max+1) can never match a build cell, so generating them is pure
+    # explode/shuffle overhead
+    max_cell = (GEO_SPAN - 1) // r
     probe = p.select(
         "c_custkey",
         "x",
         "y",
         F.explode(
-            F.sequence(F.expr(f"x div {r}") - 1, F.expr(f"x div {r}") + 1)
+            F.sequence(
+                F.greatest(F.expr(f"x div {r}") - 1, F.lit(0)),
+                F.least(F.expr(f"x div {r}") + 1, F.lit(max_cell)),
+            )
         ).alias("cx"),
     ).select(
         "c_custkey",
@@ -107,7 +115,10 @@ def customer_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "cx",
         F.explode(
-            F.sequence(F.expr(f"y div {r}") - 1, F.expr(f"y div {r}") + 1)
+            F.sequence(
+                F.greatest(F.expr(f"y div {r}") - 1, F.lit(0)),
+                F.least(F.expr(f"y div {r}") + 1, F.lit(max_cell)),
+            )
         ).alias("cy"),
     )
     d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (

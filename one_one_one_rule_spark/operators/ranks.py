@@ -40,26 +40,43 @@ def with_running_offset(
     order_cols: list[str],
     weight_col: str,
     out_col: str = "offset_before",
+    assert_total_order: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = SUM(``weight_col``) over all rows STRICTLY before
     the current row in the global ``order_cols`` order (exclusive prefix
     sum). ``weight_col`` must be integral (the cumsum runs in numpy
     int64 — exact, like the engine's other integer-grid gates);
     ``order_cols`` must be a total order (ties would make the offset
-    partition-dependent).
+    partition-dependent). ``assert_total_order=True`` verifies that
+    requirement (see with_running_offsets).
     """
-    return with_running_offsets(df, order_cols, {out_col: weight_col})
+    return with_running_offsets(
+        df,
+        order_cols,
+        {out_col: weight_col},
+        assert_total_order=assert_total_order,
+    )
 
 
 def with_running_offsets(
     df: DataFrame,
     order_cols: list[str],
     outputs: dict[str, str],
+    assert_total_order: bool = False,
 ) -> DataFrame:
     """Multi-weight form: ``outputs`` maps each new column name to the
     integral weight column whose exclusive prefix sum it receives — ALL
     sums ride ONE range exchange, one totals job, and one Arrow cumsum
-    pass (e.g. token offset + weight-1 global rank together)."""
+    pass (e.g. token offset + weight-1 global rank together).
+
+    ``assert_total_order=True`` verifies the documented precondition that
+    ``order_cols`` is a TOTAL order: a tied key straddling a
+    range-partition boundary would make offsets partition-dependent (the
+    tied rows' relative order differs run to run), a silent hash-flapping
+    hazard. The check rides the EXISTING per-partition totals job — range
+    partitioning sends every copy of a key to one partition, so a per-pid
+    count vs count-distinct comparison is exact globally — and raises at
+    the call site instead of drifting downstream."""
     from pyspark.sql.types import ByteType, IntegerType, ShortType
 
     if not outputs:
@@ -91,6 +108,14 @@ def with_running_offsets(
         .localCheckpoint(eager=True)
     )
     wcols = list(outputs.values())
+    order_checks = (
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(*order_cols).alias("n_keys"),
+        ]
+        if assert_total_order
+        else []
+    )
     totals = (
         parts.groupBy(F.spark_partition_id().alias("pid"))
         .agg(
@@ -99,9 +124,19 @@ def with_running_offsets(
                 (F.count(F.lit(1)) - F.count(w)).alias(f"nulls_{w}")
                 for w in dict.fromkeys(wcols)
             ],
+            *order_checks,
         )
         .collect()
     )
+    if assert_total_order:
+        dup = sum(r["n_rows"] - r["n_keys"] for r in totals)
+        if dup:
+            raise ValueError(
+                f"order_cols {order_cols} is not a total order: "
+                f"{dup} row(s) share a key with another row — offsets "
+                "would be partition-dependent; add a unique tiebreak "
+                "column"
+            )
     for w in dict.fromkeys(wcols):
         if any(r[f"nulls_{w}"] for r in totals):
             # SUM skips NULLs JVM-side while Arrow would deliver them to

@@ -1178,7 +1178,11 @@ def _pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranks import with_running_offset
 
     return with_running_offset(
-        _doc_token_counts(spark, sf_dir), ["doc_id"], "n_tokens", "off"
+        _doc_token_counts(spark, sf_dir),
+        ["doc_id"],
+        "n_tokens",
+        "off",
+        assert_total_order=True,
     )
 
 
@@ -1362,6 +1366,7 @@ def docs_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
         "n_tokens",
         "off",
+        assert_total_order=True,
     ).localCheckpoint(eager=True)
     # the ONLY base-side state the delta needs: one scalar
     [tot] = base.agg(
@@ -1372,6 +1377,7 @@ def docs_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
         "n_tokens",
         "off",
+        assert_total_order=True,
     ).withColumn("off", F.col("off") + F.lit(int(tot["t"])))
     return _span_select(base.unionByName(delta))
 
@@ -1440,7 +1446,9 @@ def docs_weighted_systematic_sample(
     # totals job already produced
     [row] = d.agg(F.coalesce(F.sum("w"), F.lit(0)).alias("t")).collect()
     total = int(row["t"])
-    off = with_running_offset(d, ["doc_id"], "w", "off")
+    off = with_running_offset(
+        d, ["doc_id"], "w", "off", assert_total_order=True
+    )
     picks = F.expr(f"((off + w) * {k}) div {total} - (off * {k}) div {total}")
     return (
         off.withColumn("n_picks", picks.cast("bigint"))
@@ -1520,6 +1528,7 @@ def docs_shuffled_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("one", F.lit(1).cast("bigint")),
         ["hkey", "doc_id"],
         {"off": "n_tokens", "shuffle_pos": "one"},
+        assert_total_order=True,
     )
     L = PACK_SEQ_LEN
     return pos.select(

@@ -105,3 +105,28 @@ def test_integer_weights_do_not_wrap_at_int32(spark):
     rows = {r["k"]: r["offset_before"]
             for r in with_running_offset(df, ["k"], "w").collect()}
     assert rows[5] == 5 * big  # > 2^31: wrapped int32 would be negative
+
+def test_assert_total_order_guard(spark):
+    # round-8 verdict item 5: a tied order key straddling a range-partition
+    # boundary makes offsets partition-dependent — the opt-in guard must
+    # raise at the call site instead of silently drifting
+    tied = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 30), (3, 40)], "k long, w long"
+    )
+    with pytest.raises(ValueError, match="not a total order"):
+        with_running_offset(tied, ["k"], "w", assert_total_order=True)
+    # same data, unique composite key: passes, offsets exact
+    unique = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 20), (2, 1, 30), (3, 0, 40)],
+        "k long, tie long, w long",
+    )
+    rows = {
+        (r["k"], r["tie"]): r["off"]
+        for r in with_running_offset(
+            unique, ["k", "tie"], "w", "off", assert_total_order=True
+        ).collect()
+    }
+    assert rows == {(1, 0): 0, (2, 0): 10, (2, 1): 30, (3, 0): 60}
+    # the guard is opt-in: the unchecked path still computes (ties get
+    # SOME consistent-within-run assignment; callers own the contract)
+    assert with_running_offset(tied, ["k"], "w").count() == 4

@@ -14,8 +14,14 @@ Right rows sort before left rows at equal timestamps, so an exactly
 simultaneous right row is matched (ASOF's ``<=``).
 
 At 100 TB: the window partitions by join key — skewed keys (one user with
-billions of events) are the hazard; mitigate by pre-bucketing both inputs
-on the key so the sort is local, or salt + two-phase as-of.
+billions of events) are the hazard. ``asof_join_backward_salted`` is the
+two-phase mitigation: salt the key with a TIME-RANGE bucket (the salt must
+be monotone in ``ts`` or a bucket cannot know its carry-in), run the same
+union-window as-of within each (key, bucket), and resolve the cross-bucket
+case — a left row preceded by no right row in its own bucket — through a
+per-(key, bucket) summary table that is #buckets rows per key regardless of
+row volume. Per-task fan-out drops from "all rows of the hottest key" to
+"one bucket of the hottest key"; pick ``n_buckets`` so that fits one task.
 """
 
 from __future__ import annotations
@@ -24,21 +30,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join_backward(
+def _tag_union(
     left: DataFrame,
     right: DataFrame,
     key: str,
     ts: str,
     payload_cols: list[str],
-    out_prefix: str = "asof_",
 ) -> DataFrame:
-    """Attach the latest right payload at-or-before each left row's ``ts``.
-
-    ``left`` keeps all its columns; payload columns arrive as
-    ``{out_prefix}{col}`` (NULL when no right row precedes). The right side
-    should be unique per (key, ts) — dedupe upstream if it is not, or the
-    matched payload is ambiguous.
-    """
+    """Shared pre-pass of both as-of forms: left rows tagged side=1 with a
+    NULL payload struct, right rows tagged side=0 carrying their payload,
+    schemas aligned so the two sides union by name."""
     l_tag = left.withColumn("_asof_side", F.lit(1)).withColumn(
         "_asof_payload",
         F.lit(None).cast(
@@ -62,8 +63,36 @@ def asof_join_backward(
     for c, t in left.dtypes:
         if c not in (key, ts):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(t))
-    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    return l_tag.unionByName(r_tag.select(*l_tag.columns))
 
+
+def _project_matches(
+    matched: DataFrame, payload_cols: list[str], out_prefix: str
+) -> DataFrame:
+    """Keep left rows, unpack the matched payload struct into
+    ``{out_prefix}{col}`` columns, drop the operator's scratch columns."""
+    out = matched.filter(F.col("_asof_side") == 1)
+    for c in payload_cols:
+        out = out.withColumn(f"{out_prefix}{c}", F.col(f"_asof_match.{c}"))
+    return out.drop("_asof_side", "_asof_payload", "_asof_match")
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+    out_prefix: str = "asof_",
+) -> DataFrame:
+    """Attach the latest right payload at-or-before each left row's ``ts``.
+
+    ``left`` keeps all its columns; payload columns arrive as
+    ``{out_prefix}{col}`` (NULL when no right row precedes). The right side
+    should be unique per (key, ts) — dedupe upstream if it is not, or the
+    matched payload is ambiguous.
+    """
+    unioned = _tag_union(left, right, key, ts, payload_cols)
     w = (
         Window.partitionBy(key)
         .orderBy(F.asc(ts), F.asc("_asof_side"))
@@ -72,7 +101,123 @@ def asof_join_backward(
     matched = unioned.withColumn(
         "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
     )
-    out = matched.filter(F.col("_asof_side") == 1)
-    for c in payload_cols:
-        out = out.withColumn(f"{out_prefix}{c}", F.col(f"_asof_match.{c}"))
-    return out.drop("_asof_side", "_asof_payload", "_asof_match")
+    return _project_matches(matched, payload_cols, out_prefix)
+
+
+def asof_join_backward_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+    out_prefix: str = "asof_",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Hot-key-proof two-phase as-of join — identical results to
+    ``asof_join_backward`` (same contract: right unique per (key, ts)),
+    different shuffle shape:
+
+    1. SALT: bucket the time axis into ``n_buckets`` equal ranges (one
+       2-scalar aggregate for min/max ts — the only driver traffic). The
+       salt is monotone in ``ts``, so "the latest right row before bucket
+       b" is a per-key running statistic over bucket summaries.
+    2. LOCAL PHASE: the union-window as-of within (key, bucket) — the
+       hottest key now spreads over up to ``n_buckets`` tasks, each
+       sorting only its time slice.
+    3. CARRY PHASE: per-(key, bucket) summary = payload of the bucket's
+       max-ts right row (a combinable ``max_by`` aggregate, ≤ #keys ×
+       n_buckets rows TOTAL); a running last-non-null over the per-key
+       bucket spine — a window over ≤ n_buckets rows per key, bounded by
+       construction — yields each bucket's carry-in, joined back on
+       (key, bucket). Final match = COALESCE(local, carry-in): a right
+       row in an earlier bucket has strictly smaller ts than anything in
+       this bucket, and the carry-in IS the max-ts such row.
+
+    Cost vs the unsalted form: the same one shuffle of |L|+|R| rows (now
+    on (key, bucket)), plus the summary aggregate (map-side combinable,
+    output bounded), the spine window (bounded), and one (key, bucket)
+    equi-join that reuses the local phase's partitioning. Use it when a
+    key's row count can exceed one task's sort budget; the unsalted form
+    is one stage shorter for well-distributed keys.
+
+    ``key`` must be non-null: the carry join is null-unsafe, so a NULL
+    key would match within its bucket but never across buckets (the
+    unsalted form groups NULL keys like any other value). Filter or
+    fill NULL keys upstream.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets!r}")
+    shared = set(left.columns) & {"_asof_b", "_asof_side", "_asof_payload"}
+    if shared:
+        raise ValueError(f"input columns collide with scratch: {shared}")
+
+    unioned = _tag_union(left, right, key, ts, payload_cols)
+    # integral time axis for bucket arithmetic (exact — no float division)
+    ts_type = dict(unioned.dtypes)[ts]
+    ts_num = (
+        F.unix_micros(F.col(ts))
+        if ts_type.startswith("timestamp")
+        else F.col(ts).cast("bigint")
+    )
+    lo_hi = unioned.agg(
+        F.min(ts_num).alias("lo"), F.max(ts_num).alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        # no usable timestamps anywhere: every match is NULL by contract,
+        # and the unsalted form already handles the degenerate case
+        return asof_join_backward(
+            left, right, key, ts, payload_cols, out_prefix
+        )
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    width = (hi - lo) // n_buckets + 1  # buckets span [lo, hi] in 0..n-1
+    # exact integer bucket: `div` (SQL integer division), never a float
+    # divide whose rounding could flip a row across a bucket boundary
+    salted = unioned.withColumn("_asof_tsnum", ts_num - F.lit(lo)).withColumn(
+        "_asof_b", F.expr(f"_asof_tsnum div {width}")
+    ).drop("_asof_tsnum")
+
+    # phase 2: within-bucket as-of (the hot key's rows now span buckets)
+    w_local = (
+        Window.partitionBy(key, "_asof_b")
+        .orderBy(F.asc(ts), F.asc("_asof_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = salted.withColumn(
+        "_asof_local", F.last("_asof_payload", ignorenulls=True).over(w_local)
+    )
+
+    # phase 3: carry-in. Bucket summaries come from RIGHT rows only; the
+    # spine must cover every (key, bucket) that has ANY row, so buckets
+    # holding only left rows still receive a carry.
+    summaries = (
+        salted.filter(F.col("_asof_side") == 0)
+        .groupBy(key, "_asof_b")
+        .agg(F.max_by("_asof_payload", F.col(ts)).alias("_asof_last"))
+    )
+    spine = (
+        salted.select(key, "_asof_b")
+        .distinct()
+        .join(summaries, [key, "_asof_b"], "left")
+    )
+    w_spine = (
+        Window.partitionBy(key)
+        .orderBy("_asof_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.select(
+        key,
+        "_asof_b",
+        F.last("_asof_last", ignorenulls=True)
+        .over(w_spine)
+        .alias("_asof_carry"),
+    )
+
+    # LEFT join: a NULL-ts left row has a NULL bucket that matches no
+    # spine row — it must survive with a NULL payload (base semantics),
+    # not be dropped by an inner join on the bucket key
+    matched = local.join(carry, [key, "_asof_b"], "left").withColumn(
+        "_asof_match", F.coalesce("_asof_local", "_asof_carry")
+    )
+    return _project_matches(
+        matched, payload_cols, out_prefix
+    ).drop("_asof_b", "_asof_local", "_asof_carry")

@@ -384,3 +384,52 @@ def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_qty"),
         )
     )
+
+
+from .operators.asof import asof_join_backward_salted  # noqa: E402
+from .queries import ORACLES  # noqa: E402
+
+
+@register(
+    "events_asof_purchase_click_salted",
+    ORACLES["events_asof_purchase_click"],
+)
+def events_asof_purchase_click_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SALTED twin of events_asof_purchase_click — identical inputs,
+    identical oracle (DuckDB's native ASOF LEFT JOIN), but run through
+    asof_join_backward_salted (operators/asof.py): the time axis is cut
+    into 32 range buckets, the as-of window partitions by (user_id,
+    bucket) — a hot user's events now spread over up to 32 tasks instead
+    of serializing one reducer — and the cross-bucket matches resolve
+    through the bounded per-(key, bucket) carry table. Same salted/
+    unsalted gate-pair pattern as top_orders_per_customer_salted: the
+    hash gate proves the skew-proof shape is EXACTLY the operator, not
+    an approximation of it."""
+    e = load_table(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    joined = asof_join_backward_salted(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        payload_cols=["ts", "value"],
+        n_buckets=32,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("asof_value").alias("click_value"),
+    )

@@ -35,6 +35,7 @@ def overlap_join_grid(
     r_start: str,
     r_end: str,
     cell: int,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """All (left, right) pairs whose CLOSED integer intervals overlap:
     ``l_start <= r_end AND r_start <= l_end``.
@@ -50,6 +51,18 @@ def overlap_join_grid(
     identical on both sides, every multiple of ``cell`` between two bins
     is generated, so the anchor bin always matches), just mildly
     unbalanced for data straddling zero; epoch timestamps never do.
+
+    ``salt_buckets > 1`` is the PATHOLOGICAL-skew escape hatch the module
+    docstring names (everyone online in the same hour = one cell holding
+    most of both sides; AQE's skew split only subdivides the STREAM side
+    of a sort-merge pair, and a broadcast plan is immune but single-cell
+    density can exceed any sane broadcast). Left rows take a
+    deterministic row-hash salt, right rows replicate ``salt_buckets``
+    ways, the join key widens to (cell, salt): the hot cell's pair volume
+    splits across ``salt_buckets`` reducers at the cost of a
+    ``salt_buckets``x replication of the RIGHT explode — so salt with the
+    smaller side on the right. Results are identical (each qualifying
+    pair still arises in exactly one cell and exactly one salt).
     """
     if cell < 1:
         # a zero step would only surface as an executor-side sequence()
@@ -65,6 +78,10 @@ def overlap_join_grid(
         raise ValueError(
             "left/right column names must not collide, shared: "
             f"{sorted(shared)}"
+        )
+    if salt_buckets < 1:
+        raise ValueError(
+            f"salt_buckets must be a positive integer, got {salt_buckets!r}"
         )
     lc = left.withColumn(
         "_cell",
@@ -86,17 +103,35 @@ def overlap_join_grid(
             )
         ),
     )
+    if salt_buckets > 1:
+        # deterministic row-hash salt on the probe side (uniform over the
+        # hot cell's population), full replication on the build side: one
+        # replica per salt value, so every pair meets exactly once
+        lc = lc.withColumn(
+            "_salt",
+            F.pmod(F.hash(*[F.col(c) for c in left.columns]),
+                   F.lit(salt_buckets)),
+        )
+        rc = rc.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
+        on = (lc["_cell"] == rc["_rcell"]) & (lc["_salt"] == rc["_salt"])
+        drop_cols = ["_cell", "_rcell", "_salt"]
+    else:
+        on = lc["_cell"] == rc["_rcell"]
+        drop_cols = ["_cell", "_rcell"]
     # the dedup invariant: a pair overlaps in possibly many cells, but the
     # cell containing max(l_start, r_start) is unique and always one of
     # them (the later start lies inside BOTH intervals, hence inside both
     # explode ranges)
     anchor = F.greatest(F.col(l_start), F.col(r_start)).cast("bigint")
     return (
-        lc.join(rc, lc["_cell"] == rc["_rcell"])
+        lc.join(rc, on)
         .filter(
             (F.col(l_start) <= F.col(r_end))
             & (F.col(r_start) <= F.col(l_end))
             & (F.col("_cell") == anchor - (anchor % cell))
         )
-        .drop("_cell", "_rcell")
+        .drop(*drop_cols)
     )

@@ -35,6 +35,76 @@ GEO_MULT_Y = 40503
 GEO_RADIUS = 5_000
 
 
+def neighbor_pairs(
+    p: DataFrame, r: int, salt_buckets: int = 1
+) -> DataFrame:
+    """(c_custkey, d2) for every ordered point pair within radius ``r``:
+    build side keyed by its own cell (x div r, y div r), probe side
+    exploded to the 3x3 cell neighborhood (clamped to the lattice — the
+    off-grid edge cells can never match, so generating them is pure
+    explode/shuffle overhead), ONE hash equi-join on the composite cell
+    id, integer d^2 <= r^2 residual. ``p`` must carry (c_custkey, x, y).
+
+    ``salt_buckets > 1`` is the pathological-hot-cell escape hatch (the
+    2D analogue of overlap_join_grid's): probe rows take a deterministic
+    key-hash salt, build rows replicate ``salt_buckets`` ways, the join
+    key widens to (cx, cy, salt) — a hot cell's pair volume splits
+    across ``salt_buckets`` reducers, results identical (each candidate
+    pair still meets in exactly one cell and one salt).
+    """
+    if salt_buckets < 1:
+        raise ValueError(
+            f"salt_buckets must be a positive integer, got {salt_buckets!r}"
+        )
+    build = p.select(
+        F.col("c_custkey").alias("nb"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr(f"x div {r}").alias("cx"),
+        F.expr(f"y div {r}").alias("cy"),
+    )
+    max_cell = (GEO_SPAN - 1) // r
+    probe = p.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.explode(
+            F.sequence(
+                F.greatest(F.expr(f"x div {r}") - 1, F.lit(0)),
+                F.least(F.expr(f"x div {r}") + 1, F.lit(max_cell)),
+            )
+        ).alias("cx"),
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        "cx",
+        F.explode(
+            F.sequence(
+                F.greatest(F.expr(f"y div {r}") - 1, F.lit(0)),
+                F.least(F.expr(f"y div {r}") + 1, F.lit(max_cell)),
+            )
+        ).alias("cy"),
+    )
+    join_keys = ["cx", "cy"]
+    if salt_buckets > 1:
+        probe = probe.withColumn(
+            "_salt", F.pmod(F.hash("c_custkey"), F.lit(salt_buckets))
+        )
+        build = build.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        join_keys = ["cx", "cy", "_salt"]
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    return (
+        probe.join(build, join_keys)
+        .filter((F.col("c_custkey") != F.col("nb")) & (d2 <= r * r))
+        .select("c_custkey", d2.alias("d2"))
+    )
+
+
 @register(
     "customer_geo_neighbors",
     f"""
@@ -81,54 +151,12 @@ def customer_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     N^2; the composite cell id also serves as the layout key (this IS
     the geohash-bucketing a spatial warehouse persists)."""
     c = load_table(spark, sf_dir, "customer")
-    r = GEO_RADIUS
     p = c.select(
         "c_custkey",
         ((F.col("c_custkey") * GEO_MULT_X) % GEO_SPAN).alias("x"),
         ((F.col("c_custkey") * GEO_MULT_Y) % GEO_SPAN).alias("y"),
     ).localCheckpoint(eager=True)
-    build = p.select(
-        F.col("c_custkey").alias("nb"),
-        F.col("x").alias("bx"),
-        F.col("y").alias("by"),
-        F.expr(f"x div {r}").alias("cx"),
-        F.expr(f"y div {r}").alias("cy"),
-    )
-    # clamp the neighborhood to the lattice: cells live in
-    # [0, (GEO_SPAN-1) div r]; the off-lattice edge cells (cx = -1 or
-    # max+1) can never match a build cell, so generating them is pure
-    # explode/shuffle overhead
-    max_cell = (GEO_SPAN - 1) // r
-    probe = p.select(
-        "c_custkey",
-        "x",
-        "y",
-        F.explode(
-            F.sequence(
-                F.greatest(F.expr(f"x div {r}") - 1, F.lit(0)),
-                F.least(F.expr(f"x div {r}") + 1, F.lit(max_cell)),
-            )
-        ).alias("cx"),
-    ).select(
-        "c_custkey",
-        "x",
-        "y",
-        "cx",
-        F.explode(
-            F.sequence(
-                F.greatest(F.expr(f"y div {r}") - 1, F.lit(0)),
-                F.least(F.expr(f"y div {r}") + 1, F.lit(max_cell)),
-            )
-        ).alias("cy"),
-    )
-    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
-        F.col("y") - F.col("by")
-    ) * (F.col("y") - F.col("by"))
-    pairs = (
-        probe.join(build, ["cx", "cy"])
-        .filter((F.col("c_custkey") != F.col("nb")) & (d2 <= r * r))
-        .select("c_custkey", d2.alias("d2"))
-    )
+    pairs = neighbor_pairs(p, GEO_RADIUS)
     agg = pairs.groupBy("c_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
         F.min("d2").cast("bigint").alias("min_d2"),

@@ -180,3 +180,56 @@ def test_hot_cell_skew_is_aqe_split_and_exact(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_grid_equals_unsalted_and_splits_the_hot_cell(spark):
+    """Round-8 verdict item 3: AQE evidence covers moderate skew; the
+    salt covers what AQE won't (a single cell dense past any split). 90%
+    of both sides pile into one cell; salt_buckets=8 must return the
+    identical pair set while spreading the hot cell's probe population
+    across 8 join keys."""
+    import random
+
+    rng = random.Random(5)
+    hot, spread = [], []
+    for i in range(1200):
+        if i % 10 < 9:
+            s = rng.randrange(0, CELL - 1)  # all inside cell 0
+        else:
+            s = CELL * (1 + rng.randrange(0, 50)) + rng.randrange(0, CELL - 1)
+        (hot if s < CELL else spread).append((s, min(s + 2, s + 2)))
+    rows = hot + spread
+    left = _mk(spark, rows, "l_")
+    right = _mk(spark, rows, "r_")
+    plain = overlap_join_grid(
+        left, right, "l_s", "l_e", "r_s", "r_e", CELL
+    )
+    salted = overlap_join_grid(
+        left, right, "l_s", "l_e", "r_s", "r_e", CELL, salt_buckets=8
+    )
+    p_pairs = {(r.l_id, r.r_id) for r in plain.collect()}
+    s_rows = [(r.l_id, r.r_id) for r in salted.collect()]
+    # exactly-once survives salting (one cell x one salt per pair)
+    assert len(s_rows) == len(set(s_rows))
+    assert set(s_rows) == p_pairs
+    # skew-bound: the operator's own salt formula (row-hash mod buckets)
+    # splits the hot cell's probe rows across all 8 buckets, max share
+    # well under a single-reducer 100%
+    shares = (
+        left.filter(F.col("l_s") < CELL)
+        .groupBy(
+            F.pmod(F.hash("l_id", "l_s", "l_e"), F.lit(8)).alias("salt")
+        )
+        .count()
+        .collect()
+    )
+    n_hot = sum(r["count"] for r in shares)
+    assert len(shares) == 8
+    assert max(r["count"] for r in shares) <= 0.35 * n_hot
+    # the salt widens the join key in the plan
+    splan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in splan
+    with pytest.raises(ValueError, match="salt_buckets"):
+        overlap_join_grid(
+            left, right, "l_s", "l_e", "r_s", "r_e", CELL, salt_buckets=0
+        )

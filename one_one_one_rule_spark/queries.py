@@ -1049,16 +1049,21 @@ def _srp_sig_sql(n_planes: int, emb: str) -> str:
     )
 
 
-def _neardup_ctes() -> str:
+def _neardup_ctes(band_bits: int | None = None) -> str:
     """CTE chain ending in ``pairs(vec_a, vec_b, cosine)`` — shared by the
-    pair query and the clusters oracle (which wraps it in a recursive CTE)."""
+    pair query, the clusters oracle (which wraps it in a recursive CTE),
+    and the corpus-scaled clusters oracle (which passes the
+    band_bits_for_corpus value instead of the pinned fixture bits)."""
     from .operators.similarity import (
         NEARDUP_COSINE,
         SRP_BAND_BITS,
         SRP_BANDS,
-        SRP_PLANES,
     )
 
+    if band_bits is None:
+        band_bits = SRP_BAND_BITS
+    SRP_PLANES = SRP_BANDS * band_bits
+    SRP_BAND_BITS = band_bits
     mask = (1 << SRP_BAND_BITS) - 1
     dot = " + ".join(
         f"ea.e[{i + 1}] * eb.e[{i + 1}]" for i in range(EMBED_DIM)
@@ -3469,9 +3474,9 @@ def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _neardup_clusters_sql() -> str:
+def _neardup_clusters_sql(band_bits: int | None = None) -> str:
     return f"""
-WITH RECURSIVE {_neardup_ctes()},
+WITH RECURSIVE {_neardup_ctes(band_bits)},
 edges AS (
   SELECT vec_a AS u, vec_b AS v FROM pairs
   UNION

@@ -1158,3 +1158,77 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr_q",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scaled near-dup clustering: band_bits_for_corpus hash-gated
+# ---------------------------------------------------------------------------
+
+
+def neardup_clusters_scaled_oracle_sql(sf_dir: str | None = None) -> str | None:
+    """Generated oracle for embeddings_neardup_clusters_scaled: re-derive
+    the production band-bits knob ENGINE-INDEPENDENTLY (DuckDB counts the
+    same gate parquet; band_bits_for_corpus is a pure function of that
+    count) and emit the recursive-reachability clusters SQL at those bits
+    — the same generated-parametric-oracle machinery as the trained
+    IVF/PQ quantizers (oracles_ann.py). Returns None (rows-only fallback)
+    if the gate table is unavailable."""
+    import os
+
+    import duckdb
+
+    from .operators.similarity import band_bits_for_corpus
+    from .queries import _neardup_clusters_sql
+
+    sf_dir = sf_dir or _ora_ann.GATE_SF_DIR
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.isfile(path):
+        return None
+    con = duckdb.connect()
+    [(n,)] = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{path}')"
+    ).fetchall()
+    con.close()
+    return _neardup_clusters_sql(band_bits_for_corpus(int(n)))
+
+
+_ora_ann.GENERATORS["embeddings_neardup_clusters_scaled"] = (
+    neardup_clusters_scaled_oracle_sql
+)
+
+
+@register(
+    "embeddings_neardup_clusters_scaled", neardup_clusters_scaled_oracle_sql()
+)
+def embeddings_neardup_clusters_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup clustering at the PRODUCTION band width: bits =
+    band_bits_for_corpus(N) (operators/similarity.py — bits grow with
+    log2 N, pinning per-band bucket occupancy and keeping total candidate
+    volume LINEAR in corpus size), then the same SRP-LSH pair graph +
+    iterative min-label connected components as
+    embeddings_neardup_clusters. That fixed-bits gate stands as the
+    documented audit twin (its pinned 4 bits keep the oracle constant but
+    make candidates quadratic — SCALING.md records exp 2.274); THIS gate
+    hash-pins the scaled path end-to-end: the oracle re-derives the same
+    bits from the same table count and re-executes signatures, banding,
+    candidate join, cosine verify, and recursive reachability at those
+    bits. One extra metadata-only count job picks the knob."""
+    from .operators.dedup import dup_clusters
+    from .operators.similarity import (
+        band_bits_for_corpus,
+        cosine_neardup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bits = band_bits_for_corpus(e.count())
+    pairs = cosine_neardup_pairs(e, band_bits=bits).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+    )

@@ -110,6 +110,11 @@ SCALING_SET = [
      "linear; the PAIR term is density-driven (more sessions on the "
      "same fixed time span overlap more), inherent to overlap "
      "semantics, and stays a small fraction of shuffle volume"),
+    ("embeddings_neardup_clusters_scaled", "embeddings", 1.40,
+     "the PRODUCTION spelling of near-dup clustering: bits = "
+     "band_bits_for_corpus(N) grows with log2 N, pinning per-band bucket "
+     "occupancy so candidate volume stays ~linear — the hash-gated "
+     "counterpart of the fixed-bits quadratic audit twin above"),
     ("customer_geo_neighbors", "customer", 1.50,
      "2D grid proximity join: the x9 cell explode is a fixed fan-out; "
      "CANDIDATE volume at a fixed radius grows with density (toward "

@@ -763,9 +763,54 @@ def _qnorm_sorted_mid(dims: DataFrame) -> DataFrame:
     )
 
 
-def _quantile_normalize(spark: SparkSession, sf_dir: str, n_dims: int):
-    """Shared body of the two quantile-normalization gates — see
+#: Adaptive route threshold: below this many EXPLODED (vec, dim) rows the
+#: single window sort is cheaper than the distributed rank's eager
+#: checkpoint + totals job + offsets join (measured at sf0.1: 0.33s window
+#: vs 0.84s distributed for the 8-dim slice); above it the window's
+#: one-task-per-dimension sort is the hot reducer the distributed form
+#: exists to kill. ~128M rows ≈ 2M vectors x 64 dims — comfortably inside
+#: one executor's sort budget per dimension at the switch point.
+_QNORM_WINDOW_MAX_ROWS = 128_000_000
+
+
+def _qnorm_windowed(dims: DataFrame) -> DataFrame:
+    """Small-corpus rank route: one window sort per dimension — the exact
+    same (v, vec_id) total order and integer ppm grid as the distributed
+    rank, so the two routes are bit-interchangeable; only the shuffle
+    shape differs (hash-by-dim + per-dim sort vs range exchange)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("dim").orderBy("v", "vec_id")
+    return dims.select(
+        "dim",
+        "vec_id",
+        (
+            (F.row_number().over(w) - F.lit(1))
+            * F.lit(1_000_000)
+        ).alias("rk6"),
+        F.count(F.lit(1)).over(Window.partitionBy("dim")).alias("n_dim"),
+    ).select(
+        "dim",
+        "vec_id",
+        F.expr("rk6 div (n_dim - 1)").alias("q_ppm"),
+    )
+
+
+def _quantile_normalize(
+    spark: SparkSession,
+    sf_dir: str,
+    n_dims: int,
+    distributed: bool | None = None,
+):
+    """Shared body of the quantile-normalization gates — see
     embeddings_quantile_normalize for semantics.
+
+    ``distributed`` routes the rank: True = the two-pass distributed rank
+    (the 100 TB shape, pinned by the audit gates); False = the single
+    window sort (cheaper below ~1e8 exploded rows — no checkpoint, no
+    totals job); None = size-adaptive (count the vectors via parquet
+    metadata, compare exploded volume against _QNORM_WINDOW_MAX_ROWS) —
+    the same exact()-style split as sector_median_stats(exact=False).
 
     Two-pass DISTRIBUTED rank (round-7 verdict item 1 — the previous
     ``row_number() OVER (PARTITION BY dim)`` sorted each dimension's
@@ -790,6 +835,12 @@ def _quantile_normalize(spark: SparkSession, sf_dir: str, n_dims: int):
     dims = e.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("dim", "v")
     ).filter(F.col("dim") < n_dims)
+    if distributed is None:
+        # metadata-only count (parquet row groups); the knob compares
+        # EXPLODED volume, the unit both routes actually sort
+        distributed = e.count() * n_dims > _QNORM_WINDOW_MAX_ROWS
+    if not distributed:
+        return _qnorm_audit(_qnorm_windowed(dims))
     mid = _qnorm_sorted_mid(dims).localCheckpoint(eager=True)
     lidx = F.col("mid").bitwiseAND((1 << _MID_PARTITION_SHIFT) - 1)
     firsts = (
@@ -833,6 +884,12 @@ def _quantile_normalize(spark: SparkSession, sf_dir: str, n_dims: int):
             ).alias("q_ppm"),
         )
     )
+    return _qnorm_audit(q)
+
+
+def _qnorm_audit(q: DataFrame) -> DataFrame:
+    """Per-dimension audit aggregate over (dim, vec_id, q_ppm) — shared
+    by both rank routes so the gate output schema cannot drift."""
     return q.groupBy("dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("q_ppm").cast("bigint").alias("sum_q_ppm"),
@@ -875,7 +932,7 @@ def embeddings_quantile_normalize(
     ≤ partitions × n_dims offset table (documented cost: the explode
     multiplies rows by the dim count; production runs it once per corpus
     snapshot and persists the per-dim rank tables)."""
-    return _quantile_normalize(spark, sf_dir, 8)
+    return _quantile_normalize(spark, sf_dir, 8, distributed=True)
 
 
 @register("embeddings_quantile_normalize_full", _qnorm_sql(64))
@@ -889,6 +946,24 @@ def embeddings_quantile_normalize_full(
     single-task-per-dimension window sort). Same exact-integer rank grid
     and per-dim checksum gate, so every rank of every dimension is
     hash-pinned."""
+    return _quantile_normalize(spark, sf_dir, 64, distributed=True)
+
+
+@register("embeddings_quantile_normalize_adaptive", _qnorm_sql(64))
+def embeddings_quantile_normalize_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SIZE-ADAPTIVE route of the full-width quantile normalization
+    (round-8 verdict item 4): below _QNORM_WINDOW_MAX_ROWS exploded rows
+    the rank is one window sort (no checkpoint, no totals job — the
+    cheaper plan at gate scale, recovering the small-corpus second the
+    round-7 distributed rewrite deliberately spent); above it the same
+    call routes to the distributed rank the two audit gates pin. Same
+    (v, vec_id) total order and integer ppm grid either way, so all
+    three gates share one oracle per width — this one hash-proves the
+    window route, the _full twin hash-proves the distributed route, and
+    tests/test_plan_shapes.py proves the router picks each side of the
+    threshold."""
     return _quantile_normalize(spark, sf_dir, 64)
 
 

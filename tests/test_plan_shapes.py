@@ -625,3 +625,28 @@ def test_qnorm_rank_is_range_partitioned_not_windowed(spark, sf_dir):
     assert "Window" not in tplan, tplan[:2000]
     assert "BroadcastHashJoin" in tplan
     assert "partial_sum" in tplan
+
+
+def test_qnorm_adaptive_routes_by_size(spark, sf_dir, monkeypatch):
+    """Round-8 verdict item 4: the adaptive quantile-normalize route must
+    take the single window sort below _QNORM_WINDOW_MAX_ROWS exploded
+    rows (no checkpoint/totals machinery) and the distributed rank above
+    it — while the two audit gates stay pinned to the distributed path
+    (test_qnorm_rank_is_range_partitioned_not_windowed, unchanged)."""
+    import one_one_one_rule_spark.queries_embeddings as qe
+
+    # below threshold (gate fixtures are tiny): the window route
+    small = qe._quantile_normalize(spark, sf_dir, 8, distributed=None)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:2000]
+    assert "rangepartitioning(dim" not in plan
+
+    # force the threshold to zero: the SAME call must route distributed
+    monkeypatch.setattr(qe, "_QNORM_WINDOW_MAX_ROWS", 0)
+    big = qe._quantile_normalize(spark, sf_dir, 8, distributed=None)
+    bplan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in bplan, bplan[:2000]
+
+    # both routes produce identical audits (same order, same ppm grid)
+    canon = lambda df: sorted(tuple(r) for r in df.collect())
+    assert canon(small) == canon(big)

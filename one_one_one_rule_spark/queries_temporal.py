@@ -140,6 +140,14 @@ def events_interval_overlap_join(
     are plain equi-join skew (AQE-split, salt if pathological). Pair
     output is inherently density-bound — the aggregate here keeps it
     one row per left session regardless."""
+    return _interval_overlap(spark, sf_dir)
+
+
+def _interval_overlap(
+    spark: SparkSession, sf_dir: str, salt_buckets: int = 1
+) -> DataFrame:
+    """Shared body of the interval-overlap gate pair — the only difference
+    between the twins is the hot-cell salt width."""
     e = load_table(spark, sf_dir, "events")
     cs = _sessions(e, "click", "c_")
     ps = _sessions(e, "purchase", "p_")
@@ -151,6 +159,7 @@ def events_interval_overlap_join(
         "p_s_us",
         "p_e_us",
         OVERLAP_CELL_US,
+        salt_buckets=salt_buckets,
     )
     per_session = pairs.groupBy("c_user_id", "c_start").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlap_sessions"),
@@ -433,3 +442,21 @@ def events_asof_purchase_click_salted(
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.col("asof_value").alias("click_value"),
     )
+
+
+@register(
+    "events_interval_overlap_join_salted",
+    ORACLES["events_interval_overlap_join"],
+)
+def events_interval_overlap_join_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SALTED twin of events_interval_overlap_join — same sessions,
+    same 1-hour grid, same oracle (the literal inequality join), but the
+    cell equi-join runs with salt_buckets=8 (operators/intervals.py): a
+    pathologically dense time cell's pair volume splits across 8
+    reducers where AQE's stream-side skew split cannot help. Completes
+    the salted/unsalted hash-gated pair pattern across all three join
+    tiers (window: top_orders_per_customer_salted, as-of:
+    events_asof_purchase_click_salted, grid: this)."""
+    return _interval_overlap(spark, sf_dir, salt_buckets=8)

@@ -112,10 +112,17 @@ def plane_dot_fold(emb: str, plane: list[int]) -> str:
 
 
 def plane_dot_fold_sql(emb: str, plane: list[int]) -> str:
-    """DuckDB mirror of :func:`plane_dot_fold` — list_reduce with a
-    prepended 0.0 accumulator, same multiply-then-left-fold order."""
-    arr = "[" + ",".join(f"{c}.0" for c in plane) + "]"
-    return (
-        f"list_reduce(list_prepend(0.0, list_transform(range({len(plane)}),"
-        f" i -> CAST({emb}[i+1] AS DOUBLE) * ({arr}[i+1]))), (a,b) -> a+b)"
+    """DuckDB mirror of :func:`plane_dot_fold` — the explicit
+    left-associated chain ``0.0 + t0 + t1 + ...``, which is the SAME IEEE
+    result as the left fold (both start from a 0.0 accumulator and add
+    terms left-to-right; verified bit-identical across the corpus) but
+    ~23x faster in DuckDB: ``list_reduce`` executes its lambda
+    row-at-a-time interpreted, the chain is a plain vectorized arithmetic
+    expression. The round-9 profiling that motivated this: a 36-plane
+    signature over 500 rows cost 13.3s as folds vs 0.57s as chains, and
+    the clusters oracle references the signature CTE four times."""
+    terms = " + ".join(
+        f"CAST({emb}[{i + 1}] AS DOUBLE) * {c}.0"
+        for i, c in enumerate(plane)
     )
+    return f"(0.0 + {terms})"

@@ -2441,7 +2441,7 @@ WITH RECURSIVE pairs AS (
   WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
     AND levenshtein(a.p_name, b.p_name) <= 1
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT ka AS u, kb AS v FROM pairs
   UNION
   SELECT kb AS u, ka AS v FROM pairs
@@ -2503,7 +2503,7 @@ eu AS (
   GROUP BY a.l_partkey, b.l_partkey
   HAVING COUNT(*) >= 2
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu
 ),
 walk(part, depth) AS (
@@ -2937,7 +2937,7 @@ eu AS (
   GROUP BY 1, 2
   HAVING COUNT(*) >= {_TRI_MIN_COPURCHASES}
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT u, v, greatest(1, 10 - c) AS w FROM eu
   UNION ALL
   SELECT v AS u, u AS v, greatest(1, 10 - c) AS w FROM eu

@@ -1541,3 +1541,97 @@ def docs_shuffled_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("last_chunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking with overlap (the RAG / context-window manifest)
+# ---------------------------------------------------------------------------
+
+#: Chunk window and stride (tokens). Stride < window => consecutive chunks
+#: overlap by CHUNK_LEN - CHUNK_STRIDE tokens — the tokenizer
+#: "return_overflowing_tokens with stride" convention every RAG indexer
+#: and long-document training pipeline uses. The fixture's ~55-token docs
+#: exercise both branches (single short chunk and multi-chunk overlap).
+CHUNK_LEN = 48
+CHUNK_STRIDE = 32
+
+
+@register(
+    "docs_chunk_overlap",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+),
+k AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= {CHUNK_LEN} THEN 0
+              ELSE (n_tokens - {CHUNK_LEN} + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} END AS k_max
+  FROM d
+)
+SELECT doc_id,
+       CAST(t.k AS BIGINT) AS chunk_idx,
+       CAST(LEAST(t.k * {CHUNK_STRIDE},
+                  GREATEST(n_tokens - {CHUNK_LEN}, 0)) AS BIGINT)
+         AS tok_start,
+       CAST(LEAST({CHUNK_LEN}, n_tokens) AS BIGINT) AS chunk_len
+FROM k, LATERAL (SELECT unnest(range(0, k_max + 1)) AS k) t
+""",
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window chunk manifest: fixed CHUNK_LEN-token
+    windows every CHUNK_STRIDE tokens, the LAST window right-aligned to
+    the document end (so every token is covered, every chunk is
+    full-length when the document allows, and no redundant sub-window
+    tail is emitted) — the within-document complement of the
+    cross-document packing tier: packing concatenates docs into training
+    chunks, this splits long docs into overlapping context windows (RAG
+    indexing, long-doc pretraining with stride).
+
+    All-integer arithmetic on the shared whitespace-token rule
+    (_doc_token_counts' convention), so the manifest is hash-exact.
+
+    Scale shape: ONE scan-side explode of (n - L + S - 1) div S + 1 rows
+    per document — zero shuffle, zero Python; the manifest is the same
+    size as the chunk store it describes. At 100 TB the chunk WRITE
+    dominates; this plan adds nothing on top of the scan."""
+    L, S = CHUNK_LEN, CHUNK_STRIDE
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " "))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    k_max = F.when(F.col("n_tokens") <= L, F.lit(0)).otherwise(
+        F.expr(f"(n_tokens - {L} + {S} - 1) div {S}")
+    )
+    return (
+        d.withColumn("k_max", k_max)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("k_max"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.least(
+                F.col("chunk_idx") * S,
+                F.greatest(F.col("n_tokens") - L, F.lit(0)),
+            )
+            .cast("bigint")
+            .alias("tok_start"),
+            F.least(F.lit(L), F.col("n_tokens"))
+            .cast("bigint")
+            .alias("chunk_len"),
+        )
+    )

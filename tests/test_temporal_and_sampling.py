@@ -159,3 +159,33 @@ def test_salted_asof_bounds_per_key_fanout(spark):
     assert bulk, f"no bucketed window in plan: {plan[:2000]}"
     # correctness alongside the shape: all hot-key rows survive
     assert out.count() == 2000
+
+
+def test_chunk_overlap_invariants(spark, sf_dir):
+    """docs_chunk_overlap manifest properties on the fixture corpus:
+    full coverage (first chunk at 0, last chunk ends at n_tokens),
+    full-length windows whenever the doc allows, stride-S starts except
+    the right-aligned tail, and monotone non-duplicated starts."""
+    from one_one_one_rule_spark.queries_text import CHUNK_LEN, CHUNK_STRIDE
+
+    rows = QUERIES["docs_chunk_overlap"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    multi = 0
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert chunks[0]["tok_start"] == 0
+        lens = {c["chunk_len"] for c in chunks}
+        assert len(lens) == 1  # all windows of a doc share one length
+        L = lens.pop()
+        n = chunks[-1]["tok_start"] + L  # right-aligned tail ends at n
+        assert L == min(CHUNK_LEN, n)
+        starts = [c["tok_start"] for c in chunks]
+        assert starts == sorted(set(starts))  # monotone, no duplicates
+        for a, b in zip(starts, starts[1:]):
+            assert 0 < b - a <= CHUNK_STRIDE  # tail may be closer, never
+            multi += 1                        # farther, than one stride
+    assert multi > 0  # the fixture exercises the multi-chunk branch

@@ -97,8 +97,14 @@ def headline_subset() -> list[str]:
             )
         ) as f:
             committed = json.load(f)["queries"]
-    except Exception:
+    except Exception as exc:
         committed = {}
+        print(
+            "bench --subset: committed BENCH_LOCAL.json unreadable "
+            f"({exc!r}) — falling back to tier representatives only; the "
+            "top-spender half of the subset contract is NOT covered",
+            file=sys.stderr,
+        )
     spend = sorted(
         (
             (n, t)
@@ -234,33 +240,36 @@ def run_isolate(names: list[str]) -> None:
         f.write(line + "\n")
 
 
-def _resolve_out_path(requested: str | None) -> str:
+def _resolve_out_path(
+    requested: str | None, default_name: str = "BENCH_LOCAL.json"
+) -> str:
     """Where to persist the metric line (round-7 verdict item 2: the
     driver's per-round bench run used to rewrite the committed
     BENCH_LOCAL.json in place, leaving the tree dirty at judging time
     through no action of the builder).
 
     ``--out PATH`` writes exactly there. With no ``--out``, the default
-    target is still BENCH_LOCAL.json — but if that file is tracked AND
+    target is ``default_name`` (BENCH_LOCAL.json for the full bench,
+    BENCH_HEADLINE.json for --subset) — but if that file is tracked AND
     clean in git, the write is redirected to the gitignored
-    BENCH_LOCAL.latest.json so an automated run never dirties a committed
+    ``<stem>.latest.json`` so an automated run never dirties a committed
     artifact. Committing a fresh bench is an explicit act:
-    ``python bench.py --out BENCH_LOCAL.json``.
+    ``python bench.py [--subset] --out <name>``.
     """
     here = os.path.dirname(os.path.abspath(__file__))
     if requested:
         return os.path.join(here, requested) if not os.path.isabs(
             requested
         ) else requested
-    committed = os.path.join(here, "BENCH_LOCAL.json")
+    committed = os.path.join(here, default_name)
     try:
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--", "BENCH_LOCAL.json"],
+            ["git", "status", "--porcelain", "--", default_name],
             cwd=here, capture_output=True, text=True, timeout=30,
         ).stdout.strip()
         tracked = (
             subprocess.run(
-                ["git", "ls-files", "--error-unmatch", "BENCH_LOCAL.json"],
+                ["git", "ls-files", "--error-unmatch", default_name],
                 cwd=here, capture_output=True, timeout=30,
             ).returncode
             == 0
@@ -268,10 +277,12 @@ def _resolve_out_path(requested: str | None) -> str:
     except Exception:
         return committed  # not a git checkout: plain write
     if tracked and not dirty:
-        redirected = os.path.join(here, "BENCH_LOCAL.latest.json")
+        redirected = os.path.join(
+            here, default_name.replace(".json", ".latest.json")
+        )
         print(
-            "bench: BENCH_LOCAL.json is committed and clean — writing to "
-            f"{redirected} instead (pass --out BENCH_LOCAL.json to update "
+            f"bench: {default_name} is committed and clean — writing to "
+            f"{redirected} instead (pass --out {default_name} to update "
             "the committed artifact)",
             file=sys.stderr,
         )
@@ -375,7 +386,10 @@ def main(out: str | None = None, names: list[str] | None = None) -> None:
     # Persist the metric line as a file artifact too: the driver only keeps
     # a 2000-char stdout tail, which has truncated the JSON (and lost the
     # headline number) two rounds running.
-    out_path = _resolve_out_path(out)
+    out_path = _resolve_out_path(
+        out,
+        "BENCH_LOCAL.json" if names is None else "BENCH_HEADLINE.json",
+    )
     with open(out_path, "w") as f:
         f.write(line + "\n")
 
@@ -406,6 +420,6 @@ if __name__ == "__main__":
     elif cli.isolate:
         run_isolate([n.strip() for n in cli.isolate.split(",") if n.strip()])
     elif cli.subset:
-        main(cli.out or "BENCH_HEADLINE.json", names=headline_subset())
+        main(cli.out, names=headline_subset())
     else:
         main(cli.out)

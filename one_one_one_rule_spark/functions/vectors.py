@@ -121,6 +121,8 @@ def plane_dot_fold_sql(emb: str, plane: list[int]) -> str:
     expression. The round-9 profiling that motivated this: a 36-plane
     signature over 500 rows cost 13.3s as folds vs 0.57s as chains, and
     the clusters oracle references the signature CTE four times."""
+    if not plane:
+        return "0.0"  # empty fold = the bare accumulator (old form's 0.0)
     terms = " + ".join(
         f"CAST({emb}[{i + 1}] AS DOUBLE) * {c}.0"
         for i, c in enumerate(plane)

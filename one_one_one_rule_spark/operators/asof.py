@@ -147,7 +147,17 @@ def asof_join_backward_salted(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets!r}")
-    shared = set(left.columns) & {"_asof_b", "_asof_side", "_asof_payload"}
+    scratch = {
+        "_asof_b",
+        "_asof_side",
+        "_asof_payload",
+        "_asof_tsnum",
+        "_asof_local",
+        "_asof_carry",
+        "_asof_match",
+        "_asof_last",
+    }
+    shared = (set(left.columns) | set(right.columns)) & scratch
     if shared:
         raise ValueError(f"input columns collide with scratch: {shared}")
 

@@ -111,7 +111,12 @@ def with_running_offsets(
     order_checks = (
         [
             F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct(*order_cols).alias("n_keys"),
+            # distinct over a STRUCT of the key columns: a bare
+            # countDistinct(*cols) skips rows with ANY NULL column,
+            # which would misreport a unique NULL-keyed row as a tie;
+            # the struct wrapper is never NULL, so every row counts and
+            # NULL fields compare null-safely inside it
+            F.countDistinct(F.struct(*order_cols)).alias("n_keys"),
         ]
         if assert_total_order
         else []

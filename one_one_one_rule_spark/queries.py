@@ -1069,22 +1069,20 @@ def _neardup_ctes(
         SRP_BANDS,
     )
 
-    if band_bits is None:
-        band_bits = SRP_BAND_BITS
-    SRP_PLANES = SRP_BANDS * band_bits
-    SRP_BAND_BITS = band_bits
-    mask = (1 << SRP_BAND_BITS) - 1
+    bits = SRP_BAND_BITS if band_bits is None else band_bits
+    n_planes = SRP_BANDS * bits
+    mask = (1 << bits) - 1
     dot = " + ".join(
         f"ea.e[{i + 1}] * eb.e[{i + 1}]" for i in range(EMBED_DIM)
     )
     bands_kw = "MATERIALIZED " if materialize_bands else ""
     return f"""sigs AS (
-  SELECT vec_id, {_srp_sig_sql(SRP_PLANES, "embedding")} AS srp_sig
+  SELECT vec_id, {_srp_sig_sql(n_planes, "embedding")} AS srp_sig
   FROM embeddings
 ),
 bands AS {bands_kw}(
   SELECT vec_id, t.b AS band,
-         (srp_sig >> ({SRP_BAND_BITS} * t.b)) & {mask} AS key
+         (srp_sig >> ({bits} * t.b)) & {mask} AS key
   FROM sigs, range({SRP_BANDS}) t(b)
 ),
 cand AS (

@@ -784,8 +784,12 @@ def _qnorm_windowed(dims: DataFrame) -> DataFrame:
     return dims.select(
         "dim",
         "vec_id",
+        # widen BEFORE the ppm multiply: row_number is int32, and
+        # (rank-1)*1e6 overflows it past 2148 rows per dimension (ANSI
+        # mode raises; non-ANSI would silently wrap) — the distributed
+        # route does the same arithmetic in long via mid
         (
-            (F.row_number().over(w) - F.lit(1))
+            (F.row_number().over(w).cast("bigint") - F.lit(1))
             * F.lit(1_000_000)
         ).alias("rk6"),
         F.count(F.lit(1)).over(Window.partitionBy("dim")).alias("n_dim"),

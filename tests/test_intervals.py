@@ -197,7 +197,7 @@ def test_salted_grid_equals_unsalted_and_splits_the_hot_cell(spark):
             s = rng.randrange(0, CELL - 1)  # all inside cell 0
         else:
             s = CELL * (1 + rng.randrange(0, 50)) + rng.randrange(0, CELL - 1)
-        (hot if s < CELL else spread).append((s, min(s + 2, s + 2)))
+        (hot if s < CELL else spread).append((s, s + 2))
     rows = hot + spread
     left = _mk(spark, rows, "l_")
     right = _mk(spark, rows, "r_")

@@ -650,3 +650,25 @@ def test_qnorm_adaptive_routes_by_size(spark, sf_dir, monkeypatch):
     # both routes produce identical audits (same order, same ppm grid)
     canon = lambda df: sorted(tuple(r) for r in df.collect())
     assert canon(small) == canon(big)
+
+
+def test_qnorm_windowed_rank_survives_int32_overflow_scale(spark):
+    """Code-review regression (round 9): the window route computed
+    (row_number()-1) * 1e6 in IntegerType, overflowing int32 for any
+    dimension past 2148 rows (ANSI raises; non-ANSI wraps negative) —
+    the adaptive gate would crash on any corpus over ~2148 vectors. Run
+    a 3000-row dimension through the windowed rank and check the exact
+    top of the ppm grid."""
+    import one_one_one_rule_spark.queries_embeddings as qe
+    from pyspark.sql import functions as F
+
+    n = 3000
+    dims = spark.range(n).select(
+        F.lit(0).cast("int").alias("dim"),
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    rows = qe._qnorm_windowed(dims).collect()
+    assert len(rows) == n
+    qs = sorted(r["q_ppm"] for r in rows)
+    assert qs[0] == 0 and qs[-1] == 1_000_000  # full grid, no wrap/raise

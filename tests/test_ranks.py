@@ -130,3 +130,20 @@ def test_assert_total_order_guard(spark):
     # the guard is opt-in: the unchecked path still computes (ties get
     # SOME consistent-within-run assignment; callers own the contract)
     assert with_running_offset(tied, ["k"], "w").count() == 4
+
+
+def test_assert_total_order_accepts_unique_null_key(spark):
+    # code-review regression: countDistinct(*cols) skips NULL-keyed rows,
+    # misreporting a UNIQUE NULL key as a tie; the struct-wrapped check
+    # counts it null-safely
+    df = spark.createDataFrame(
+        [(None, 10), (1, 20), (2, 30)], "k long, w long"
+    )
+    rows = with_running_offset(df, ["k"], "w", assert_total_order=True)
+    assert rows.count() == 3  # no spurious ValueError
+    # two NULL keys ARE a tie and must still raise
+    tied = spark.createDataFrame(
+        [(None, 10), (None, 20), (1, 30)], "k long, w long"
+    )
+    with pytest.raises(ValueError, match="not a total order"):
+        with_running_offset(tied, ["k"], "w", assert_total_order=True)

@@ -30,6 +30,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Every scratch column either as-of form creates; inputs must not carry
+#: any of them or a withColumn silently replaces (then drops) the
+#: caller's data — both operators guard at entry.
+_ASOF_SCRATCH = {
+    "_asof_b",
+    "_asof_side",
+    "_asof_payload",
+    "_asof_tsnum",
+    "_asof_local",
+    "_asof_carry",
+    "_asof_match",
+    "_asof_last",
+}
+
+
 def _tag_union(
     left: DataFrame,
     right: DataFrame,
@@ -39,7 +54,14 @@ def _tag_union(
 ) -> DataFrame:
     """Shared pre-pass of both as-of forms: left rows tagged side=1 with a
     NULL payload struct, right rows tagged side=0 carrying their payload,
-    schemas aligned so the two sides union by name."""
+    schemas aligned so the two sides union by name. Also the shared
+    scratch-collision guard (fail at the call site, not as a silently
+    vanished column)."""
+    shared = (set(left.columns) | set(right.columns)) & _ASOF_SCRATCH
+    if shared:
+        raise ValueError(
+            f"input columns collide with as-of scratch: {sorted(shared)}"
+        )
     l_tag = left.withColumn("_asof_side", F.lit(1)).withColumn(
         "_asof_payload",
         F.lit(None).cast(
@@ -147,20 +169,6 @@ def asof_join_backward_salted(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets!r}")
-    scratch = {
-        "_asof_b",
-        "_asof_side",
-        "_asof_payload",
-        "_asof_tsnum",
-        "_asof_local",
-        "_asof_carry",
-        "_asof_match",
-        "_asof_last",
-    }
-    shared = (set(left.columns) | set(right.columns)) & scratch
-    if shared:
-        raise ValueError(f"input columns collide with scratch: {shared}")
-
     unioned = _tag_union(left, right, key, ts, payload_cols)
     # integral time axis for bucket arithmetic (exact — no float division)
     ts_type = dict(unioned.dtypes)[ts]

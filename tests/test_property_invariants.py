@@ -171,3 +171,35 @@ def test_plan_compaction_bins_respect_target(files, target):
 @settings(max_examples=100)
 def test_plan_compaction_is_deterministic(files, target):
     assert plan_compaction(files, target) == plan_compaction(files, target)
+
+
+# --- sliding-window chunk arithmetic (docs_chunk_overlap's formula) ----
+
+chunk_params = st.tuples(
+    st.integers(min_value=1, max_value=500),   # n_tokens
+    st.integers(min_value=1, max_value=64),    # window L
+    st.integers(min_value=1, max_value=64),    # stride S (clamped <= L)
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(chunk_params)
+def test_chunk_window_formula_covers_exactly(params):
+    """The closed-form chunk manifest (k_max = ceil((n-L)/S) via integer
+    arithmetic, right-aligned tail) must cover every token, emit only
+    full-length windows when the doc allows, and keep starts strictly
+    increasing by at most one stride — for ARBITRARY (n, L, S<=L), not
+    just the fixture's constants."""
+    n, L, S = params
+    S = min(S, L)
+    k_max = 0 if n <= L else -(-(n - L) // S)  # ceil div, ints only
+    starts = [min(k * S, max(n - L, 0)) for k in range(k_max + 1)]
+    length = min(L, n)
+    covered = set()
+    for s in starts:
+        covered.update(range(s, s + length))
+    assert covered == set(range(n))            # exact coverage, no spill
+    assert starts[0] == 0 and starts[-1] + length == n
+    assert starts == sorted(set(starts))       # monotone, no duplicates
+    for a, b in zip(starts, starts[1:]):
+        assert 0 < b - a <= S                  # tail closer, never farther

@@ -1,9 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints the metric JSON:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two stdout lines: first the FULL line above (per-query medians + raw
+samples — also persisted as the file artifact), then a COMPACT summary
+(<2KB: totals, ten slowest, failure count, artifact pointer) as the LAST
+line, because the driver keeps only a ~2000-char output tail and parses
+the last line — the full line alone arrives truncated there (r8/r9's
+BENCH_r*.json carried "parsed": null).
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side materialization), timed after a session warm-up so JVM/codegen
@@ -382,16 +389,47 @@ def main(out: str | None = None, names: list[str] | None = None) -> None:
             "cpus": cpus,
         }
     )
-    print(line)
-    # Persist the metric line as a file artifact too: the driver only keeps
-    # a 2000-char stdout tail, which has truncated the JSON (and lost the
-    # headline number) two rounds running.
+    # Persist the FULL metric line (per-query medians + raw samples) as the
+    # file artifact; resolve the path FIRST so its redirect note (stderr)
+    # cannot trail the machine-readable stdout line in a merged capture.
     out_path = _resolve_out_path(
         out,
         "BENCH_LOCAL.json" if names is None else "BENCH_HEADLINE.json",
     )
     with open(out_path, "w") as f:
         f.write(line + "\n")
+    print(line)
+    # The driver keeps only a ~2000-char tail of this process's output and
+    # parses the LAST line as the round's headline number. The full line
+    # above is ~19KB at 235 queries — inside the tail it arrives truncated
+    # and unparseable (BENCH_r08/r09 recorded "parsed": null). So the very
+    # last stdout line is a COMPACT summary: the headline totals, the ten
+    # slowest medians, any failures, and a pointer to the full artifact.
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t is not None),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:10]
+    )
+    compact = json.dumps(
+        {
+            "metric": metric,
+            "value": total,
+            "unit": "sec",
+            "estimator": "median",
+            "n_runs": N_RUNS,
+            "engine_sec": round(total - gate_sec, 3),
+            "gate_sec": gate_sec,
+            "n_queries": len(timings),
+            "n_failed": sum(1 for t in timings.values() if t is None),
+            "slowest": slowest,
+            "sf": sf,
+            "cpus": cpus,
+            "detail": os.path.basename(out_path),
+        }
+    )
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

@@ -105,9 +105,11 @@ def neighbor_pairs(
     )
 
 
-@register(
-    "customer_geo_neighbors",
-    f"""
+#: ONE literal oracle for both the unsalted gate and its salted twin —
+#: the salted path must be hash-identical, so it earns the SAME oracle,
+#: not a re-derivation (the established salted-pair pattern from the
+#: window/as-of/interval tiers).
+GEO_NEIGHBORS_ORACLE_SQL = f"""
 WITH p AS (
   SELECT c_custkey,
          (c_custkey * {GEO_MULT_X}) % {GEO_SPAN} AS x,
@@ -128,8 +130,10 @@ SELECT p.c_custkey, CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y,
        CAST(MIN(ov.d2) AS BIGINT) AS min_d2
 FROM p LEFT JOIN ov ON p.c_custkey = ov.c_custkey
 GROUP BY p.c_custkey, p.x, p.y
-""",
-)
+"""
+
+
+@register("customer_geo_neighbors", GEO_NEIGHBORS_ORACLE_SQL)
 def customer_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2D proximity join, grid-blocked: every customer point annotated
     with how many other customers sit within radius r on the hash
@@ -150,13 +154,41 @@ def customer_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell to the query radius and it tracks local density, never
     N^2; the composite cell id also serves as the layout key (this IS
     the geohash-bucketing a spatial warehouse persists)."""
+    return _geo_neighbors(spark, sf_dir, salt_buckets=1)
+
+
+@register("customer_geo_neighbors_salted", GEO_NEIGHBORS_ORACLE_SQL)
+def customer_geo_neighbors_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hot-cell-proof twin of customer_geo_neighbors: same lattice, same
+    radius, same aggregate, but neighbor_pairs runs with salt_buckets=8 —
+    probe rows take a deterministic key-hash salt, build rows replicate
+    8 ways, and the join key widens to (cx, cy, salt), so one
+    pathologically dense cell's pair volume splits across 8 reducers
+    instead of landing on one. Gated against the SAME literal
+    distance-join oracle as the unsalted gate (the salted-pair pattern
+    already proven for the window top-k, as-of, and interval tiers):
+    identical hashes are the claim, the 8-way shuffle shape is the point.
+
+    At 100 TB: a uniform lattice never needs this, but real geo data has
+    city-center cells 1000x denser than the median — the salt bounds the
+    worst reducer by density/8 at the cost of an 8x build-side replicate
+    (build rows are 5 ints; the replicate is cheap next to the pair
+    volume it splits)."""
+    return _geo_neighbors(spark, sf_dir, salt_buckets=8)
+
+
+def _geo_neighbors(
+    spark: SparkSession, sf_dir: str, salt_buckets: int
+) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     p = c.select(
         "c_custkey",
         ((F.col("c_custkey") * GEO_MULT_X) % GEO_SPAN).alias("x"),
         ((F.col("c_custkey") * GEO_MULT_Y) % GEO_SPAN).alias("y"),
     ).localCheckpoint(eager=True)
-    pairs = neighbor_pairs(p, GEO_RADIUS)
+    pairs = neighbor_pairs(p, GEO_RADIUS, salt_buckets=salt_buckets)
     agg = pairs.groupBy("c_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
         F.min("d2").cast("bigint").alias("min_d2"),

@@ -1599,16 +1599,7 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     size as the chunk store it describes. At 100 TB the chunk WRITE
     dominates; this plan adds nothing on top of the scan."""
     L, S = CHUNK_LEN, CHUNK_STRIDE
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " "))
-            .cast("bigint")
-            .alias("n_tokens"),
-        )
-        .filter(F.col("n_tokens") > 0)
-    )
+    d = _doc_token_counts(spark, sf_dir)
     k_max = F.when(F.col("n_tokens") <= L, F.lit(0)).otherwise(
         F.expr(f"(n_tokens - {L} + {S} - 1) div {S}")
     )

@@ -108,11 +108,23 @@ def test_salted_asof_equals_unsalted_on_adversarial_data(spark):
         }.values()
     )
     left = spark.createDataFrame(lrows, "k long, ts long, lid long")
-    # a NULL-ts left row must survive with a NULL payload in both forms
+    # a NULL-ts left row must survive with a NULL payload in both forms;
+    # key 5's left rows sit far from its only right row, so at nb=32 that
+    # right row's bucket is RIGHT-ONLY (no left row shares it) and its
+    # payload must reach the left rows purely via the carry spine —
+    # pinning the round-10 spine change (left-distinct FULL-OUTER
+    # summaries instead of an all-rows distinct)
     left = spark.createDataFrame(
-        [(1, None, 999)], "k long, ts long, lid long"
+        [(1, None, 999), (5, 450, 1000), (5, 460, 1001)],
+        "k long, ts long, lid long",
     ).unionByName(left)
     right = spark.createDataFrame(rrows, "k long, ts long, pay long")
+    # NULL-ts right rows are dropped by the shared pre-pass in BOTH forms
+    # (round-9 ADVICE: prove the salted max_by path cannot diverge on them)
+    right = spark.createDataFrame(
+        [(5, 10, 77), (5, None, 666), (1, None, 667)],
+        "k long, ts long, pay long",
+    ).unionByName(right)
 
     def canon(df):
         return sorted(
@@ -127,7 +139,20 @@ def test_salted_asof_equals_unsalted_on_adversarial_data(spark):
             )
         )
         assert got == base, f"n_buckets={nb} diverged"
-    assert len(base) == 601
+    assert len(base) == 603
+    # the right-only-bucket carry really delivered: both key-5 left rows
+    # matched the lone (non-NULL-ts) key-5 right payload
+    k5 = [
+        r
+        for r in asof_join_backward(
+            left, right, "k", "ts", ["ts", "pay"]
+        ).collect()
+        if r["k"] == 5
+    ]
+    assert sorted((r["asof_ts"], r["asof_pay"]) for r in k5) == [
+        (10, 77),
+        (10, 77),
+    ]
 
 
 def test_salted_asof_bounds_per_key_fanout(spark):

@@ -35,6 +35,37 @@ from ..operators.dedup import dup_clusters, minhash_lsh_pairs
 DEFAULT_MIN_TOKENS = 15
 DEFAULT_MIN_QUALITY = 0.35
 DEFAULT_PREFIX_CHARS = 400
+#: Multimodal brightness floor: an image-kind doc is dropped when its
+#: decoded-and-resized 8x8 thumbnail's mean pixel value is below 124,
+#: i.e. exact int64 pixel_sum < 124 * 8*8*3 (all-integer, oracle-exact).
+DEFAULT_MIN_PIXEL_SUM = 124 * 8 * 8 * 3
+
+
+def _text_stage1(
+    docs: DataFrame, min_tokens: int, min_quality: float
+) -> DataFrame:
+    """(doc_id, text, r1) — the map-only text stages (too_short,
+    low_quality) shared by the text and multimodal curation plans, so the
+    token/quality expressions cannot diverge between them."""
+    d = docs.withColumn("w", T.tokens("text")).withColumn(
+        "n_tokens", T.token_count(F.col("w"))
+    )
+    stop_ratio = T.hits(F.col("w"), T.EN_STOPWORDS).cast("double") / F.col(
+        "n_tokens"
+    )
+    scored = d.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        T.quality_score(F.col("n_tokens"), stop_ratio).alias("quality"),
+    )
+    return scored.select(
+        "doc_id",
+        "text",
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .alias("r1"),
+    )
 
 
 def curate_documents(
@@ -49,26 +80,7 @@ def curate_documents(
     reports the EARLIEST stage (stage order above), matching how a real
     pipeline would short-circuit.
     """
-    d = docs.withColumn("w", T.tokens("text")).withColumn(
-        "n_tokens", T.token_count(F.col("w"))
-    )
-    stop_ratio = T.hits(F.col("w"), T.EN_STOPWORDS).cast("double") / F.col(
-        "n_tokens"
-    )
-    scored = d.select(
-        "doc_id",
-        "text",
-        "n_tokens",
-        T.quality_score(F.col("n_tokens"), stop_ratio).alias("quality"),
-    )
-
-    stage1 = scored.select(
-        "doc_id",
-        "text",
-        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
-        .when(F.col("quality") < min_quality, F.lit("low_quality"))
-        .alias("r1"),
-    )
+    stage1 = _text_stage1(docs, min_tokens, min_quality)
     surv1 = stage1.filter(F.col("r1").isNull()).select("doc_id", "text")
 
     # exact dedup: keep-first (min doc_id) per long-prefix fingerprint
@@ -113,6 +125,94 @@ def curate_documents(
     )
     return decided.select(
         "doc_id",
+        F.col("drop_reason").isNull().alias("kept"),
+        "drop_reason",
+    )
+
+
+def curate_media_documents(
+    docs: DataFrame,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    min_pixel_sum: int = DEFAULT_MIN_PIXEL_SUM,
+) -> DataFrame:
+    """Interleaved TEXT + IMAGE curation — the multimodal twin of
+    ``curate_documents``, same staged-survivor architecture with a real
+    binary-column decode gate in the middle:
+
+      1. ``too_short`` / 2. ``low_quality`` — the shared map-only text
+         stages (``_text_stage1``: identical expressions, cannot diverge);
+      3. ``dark_image``  — image-kind survivors (doc_id % 3 == 0, the
+         ``synthesize_media`` kind cycle) have their REAL PNG payload
+         strict-decoded (CRC chunk walk, inflate, unfilter) and
+         nearest-neighbor-resized to 8x8; the doc is dropped when the
+         thumbnail's exact int64 pixel sum is below ``min_pixel_sum``
+         (mean brightness floor). Audio/video-kind docs pass through —
+         the stage is modality-gated, as in any mixed corpus;
+      4. ``near_dup``    — MinHash-LSH duplicate clusters over the
+         remaining survivors; only the canonical member survives.
+
+    Returns (doc_id, kind, kept, drop_reason), earliest failing stage
+    reported, NULL reason for kept docs.
+
+    Scale shape: stages 1-2 are codegen projections; stage 3 is two
+    Arrow-batched map-only passes (encode + decode/resize) over the
+    image-kind SURVIVORS only — the expensive per-byte decode never runs
+    on a doc the text gates already rejected, and payloads never leave
+    their partition; stage 4's LSH banding runs on the post-image
+    survivor set. At 100 TB this ordering is the whole game: decode cost
+    scales with surviving image bytes, LSH shuffle with surviving docs.
+    """
+    from ..operators.multimodal import (
+        resize_image_stats,
+        synthesize_png_images,
+    )
+
+    stage1 = _text_stage1(docs, min_tokens, min_quality)
+    surv1 = stage1.filter(F.col("r1").isNull()).select("doc_id", "text")
+
+    # stage 3 (image gate): synthesize + strict-decode + resize ONLY the
+    # image-kind survivors; non-image docs never enter the decode pass
+    rs = resize_image_stats(
+        synthesize_png_images(surv1), dst_w=8, dst_h=8
+    ).select(
+        F.col("media_id").alias("img_doc"),
+        (F.col("pixel_sum") < F.lit(min_pixel_sum)).alias("is_dark"),
+    )
+    s2 = surv1.join(rs, surv1.doc_id == F.col("img_doc"), "left")
+    surv2 = s2.filter(
+        ~F.coalesce(F.col("is_dark"), F.lit(False))
+    ).select("doc_id", "text")
+
+    # stage 4: near dedup among image-gate survivors (pairwise LSH ⇒
+    # survivor-pair filtering is exactly LSH over the survivor subset)
+    pairs = minhash_lsh_pairs(surv2)
+    clusters = dup_clusters(pairs).select(
+        F.col("doc_id").alias("cl_doc"), "cluster_id"
+    )
+
+    decided = (
+        stage1.join(rs, stage1.doc_id == F.col("img_doc"), "left")
+        .join(clusters, stage1.doc_id == F.col("cl_doc"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("r1").isNotNull(), F.col("r1"))
+            .when(F.col("is_dark"), F.lit("dark_image"))
+            .when(
+                F.col("cl_doc").isNotNull()
+                & (F.col("cluster_id") != F.col("cl_doc")),
+                F.lit("near_dup"),
+            )
+            .alias("drop_reason"),
+        )
+    )
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return decided.select(
+        "doc_id",
+        kind.alias("kind"),
         F.col("drop_reason").isNull().alias("kept"),
         "drop_reason",
     )

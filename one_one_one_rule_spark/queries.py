@@ -2841,6 +2841,108 @@ SELECT doc_id, drop_reason IS NULL AS kept, drop_reason FROM cfinal
 """
 
 
+def _media_curation_sql() -> str:
+    """Multimodal curation oracle — same skeleton as ``_curation_sql``
+    (quality stages as plain CTEs, near-dup pairs filtered to survivors,
+    components via recursive reachability) with the image stage spelled
+    from the pixel FORMULA + floor-div resize convention (the
+    media_image_resize_stats oracle's px logic): the oracle never decodes
+    a PNG, so a hash match proves the engine's encode -> strict-decode ->
+    resize -> threshold chain byte-exact inside the staged plan."""
+    from .plans.curation import (
+        DEFAULT_MIN_PIXEL_SUM,
+        DEFAULT_MIN_QUALITY,
+        DEFAULT_MIN_TOKENS,
+    )
+
+    return f"""
+WITH RECURSIVE
+ctoks AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS en_hits
+  FROM documents
+),
+cscored AS (
+  SELECT doc_id, text, n_tokens,
+         least(1.0e0, n_tokens / 100.0e0)
+           * (1.0e0 - 0.5e0 * (CAST(en_hits AS DOUBLE) / n_tokens)) AS q
+  FROM ctoks
+),
+cs1 AS (
+  SELECT doc_id, text,
+         CASE WHEN n_tokens < {DEFAULT_MIN_TOKENS} THEN 'too_short'
+              WHEN q < {DEFAULT_MIN_QUALITY}e0 THEN 'low_quality' END AS r1
+  FROM cscored
+),
+msurv1 AS (SELECT doc_id, text FROM cs1 WHERE r1 IS NULL),
+mdark AS MATERIALIZED (
+  SELECT d.doc_id,
+         SUM((d.doc_id*37 + ((ty.dy * (7 + d.doc_id % 6)) // 8) * 19
+              + ((tx.dx * (9 + d.doc_id % 8)) // 8) * 11 + tc.c * 5) % 256)
+           < {DEFAULT_MIN_PIXEL_SUM} AS is_dark
+  FROM msurv1 d,
+       LATERAL (SELECT unnest(range(8)) AS dy) ty,
+       LATERAL (SELECT unnest(range(8)) AS dx) tx,
+       LATERAL (SELECT unnest(range(3)) AS c) tc
+  WHERE d.doc_id % 3 = 0
+  GROUP BY d.doc_id
+),
+msurv2 AS (
+  SELECT m.doc_id FROM msurv1 m LEFT JOIN mdark k ON m.doc_id = k.doc_id
+  WHERE NOT COALESCE(k.is_dark, FALSE)
+),
+{_minhash_ctes().strip()},
+medges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  JOIN msurv2 a ON doc_a = a.doc_id
+  JOIN msurv2 b ON doc_b = b.doc_id
+),
+medges AS MATERIALIZED (SELECT u, v FROM medges0 UNION SELECT v, u FROM medges0),
+mreach(u, v) AS (
+  SELECT u, v FROM medges
+  UNION
+  SELECT r.u, e.v FROM mreach r JOIN medges e ON r.v = e.u
+),
+mlab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM mreach GROUP BY u),
+mfinal AS (
+  SELECT cs1.doc_id,
+         CASE WHEN r1 IS NOT NULL THEN r1
+              WHEN mdark.is_dark THEN 'dark_image'
+              WHEN mlab.doc_id IS NOT NULL AND mlab.cluster_id <> cs1.doc_id
+                   THEN 'near_dup' END AS drop_reason
+  FROM cs1
+  LEFT JOIN mdark ON cs1.doc_id = mdark.doc_id
+  LEFT JOIN mlab ON cs1.doc_id = mlab.doc_id
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       drop_reason IS NULL AS kept, drop_reason
+FROM mfinal
+"""
+
+
+@register("media_curation", _media_curation_sql())
+def media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL curation (plans/curation.py:
+    curate_media_documents): too_short → low_quality → dark_image (real
+    PNG strict-decode + integer 8x8 resize + brightness floor, run ONLY
+    on image-kind text-survivors) → near_dup (MinHash-LSH clusters over
+    the remaining survivors, canonical survives). The staged-survivor
+    pattern docs_curation proves for text, with a binary-column decode
+    gate interleaved — the BASELINE north star's "multimodal columns" at
+    the PLAN level, not just per-operator. Hash-gated against one
+    recursive-CTE oracle that re-derives the image stage from the pixel
+    formula (it never decodes a PNG), so the match proves the engine's
+    decode path inside the composed pipeline."""
+    from .plans.curation import curate_media_documents
+
+    return curate_media_documents(load_table(spark, sf_dir, "documents"))
+
+
 @register("docs_curation", _curation_sql())
 def docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation (plans/curation.py): too_short →

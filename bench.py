@@ -389,16 +389,23 @@ def main(out: str | None = None, names: list[str] | None = None) -> None:
             "cpus": cpus,
         }
     )
-    # Persist the FULL metric line (per-query medians + raw samples) as the
-    # file artifact; resolve the path FIRST so its redirect note (stderr)
-    # cannot trail the machine-readable stdout line in a merged capture.
-    out_path = _resolve_out_path(
-        out,
-        "BENCH_LOCAL.json" if names is None else "BENCH_HEADLINE.json",
-    )
-    with open(out_path, "w") as f:
-        f.write(line + "\n")
-    print(line)
+    # The full line prints FIRST (round-2 postmortem invariant: the JSON
+    # line always prints — a failed artifact write must not eat a ~20 min
+    # bench run), then the artifact write, then the compact line LAST so
+    # neither the redirect note (stderr) nor a write-failure traceback can
+    # trail the machine-readable summary on a healthy run.
+    print(line, flush=True)
+    try:
+        out_path = _resolve_out_path(
+            out,
+            "BENCH_LOCAL.json" if names is None else "BENCH_HEADLINE.json",
+        )
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+        detail = os.path.basename(out_path)
+    except OSError as exc:
+        print(f"bench: artifact write failed: {exc}", file=sys.stderr)
+        detail = None
     # The driver keeps only a ~2000-char tail of this process's output and
     # parses the LAST line as the round's headline number. The full line
     # above is ~19KB at 235 queries — inside the tail it arrives truncated
@@ -426,7 +433,7 @@ def main(out: str | None = None, names: list[str] | None = None) -> None:
             "slowest": slowest,
             "sf": sf,
             "cpus": cpus,
-            "detail": os.path.basename(out_path),
+            "detail": detail,
         }
     )
     print(compact, flush=True)

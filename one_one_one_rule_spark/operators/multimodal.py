@@ -44,6 +44,17 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def media_kind(key):
+    """The modality cycle (image / audio / video by ``key % 3``) — the ONE
+    owner of the kind rule, shared by ``synthesize_media`` and the
+    multimodal curation plan so the label and the image-gate predicate
+    (``doc_id % 3 == 0`` in ``synthesize_png_images``) cannot diverge."""
+    return F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (key % 3 + 1).cast("int"),
+    )
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from ``documents``: payload is the
     utf-8 encoding of the text (a stand-in byte stream), kind cycles by
@@ -53,10 +64,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     k = F.col("doc_id")
     return docs.select(
         k.alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (k % 3 + 1).cast("int"),
-        ).alias("kind"),
+        media_kind(k).alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.struct(
             (16 + k % 32).cast("int").alias("width"),

@@ -164,6 +164,7 @@ def curate_media_documents(
     scales with surviving image bytes, LSH shuffle with surviving docs.
     """
     from ..operators.multimodal import (
+        media_kind,
         resize_image_stats,
         synthesize_png_images,
     )
@@ -172,12 +173,18 @@ def curate_media_documents(
     surv1 = stage1.filter(F.col("r1").isNull()).select("doc_id", "text")
 
     # stage 3 (image gate): synthesize + strict-decode + resize ONLY the
-    # image-kind survivors; non-image docs never enter the decode pass
-    rs = resize_image_stats(
-        synthesize_png_images(surv1), dst_w=8, dst_h=8
-    ).select(
-        F.col("media_id").alias("img_doc"),
-        (F.col("pixel_sum") < F.lit(min_pixel_sum)).alias("is_dark"),
+    # image-kind survivors; non-image docs never enter the decode pass.
+    # Eagerly checkpointed: the decode subtree feeds BOTH the survivor
+    # filter and the final reason join — without the cut, Spark would run
+    # the pipeline's most expensive per-byte stage twice (this makes the
+    # plan eager at call time, like _geo_neighbors' lattice checkpoint).
+    rs = (
+        resize_image_stats(synthesize_png_images(surv1), dst_w=8, dst_h=8)
+        .select(
+            F.col("media_id").alias("img_doc"),
+            (F.col("pixel_sum") < F.lit(min_pixel_sum)).alias("is_dark"),
+        )
+        .localCheckpoint(eager=True)
     )
     s2 = surv1.join(rs, surv1.doc_id == F.col("img_doc"), "left")
     surv2 = s2.filter(
@@ -206,13 +213,9 @@ def curate_media_documents(
             .alias("drop_reason"),
         )
     )
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
     return decided.select(
         "doc_id",
-        kind.alias("kind"),
+        media_kind(F.col("doc_id")).alias("kind"),
         F.col("drop_reason").isNull().alias("kept"),
         "drop_reason",
     )

@@ -83,3 +83,26 @@ def test_tws_conditional_registration_is_all_or_nothing():
         f"(+2 iff tws runtime present={available}) — update "
         "BASE_REGISTRY_SIZE when adding queries"
     )
+
+
+def test_committed_correctness_artifacts_match_registry_size():
+    """Round-10 review finding: README cites the committed full-sweep
+    artifacts as evidence for 'ALL N hash-gated', so a registry grown
+    past the artifacts makes that citation silently false. Enforce the
+    refresh mechanically: both committed artifacts must record exactly
+    the current base registry (refresh via scripts/oracle_sweep.py at
+    both SFs before landing a new @register)."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("CORRECTNESS_LOCAL.json", "CORRECTNESS_SF01_LOCAL.json"):
+        with open(os.path.join(here, name)) as f:
+            summary = json.load(f)["summary"]
+        assert summary["registry_total"] == BASE_REGISTRY_SIZE, (
+            f"{name} records registry_total={summary['registry_total']} "
+            f"but the registry is {BASE_REGISTRY_SIZE} — rerun "
+            "scripts/oracle_sweep.py at both SFs"
+        )
+        assert summary["fail"] == 0, f"{name} carries failures"
+        assert not summary["partial"], f"{name} is a partial sweep"

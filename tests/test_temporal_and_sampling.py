@@ -155,6 +155,63 @@ def test_salted_asof_equals_unsalted_on_adversarial_data(spark):
     ]
 
 
+def test_salted_asof_equals_unsalted_property(spark):
+    """Property form of the adversarial test: on ARBITRARY small inputs
+    (random keys, negative/duplicate/NULL timestamps, empty sides) the
+    salted operator must equal the unsalted one at several bucket counts.
+    The fixed adversarial test pins hot keys; this sweeps the bucket
+    ARITHMETIC (width rounding, lo-offset, sentinel cases) that a fixed
+    dataset can only sample. Bounded examples: Spark per example is ~1s."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from one_one_one_rule_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_salted,
+    )
+
+    ts_vals = st.one_of(st.none(), st.integers(-50, 50))
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        lrows=st.lists(
+            st.tuples(st.integers(0, 2), ts_vals, st.integers(0, 99)),
+            max_size=8,
+        ),
+        rrows=st.lists(
+            st.tuples(st.integers(0, 2), ts_vals, st.integers(0, 99)),
+            max_size=8,
+        ),
+    )
+    def check(lrows, rrows):
+        # contract: right unique per (key, ts) — dedupe the generated rows
+        rrows = list({(k, t): (k, t, p) for k, t, p in rrows}.values())
+        left = spark.createDataFrame(lrows, "k long, ts long, lid long")
+        right = spark.createDataFrame(rrows, "k long, ts long, pay long")
+
+        def canon(df):
+            return sorted(
+                tuple((x is None, x or 0) for x in r) for r in df.collect()
+            )
+
+        base = canon(
+            asof_join_backward(left, right, "k", "ts", ["ts", "pay"])
+        )
+        for nb in (1, 2, 7):
+            got = canon(
+                asof_join_backward_salted(
+                    left, right, "k", "ts", ["ts", "pay"], n_buckets=nb
+                )
+            )
+            assert got == base, f"n_buckets={nb} diverged"
+
+    check()
+
+
 def test_salted_asof_bounds_per_key_fanout(spark):
     """Plan + data shape: the big window partitions by (key, bucket) —
     never by the bare key — and the hottest key's rows really do spread

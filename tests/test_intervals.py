@@ -29,7 +29,7 @@ def _naive(left_rows, right_rows):
     }
 
 
-def _grid(spark, left_rows, right_rows, cell=CELL):
+def _grid(spark, left_rows, right_rows, cell=CELL, salt_buckets=1):
     out = overlap_join_grid(
         _mk(spark, left_rows, "l_"),
         _mk(spark, right_rows, "r_"),
@@ -38,6 +38,7 @@ def _grid(spark, left_rows, right_rows, cell=CELL):
         "r_s",
         "r_e",
         cell,
+        salt_buckets=salt_buckets,
     ).collect()
     pairs = [(r.l_id, r.r_id) for r in out]
     # exactly-once: the credit cell is unique per pair, so no multiset
@@ -66,6 +67,42 @@ def test_matches_naive_randomized(spark):
     assert _grid(spark, left, right) == _naive(left, right)
     # and under a different cell width the result is identical
     assert _grid(spark, left, right, cell=7) == _naive(left, right)
+
+
+def test_grid_matches_naive_property(spark):
+    """Property form of the randomized test: ARBITRARY small interval
+    sets — including NEGATIVE coordinates, where the docstring's
+    truncation-toward-zero binning note is the live code path (bins are
+    uneven around zero but must stay correct) — across cell widths and
+    salt counts, vs the literal O(n^2) definition. The fixed tests pin
+    boundary anatomy; this sweeps the bin/salt arithmetic."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ivals = st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(0, 30)).map(
+            lambda t: (t[0], t[0] + t[1])  # start <= end by construction
+        ),
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        left=ivals,
+        right=ivals,
+        cell=st.sampled_from([1, 3, 10]),
+        salt=st.sampled_from([1, 4]),
+    )
+    def check(left, right, cell, salt):
+        assert _grid(
+            spark, left, right, cell=cell, salt_buckets=salt
+        ) == _naive(left, right)
+
+    check()
 
 
 def test_closed_interval_touching_edges(spark):

@@ -72,3 +72,54 @@ def test_salted_neighbor_pairs_equal_unsalted_on_hot_cell(spark):
     assert max(r["count"] for r in shares) <= 0.35 * sum(
         r["count"] for r in shares
     )
+
+
+def test_neighbor_pairs_match_naive_property(spark):
+    """Property form vs the literal O(n^2) definition on ARBITRARY point
+    sets, biased toward the lattice EDGES where the 3x3 probe explode is
+    clamped (the round-9 clamp: off-grid cells can never match, so they
+    must not be generated — and clamping must not LOSE edge pairs), at
+    salt counts 1 and 4."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from one_one_one_rule_spark.queries_spatial import (
+        GEO_RADIUS,
+        GEO_SPAN,
+        neighbor_pairs,
+    )
+
+    # cluster coordinates near 0, near the span edge, and anywhere — edge
+    # cells are the clamped path a uniform draw would rarely exercise
+    coord = st.one_of(
+        st.integers(0, 2 * GEO_RADIUS),
+        st.integers(GEO_SPAN - 2 * GEO_RADIUS, GEO_SPAN - 1),
+        st.integers(0, GEO_SPAN - 1),
+    )
+    pts = st.lists(st.tuples(coord, coord), min_size=2, max_size=10)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(pts=pts, salt=st.sampled_from([1, 4]))
+    def check(pts, salt):
+        rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+        naive = sorted(
+            (i, (x1 - x2) ** 2 + (y1 - y2) ** 2)
+            for i, x1, y1 in rows
+            for j, x2, y2 in rows
+            if i != j
+            and (x1 - x2) ** 2 + (y1 - y2) ** 2 <= GEO_RADIUS * GEO_RADIUS
+        )
+        p = spark.createDataFrame(rows, "c_custkey long, x long, y long")
+        got = sorted(
+            (r["c_custkey"], r["d2"])
+            for r in neighbor_pairs(
+                p, GEO_RADIUS, salt_buckets=salt
+            ).collect()
+        )
+        assert got == naive
+
+    check()

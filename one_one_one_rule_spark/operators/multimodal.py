@@ -48,10 +48,15 @@ def media_kind(key):
     """The modality cycle (image / audio / video by ``key % 3``) — the ONE
     owner of the kind rule, shared by ``synthesize_media`` and the
     multimodal curation plan so the label and the image-gate predicate
-    (``doc_id % 3 == 0`` in ``synthesize_png_images``) cannot diverge."""
+    (``doc_id % 3 == 0`` in ``synthesize_png_images``) cannot diverge.
+
+    ``pmod`` (not ``%``): Spark's ``%`` keeps the dividend's sign, so a
+    negative key would index 0 (error) or from-the-end — the helper is
+    shared API and must be total over ALL integer keys, not just the
+    nonnegative doc_ids of the current callers (round-10 ADVICE)."""
     return F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (key % 3 + 1).cast("int"),
+        (F.pmod(key, F.lit(3)) + 1).cast("int"),
     )
 
 

@@ -135,6 +135,7 @@ def curate_media_documents(
     min_tokens: int = DEFAULT_MIN_TOKENS,
     min_quality: float = DEFAULT_MIN_QUALITY,
     min_pixel_sum: int = DEFAULT_MIN_PIXEL_SUM,
+    media: DataFrame | None = None,
 ) -> DataFrame:
     """Interleaved TEXT + IMAGE curation — the multimodal twin of
     ``curate_documents``, same staged-survivor architecture with a real
@@ -142,26 +143,42 @@ def curate_media_documents(
 
       1. ``too_short`` / 2. ``low_quality`` — the shared map-only text
          stages (``_text_stage1``: identical expressions, cannot diverge);
-      3. ``dark_image``  — image-kind survivors (doc_id % 3 == 0, the
-         ``synthesize_media`` kind cycle) have their REAL PNG payload
-         strict-decoded (CRC chunk walk, inflate, unfilter) and
-         nearest-neighbor-resized to 8x8; the doc is dropped when the
+      3. ``undecodable_image`` / ``dark_image`` — image-kind survivors
+         (doc_id % 3 == 0, the ``synthesize_media`` kind cycle) have
+         their REAL PNG payload strict-decoded (CRC chunk walk, inflate,
+         unfilter) and nearest-neighbor-resized to 8x8. An image-kind
+         survivor whose payload fails the strict decode (or has no
+         payload row at all) is QUARANTINED as ``undecodable_image`` —
+         never silently passed through the brightness gate (round-10
+         ADVICE). A decodable doc is dropped as ``dark_image`` when the
          thumbnail's exact int64 pixel sum is below ``min_pixel_sum``
          (mean brightness floor). Audio/video-kind docs pass through —
          the stage is modality-gated, as in any mixed corpus;
       4. ``near_dup``    — MinHash-LSH duplicate clusters over the
          remaining survivors; only the canonical member survives.
 
+    ``media``: optional (media_id, payload binary, ...) relation — the
+    PRODUCTION scan shape, payload bytes arriving from storage
+    column-pruned until the decode stage (the ``media_curation`` gate
+    feeds a parquet fixture here). The plan joins the text-survivor ids
+    against it so only surviving image docs' payloads are read/decoded.
+    When omitted, payloads are synthesized in-partition from the
+    survivor ids (the self-contained test shape); both shapes produce
+    identical results over byte-valid payloads, pinned by test.
+
     Returns (doc_id, kind, kept, drop_reason), earliest failing stage
     reported, NULL reason for kept docs.
 
-    Scale shape: stages 1-2 are codegen projections; stage 3 is two
-    Arrow-batched map-only passes (encode + decode/resize) over the
-    image-kind SURVIVORS only — the expensive per-byte decode never runs
-    on a doc the text gates already rejected, and payloads never leave
-    their partition; stage 4's LSH banding runs on the post-image
-    survivor set. At 100 TB this ordering is the whole game: decode cost
-    scales with surviving image bytes, LSH shuffle with surviving docs.
+    Scale shape: stages 1-2 are codegen projections; stage 3 is an
+    Arrow-batched decode/resize pass over the image-kind SURVIVORS only —
+    the expensive per-byte decode never runs on a doc the text gates
+    already rejected. In the scan shape the survivor semi-join moves
+    only surviving payload bytes through one keyed shuffle (co-bucket
+    ``documents`` and media by id to make it shuffle-free); in the
+    synthesize shape payloads never leave their partition. Stage 4's LSH
+    banding runs on the post-image survivor set. At 100 TB this ordering
+    is the whole game: decode cost scales with surviving image bytes,
+    LSH shuffle with surviving docs.
     """
     from ..operators.multimodal import (
         media_kind,
@@ -172,23 +189,36 @@ def curate_media_documents(
     stage1 = _text_stage1(docs, min_tokens, min_quality)
     surv1 = stage1.filter(F.col("r1").isNull()).select("doc_id", "text")
 
-    # stage 3 (image gate): synthesize + strict-decode + resize ONLY the
-    # image-kind survivors; non-image docs never enter the decode pass.
+    # stage 3 (image gate): decode + resize ONLY the image-kind survivors;
+    # non-image docs never enter the decode pass. In the scan shape the
+    # fixture holds image-kind rows only, so the survivor id join IS the
+    # modality gate; the synthesize shape filters doc_id % 3 == 0 itself.
+    if media is None:
+        img_payloads = synthesize_png_images(surv1)
+    else:
+        img_payloads = media.select("media_id", "payload").join(
+            surv1.select(F.col("doc_id").alias("media_id")), "media_id"
+        )
     # Eagerly checkpointed: the decode subtree feeds BOTH the survivor
     # filter and the final reason join — without the cut, Spark would run
     # the pipeline's most expensive per-byte stage twice (this makes the
     # plan eager at call time, like _geo_neighbors' lattice checkpoint).
     rs = (
-        resize_image_stats(synthesize_png_images(surv1), dst_w=8, dst_h=8)
+        resize_image_stats(img_payloads, dst_w=8, dst_h=8)
         .select(
             F.col("media_id").alias("img_doc"),
             (F.col("pixel_sum") < F.lit(min_pixel_sum)).alias("is_dark"),
         )
         .localCheckpoint(eager=True)
     )
+    # resize_image_stats DROPS undecodable rows (quarantine-sink class),
+    # so an image-kind survivor ABSENT from rs is exactly a decode
+    # failure (or a missing payload row): dropped, never passed through.
+    is_img = media_kind(F.col("doc_id")) == F.lit("image")
     s2 = surv1.join(rs, surv1.doc_id == F.col("img_doc"), "left")
     surv2 = s2.filter(
-        ~F.coalesce(F.col("is_dark"), F.lit(False))
+        F.when(is_img, F.coalesce(~F.col("is_dark"), F.lit(False)))
+        .otherwise(F.lit(True))
     ).select("doc_id", "text")
 
     # stage 4: near dedup among image-gate survivors (pairwise LSH ⇒
@@ -204,6 +234,10 @@ def curate_media_documents(
         .select(
             "doc_id",
             F.when(F.col("r1").isNotNull(), F.col("r1"))
+            .when(
+                is_img & F.col("img_doc").isNull(),
+                F.lit("undecodable_image"),
+            )
             .when(F.col("is_dark"), F.lit("dark_image"))
             .when(
                 F.col("cl_doc").isNotNull()

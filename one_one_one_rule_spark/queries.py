@@ -2925,22 +2925,58 @@ FROM mfinal
 """
 
 
+#: one staged media fixture per (process, sf_dir): the payload parquet is
+#: immutable test scaffolding (what storage would already hold in
+#: production), so rebuilding it per gate invocation would bill the bench
+#: for fixture synthesis instead of the pipeline under test
+_media_fixture_paths: dict[str, str] = {}
+
+
+def _media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet fixture with a REAL binary payload column — one PNG row per
+    image-kind doc (doc_id % 3 == 0), dimensions/pixels from the same
+    deterministic formula the oracle mirrors (operators/multimodal.py:
+    synthesize_png_images). Written once per process under the
+    atexit-cleaned gate temp root, then SCANNED — so the curation plan's
+    stage-3 input is payload bytes arriving from storage, column-pruned
+    until the decode stage (the production shape), not bytes synthesized
+    mid-plan."""
+    path = _media_fixture_paths.get(sf_dir)
+    if path is None:
+        from .operators.multimodal import synthesize_png_images
+
+        path = _session_tmp_dir("media_images_")
+        synthesize_png_images(
+            load_table(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(path)
+        _media_fixture_paths[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 @register("media_curation", _media_curation_sql())
 def media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MULTIMODAL curation (plans/curation.py:
     curate_media_documents): too_short → low_quality → dark_image (real
     PNG strict-decode + integer 8x8 resize + brightness floor, run ONLY
-    on image-kind text-survivors) → near_dup (MinHash-LSH clusters over
-    the remaining survivors, canonical survives). The staged-survivor
-    pattern docs_curation proves for text, with a binary-column decode
-    gate interleaved — the BASELINE north star's "multimodal columns" at
-    the PLAN level, not just per-operator. Hash-gated against one
-    recursive-CTE oracle that re-derives the image stage from the pixel
-    formula (it never decodes a PNG), so the match proves the engine's
-    decode path inside the composed pipeline."""
+    on image-kind text-survivors; an undecodable payload would be
+    quarantined, not passed through) → near_dup (MinHash-LSH clusters
+    over the remaining survivors, canonical survives). The
+    staged-survivor pattern docs_curation proves for text, with a
+    binary-column decode gate interleaved — the BASELINE north star's
+    "multimodal columns" at the PLAN level, not just per-operator.
+    Since round 11 the plan SCANS a staged parquet media fixture
+    (_media_fixture: payload bytes from storage, survivor-id join bounds
+    the decode) instead of synthesizing payloads mid-plan — the
+    production scan shape, same hash. Gated against one recursive-CTE
+    oracle that re-derives the image stage from the pixel formula (it
+    never decodes a PNG), so the match proves the engine's decode path
+    inside the composed pipeline."""
     from .plans.curation import curate_media_documents
 
-    return curate_media_documents(load_table(spark, sf_dir, "documents"))
+    return curate_media_documents(
+        load_table(spark, sf_dir, "documents"),
+        media=_media_fixture(spark, sf_dir),
+    )
 
 
 @register("docs_curation", _curation_sql())

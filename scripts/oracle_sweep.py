@@ -10,6 +10,7 @@ punch-list item 4 / ADVICE.md round-4 finding 4).
 Usage:  python scripts/oracle_sweep.py  [--sf-dir /root/testdata/sf0.01]
         python scripts/oracle_sweep.py  --changed-since HEAD~1
         python scripts/oracle_sweep.py  --only 'q17|kcore'
+        python scripts/oracle_sweep.py  --tier fast   # family representatives
 
 Development modes (round-5 VERDICT item 8 — the full sweep is ~5-25 min
 and the registry keeps growing, so iterating on one query must not cost a
@@ -53,6 +54,97 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+# ---------------------------------------------------------------------------
+# FAST TIER (round-11, VERDICT item 2): one representative per operator
+# family — the correctness analogue of bench.py --subset. Mid-round
+# iteration runs `--tier fast` (~1/3 of the full sweep's wall clock);
+# the FULL sweep remains the only selection allowed to write the
+# committed artifacts. Representatives prefer the member that strictly
+# dominates its family (see DOMINATED_BY below): e.g. the converged
+# graph loops over the fixed-round ones, the salted join twins over the
+# unsalted (same oracle, strictly more code), the persisted DPP IVF
+# path over the in-memory one.
+# ---------------------------------------------------------------------------
+FAST_TIER = [
+    # reference pipeline core (cleanse -> valuate -> screen -> report)
+    "valuation_full", "fundamentals_fetch", "looker_mos_buckets",
+    "valuation_report_html",
+    # TPC-H shapes: wide agg / multi-join / anti-join+exists
+    "q1_pricing_summary", "q8_market_share", "q21_waiting_suppliers",
+    # window / rollup / modern-SQL surface
+    "events_sliding_1h_sum", "events_type_day_cube", "events_daily_gapfill",
+    "nation_top2_customers_lateral", "orders_pipe_syntax_revenue",
+    "orders_trimmed_mean_udaf", "docs_chunker_udtf",
+    "customer_segment_setops",
+    # dedup tiers (clusters dominates lsh_pairs: pairs + components)
+    "docs_dedup_clusters", "docs_substring_dedup", "docs_incremental_dedup",
+    "docs_simhash_pairs", "docs_ppjoin_pairs",
+    # ANN / similarity
+    "ann_ivf_partitioned_topk", "ann_ivf_kmeans_topk", "ann_pq_topk",
+    "ann_mmr_rerank", "embeddings_semantic_dedup",
+    "embeddings_neardup_clusters_scaled",
+    # embedding transforms
+    "embeddings_quantile_normalize_adaptive", "embeddings_int8_quantization",
+    "embeddings_random_projection",
+    # text analysis + the two composed curation plans
+    "docs_curation", "media_curation", "docs_tfidf_top_terms",
+    "docs_bm25_topk", "docs_quality_calibration", "docs_pii_scrub",
+    "docs_winnow_fingerprints", "docs_contamination_check",
+    # sampling / packing / BPE
+    "docs_weighted_systematic_sample", "docs_dsir_importance_resample",
+    "docs_shuffled_pack_spans", "docs_pack_incremental",
+    "docs_bpe_compression",
+    # multimodal codecs
+    "media_image_resize_stats", "media_video_frame_stats",
+    "media_arrow_wav_stats",
+    # temporal / spatial joins (salted twins share the unsalted oracles)
+    "events_asof_purchase_click_salted", "events_asof_nearest",
+    "events_interval_overlap_join_salted", "lineitem_pit_priority",
+    "customer_geo_neighbors_salted",
+    # streaming
+    "events_stream_click_purchase_fullouter", "events_stream_resume",
+    "quotes_stream_ohlc", "events_stream_session_window",
+    "docs_stream_incremental_dedup",
+    # sketches / scale ops / skew
+    "events_hll_set_ops", "events_cms_heavy_hitters",
+    "events_quantile_sketch_eval", "lineitem_bloom_semijoin",
+    "lineitem_bucketed_colocated_join", "top_orders_per_customer_salted",
+    # graph
+    "parts_copurchase_pagerank_converged", "parts_copurchase_kcore_converged",
+    "parts_copurchase_sssp_incremental", "parts_copurchase_triangles",
+    # finance
+    "events_ema_macd", "events_pairwise_correlation_blocked",
+    "events_drawdown_summary",
+    # data quality / CDC / governance
+    "orders_dq_suite", "part_entity_resolution_closed",
+    "customer_k_anonymity", "customer_scd2_merge", "orders_cdc_apply",
+    "customer_cohort_ltv",
+]
+
+# Gates strictly dominated by a harder twin — SAME oracle (or a strict
+# superset of the dominating twin's code path), kept in the full registry
+# as regression witnesses but first in line for retirement if sweep time
+# ever forces a cut (VERDICT round-10 item 2). "Dominated" means: the
+# dominating gate green implies the dominated gate exercises no code the
+# dominating one didn't.
+DOMINATED_BY = {
+    "parts_copurchase_pagerank": "parts_copurchase_pagerank_converged",
+    "parts_copurchase_kcore": "parts_copurchase_kcore_converged",
+    # incremental warm-starts FROM a converged run: both loops execute
+    "parts_copurchase_sssp_converged": "parts_copurchase_sssp_incremental",
+    # same oracle; the persisted path adds write + DPP probe on top of
+    # the same cell lookup
+    "ann_ivf_topk": "ann_ivf_partitioned_topk",
+    # clusters = lsh pairs + connected components over them
+    "docs_minhash_lsh_pairs": "docs_dedup_clusters",
+    # salted twins: identical oracle, strictly more code (salt machinery)
+    "top_orders_per_customer": "top_orders_per_customer_salted",
+    "events_asof_purchase_click": "events_asof_purchase_click_salted",
+    "events_interval_overlap_join": "events_interval_overlap_join_salted",
+    "customer_geo_neighbors": "customer_geo_neighbors_salted",
+    "part_entity_resolution": "part_entity_resolution_closed",
+}
 
 
 def canon(rows, cols):
@@ -120,6 +212,15 @@ def main() -> int:
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--changed-since", metavar="GIT_REF", default=None)
     ap.add_argument("--only", metavar="NAME_REGEX", default=None)
+    ap.add_argument(
+        "--tier",
+        choices=["fast", "full"],
+        default="full",
+        help="fast = one representative per operator family (FAST_TIER,"
+        " ~70 queries) for mid-round iteration; full (default) = every"
+        " registry entry — the only selection allowed to write the"
+        " committed artifacts",
+    )
     args = ap.parse_args()
 
     # the GENERATED oracles (oracles_ann / oracles_text) train their
@@ -161,6 +262,14 @@ def main() -> int:
     qs, osql = mod.queries(), mod.oracle_sql()
 
     selected = list(qs)
+    if args.tier == "fast":
+        missing = [n for n in FAST_TIER if n not in qs]
+        if missing:
+            # the tier list must not rot silently when a gate is renamed
+            print(f"FAST_TIER names missing from the registry: {missing}")
+            return 2
+        selected = [n for n in selected if n in set(FAST_TIER)]
+        print(f"fast tier: {len(selected)}/{len(qs)} family representatives")
     if args.changed_since is not None:
         names = _changed_query_names(qs, args.changed_since)
         if names is not None:
@@ -174,7 +283,12 @@ def main() -> int:
     # partial-sweep residue never lands in the repo tree (round-7 verdict
     # item 8): defaults go to /tmp; only a FULL sweep defaults in-repo
     out_path = args.out or (
-        os.path.join("/tmp", "CORRECTNESS_PARTIAL.json")
+        os.path.join(
+            "/tmp",
+            "CORRECTNESS_FAST.json"
+            if args.tier == "fast"
+            else "CORRECTNESS_PARTIAL.json",
+        )
         if partial
         else os.path.join(REPO, "CORRECTNESS_LOCAL.json")
     )

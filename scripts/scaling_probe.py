@@ -98,9 +98,11 @@ SCALING_SET = [
      "stage is filter/index-bounded like its standalone twin"),
     ("media_curation", "documents", 1.60,
      "multimodal staged-survivor pipeline: map-only text gates, an "
-     "Arrow-batched PNG decode+resize gate over image-kind SURVIVORS "
-     "only (per-row, no shuffle), then the same survivor-bounded LSH "
-     "near-dup stage as docs_curation"),
+     "Arrow-batched PNG decode+resize gate fed by a survivor-id join "
+     "against the staged payload fixture (one keyed shuffle of "
+     "SURVIVING image payload bytes only — co-bucket by id to elide), "
+     "then the same survivor-bounded LSH near-dup stage as "
+     "docs_curation"),
     ("parts_copurchase_rules", "lineitem", 1.80,
      "support-filtered pair mining over the co-purchase edges; same "
      "edge-bounded shape as the graph tier"),

@@ -12,6 +12,16 @@ from one_one_one_rule_spark.sources.fixtures import TABLES
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "artifacts: pins committed sweep/bench artifacts to the live "
+        "registry — fails until the slow full-registry refreshes are "
+        "rerun after a new @register; deselect for the fast inner loop "
+        'with -m "not artifacts" (round-10 ADVICE)',
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(

@@ -79,3 +79,81 @@ def test_media_curation_earliest_stage_wins(spark, sf_dir):
             assert r.drop_reason == "dark_image"
         else:
             assert r.drop_reason in (None, "near_dup")
+
+
+def test_media_curation_scan_shape_equals_synthesize_shape(spark, sf_dir, tmp_path):
+    """Round-11: the gate now SCANS a staged parquet media fixture
+    (payload bytes from storage) instead of synthesizing payloads
+    mid-plan. Over byte-valid payloads the two shapes must be
+    row-identical — the hash gate then carries the scan shape."""
+    from one_one_one_rule_spark.operators.multimodal import (
+        synthesize_png_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "media_images")
+    synthesize_png_images(docs).write.parquet(path)
+    media = spark.read.parquet(path)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(curate_media_documents(docs, media=media)) == canon(
+        curate_media_documents(docs)
+    )
+
+
+def test_media_curation_quarantines_undecodable_payloads(spark, sf_dir, tmp_path):
+    """Round-10 ADVICE: an image-kind survivor whose payload fails the
+    strict decode must surface as ``undecodable_image`` — never silently
+    pass the brightness gate. Corrupt two survivors' payloads (one
+    truncated, one replaced with junk) and delete one payload row
+    entirely; all three quarantine, and none of them reaches the
+    near-dup stage."""
+    from one_one_one_rule_spark.operators.multimodal import (
+        synthesize_png_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {r.doc_id: r for r in curate_media_documents(docs).collect()}
+    # pick three image-kind docs that SURVIVE the text stages
+    victims = sorted(
+        d for d, r in base.items()
+        if d % 3 == 0 and r.drop_reason not in ("too_short", "low_quality")
+    )[:3]
+    assert len(victims) == 3, "fixture too small for the scenario"
+    trunc, junk, missing = victims
+
+    fixture = synthesize_png_images(docs)
+    fixture = fixture.filter(F.col("media_id") != missing).withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") == trunc, F.expr("substring(payload, 1, 20)")
+        )
+        .when(
+            F.col("media_id") == junk,
+            F.lit(b"\x89PNG\r\n\x1a\nnot a real png"),
+        )
+        .otherwise(F.col("payload")),
+    )
+    path = str(tmp_path / "media_images_corrupt")
+    fixture.write.parquet(path)
+
+    out = {
+        r.doc_id: r
+        for r in curate_media_documents(
+            docs, media=spark.read.parquet(path)
+        ).collect()
+    }
+    for v in victims:
+        assert out[v].drop_reason == "undecodable_image", (v, out[v])
+        assert not out[v].kept
+    # quarantined docs left the survivor set BEFORE near-dup: every other
+    # doc's verdict is unchanged except docs whose near-dup cluster lost
+    # a member (canonical election may shift) — reasons stay in-domain
+    valid = VALID_MEDIA_REASONS | {"undecodable_image"}
+    for d, r in out.items():
+        if r.drop_reason is not None:
+            assert r.drop_reason in valid
+        if base[d].drop_reason in ("too_short", "low_quality"):
+            assert r.drop_reason == base[d].drop_reason

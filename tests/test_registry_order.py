@@ -13,6 +13,8 @@ queries_quality) or after the 50th @register in queries.py. The full
 sweep (scripts/oracle_sweep.py) covers the tail.
 """
 
+import pytest
+
 from one_one_one_rule_spark.queries import ORACLES, QUERIES
 
 DRIVER_SAMPLE_PREFIX = [
@@ -85,13 +87,18 @@ def test_tws_conditional_registration_is_all_or_nothing():
     )
 
 
+@pytest.mark.artifacts
 def test_committed_correctness_artifacts_match_registry_size():
     """Round-10 review finding: README cites the committed full-sweep
     artifacts as evidence for 'ALL N hash-gated', so a registry grown
     past the artifacts makes that citation silently false. Enforce the
     refresh mechanically: both committed artifacts must record exactly
     the current base registry (refresh via scripts/oracle_sweep.py at
-    both SFs before landing a new @register)."""
+    both SFs before landing a new @register).
+
+    Marked ``artifacts`` (intentional slow-refresh coupling): the fast
+    inner loop deselects it with ``-m "not artifacts"``; the round-final
+    full run keeps it selected so the evidence citation stays enforced."""
     import json
     import os
 
@@ -106,3 +113,37 @@ def test_committed_correctness_artifacts_match_registry_size():
         )
         assert summary["fail"] == 0, f"{name} carries failures"
         assert not summary["partial"], f"{name} is a partial sweep"
+
+
+def test_fast_tier_names_exist_in_registry():
+    """The sweep's FAST_TIER and DOMINATED_BY lists (scripts/oracle_sweep.py)
+    name registry entries by string — a gate rename must break HERE in the
+    fast inner loop, not first at sweep time. Also pins the dominance
+    claims' shape: every dominating twin is itself registered, and the
+    salted/same-oracle dominance pairs really share an oracle."""
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "oracle_sweep", os.path.join(here, "scripts", "oracle_sweep.py")
+    )
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    missing = [n for n in sweep.FAST_TIER if n not in QUERIES]
+    assert not missing, f"FAST_TIER names not in registry: {missing}"
+    assert len(set(sweep.FAST_TIER)) == len(sweep.FAST_TIER)
+    for dominated, dominating in sweep.DOMINATED_BY.items():
+        assert dominated in QUERIES, dominated
+        assert dominating in QUERIES, dominating
+    # the same-oracle dominance claims (salted twins, persisted IVF,
+    # fixed-vs-converged loops that share the converged answer)
+    for a, b in [
+        ("ann_ivf_topk", "ann_ivf_partitioned_topk"),
+        ("top_orders_per_customer", "top_orders_per_customer_salted"),
+        ("events_asof_purchase_click", "events_asof_purchase_click_salted"),
+        ("events_interval_overlap_join", "events_interval_overlap_join_salted"),
+        ("customer_geo_neighbors", "customer_geo_neighbors_salted"),
+    ]:
+        assert ORACLES[a] == ORACLES[b], (a, b)

@@ -1375,3 +1375,19 @@ def test_png_accepts_ancillary_after_idat_run_rejects_critical():
         + _chunk(b"PLTE", b"\x00" * 3) + _chunk(b"IEND", b"")
     )
     assert decode_image(plte_late) is None
+
+
+def test_media_kind_total_over_negative_keys(spark):
+    """media_kind is shared API (synthesize_media AND the multimodal
+    curation plan): it must be total over ALL integer keys. Spark's ``%``
+    keeps the dividend's sign, so the pre-fix expression indexed the
+    3-element modality array at 0/-1/-2 for negative keys (round-10
+    ADVICE); ``pmod`` keeps the cycle aligned with the nonnegative one."""
+    from one_one_one_rule_spark.operators.multimodal import media_kind
+
+    df = spark.range(-7, 8).select(
+        F.col("id"), media_kind(F.col("id")).alias("kind")
+    )
+    got = {r["id"]: r["kind"] for r in df.collect()}
+    cycle = {0: "image", 1: "audio", 2: "video"}
+    assert got == {k: cycle[k % 3] for k in range(-7, 8)}

@@ -5,6 +5,7 @@ greedy-selection sanity on the MMR re-rank. Runs at the suite's sf
 (default sf0.001); cross-engine value equality is the oracle gates' job
 (tests/test_oracle_parity.py covers these at the same sf)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from one_one_one_rule_spark.queries import QUERIES
@@ -155,13 +156,20 @@ def test_salted_asof_equals_unsalted_on_adversarial_data(spark):
     ]
 
 
-def test_salted_asof_equals_unsalted_property(spark):
+@pytest.mark.parametrize("ts_dtype", ["bigint", "timestamp"])
+def test_salted_asof_equals_unsalted_property(spark, ts_dtype):
     """Property form of the adversarial test: on ARBITRARY small inputs
     (random keys, negative/duplicate/NULL timestamps, empty sides) the
     salted operator must equal the unsalted one at several bucket counts.
     The fixed adversarial test pins hot keys; this sweeps the bucket
     ARITHMETIC (width rounding, lo-offset, sentinel cases) that a fixed
-    dataset can only sample. Bounded examples: Spark per example is ~1s."""
+    dataset can only sample. Bounded examples: Spark per example is ~1s.
+
+    Parameterized over the ts dtype (round-10 VERDICT item 5): the
+    ``timestamp`` leg drives the operator's ``unix_micros`` bucket-axis
+    branch (operators/asof.py:_num) — previously exercised only by the
+    fixed events gate — over the same arbitrary inputs, including
+    negative-epoch timestamps."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -192,6 +200,12 @@ def test_salted_asof_equals_unsalted_property(spark):
         rrows = list({(k, t): (k, t, p) for k, t, p in rrows}.values())
         left = spark.createDataFrame(lrows, "k long, ts long, lid long")
         right = spark.createDataFrame(rrows, "k long, ts long, pay long")
+        if ts_dtype == "timestamp":
+            # same integers reinterpreted as microsecond-epoch instants
+            # (negatives = pre-1970): exact, order-preserving, NULL-safe
+            as_ts = F.timestamp_micros(F.col("ts")).alias("ts")
+            left = left.select("k", as_ts, "lid")
+            right = right.select("k", as_ts, "pay")
 
         def canon(df):
             return sorted(

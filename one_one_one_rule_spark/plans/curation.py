@@ -39,6 +39,14 @@ DEFAULT_PREFIX_CHARS = 400
 #: decoded-and-resized 8x8 thumbnail's mean pixel value is below 124,
 #: i.e. exact int64 pixel_sum < 124 * 8*8*3 (all-integer, oracle-exact).
 DEFAULT_MIN_PIXEL_SUM = 124 * 8 * 8 * 3
+#: Multimodal loudness floor (the audio analogue of the brightness
+#: floor): an audio-kind doc is dropped as ``quiet_audio`` when its
+#: decoded PCM16 signal's mean per-sample energy is below this, i.e.
+#: exact int64 sum(s^2) < floor * n_samples (all-integer, oracle-exact).
+#: 345e6 sits at ~p11 of the synthesized signal's per-doc mean-energy
+#: distribution (measured over both test SFs), so the gate drops a
+#: meaningful minority without emptying the modality.
+DEFAULT_MIN_AVG_ENERGY = 345_000_000
 
 
 def _text_stage1(
@@ -136,6 +144,8 @@ def curate_media_documents(
     min_quality: float = DEFAULT_MIN_QUALITY,
     min_pixel_sum: int = DEFAULT_MIN_PIXEL_SUM,
     media: DataFrame | None = None,
+    audio_media: DataFrame | None = None,
+    min_avg_energy: int | None = None,
 ) -> DataFrame:
     """Interleaved TEXT + IMAGE curation — the multimodal twin of
     ``curate_documents``, same staged-survivor architecture with a real
@@ -166,6 +176,19 @@ def curate_media_documents(
     survivor ids (the self-contained test shape); both shapes produce
     identical results over byte-valid payloads, pinned by test.
 
+    ``min_avg_energy`` (round-11): when set, an AUDIO gate runs beside
+    the image gate — audio-kind survivors (doc_id % 3 == 1) have their
+    REAL RIFF/WAVE payload strict-parsed zero-copy
+    (``wav_media_stats_arrow``) and are dropped as ``quiet_audio`` when
+    the exact int64 sum(s^2) falls below ``min_avg_energy * n_samples``
+    (mean loudness floor), or quarantined as ``undecodable_audio`` when
+    the payload fails the strict parse / has no payload row.
+    ``audio_media`` supplies the scanned payload relation (same contract
+    as ``media``); when omitted, WAV payloads are synthesized
+    in-partition. When ``min_avg_energy`` is None (default) the audio
+    stage is absent and the plan is EXACTLY the image-gated pipeline —
+    the ``media_curation`` hash cannot move.
+
     Returns (doc_id, kind, kept, drop_reason), earliest failing stage
     reported, NULL reason for kept docs.
 
@@ -184,6 +207,8 @@ def curate_media_documents(
         media_kind,
         resize_image_stats,
         synthesize_png_images,
+        synthesize_wav,
+        wav_media_stats_arrow,
     )
 
     stage1 = _text_stage1(docs, min_tokens, min_quality)
@@ -215,11 +240,42 @@ def curate_media_documents(
     # so an image-kind survivor ABSENT from rs is exactly a decode
     # failure (or a missing payload row): dropped, never passed through.
     is_img = media_kind(F.col("doc_id")) == F.lit("image")
+    is_aud = media_kind(F.col("doc_id")) == F.lit("audio")
+
+    # stage 3b (audio gate, optional): strict zero-copy WAV parse over
+    # audio-kind survivors only — same survivor-bounded shape and same
+    # quarantine contract as the image gate, on the sibling modality.
+    asx = None
+    if min_avg_energy is not None:
+        if audio_media is None:
+            aud_payloads = synthesize_wav(surv1)
+        else:
+            aud_payloads = audio_media.select("media_id", "payload").join(
+                surv1.select(F.col("doc_id").alias("media_id")), "media_id"
+            )
+        asx = (
+            wav_media_stats_arrow(aud_payloads)
+            .select(
+                F.col("media_id").alias("aud_doc"),
+                (
+                    F.col("energy")
+                    < F.lit(min_avg_energy).cast("bigint")
+                    * F.col("n_samples").cast("bigint")
+                ).alias("is_quiet"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
     s2 = surv1.join(rs, surv1.doc_id == F.col("img_doc"), "left")
-    surv2 = s2.filter(
-        F.when(is_img, F.coalesce(~F.col("is_dark"), F.lit(False)))
-        .otherwise(F.lit(True))
-    ).select("doc_id", "text")
+    keep = F.when(
+        is_img, F.coalesce(~F.col("is_dark"), F.lit(False))
+    ).otherwise(F.lit(True))
+    if asx is not None:
+        s2 = s2.join(asx, s2.doc_id == F.col("aud_doc"), "left")
+        keep = keep & F.when(
+            is_aud, F.coalesce(~F.col("is_quiet"), F.lit(False))
+        ).otherwise(F.lit(True))
+    surv2 = s2.filter(keep).select("doc_id", "text")
 
     # stage 4: near dedup among image-gate survivors (pairwise LSH ⇒
     # survivor-pair filtering is exactly LSH over the survivor subset)
@@ -228,25 +284,33 @@ def curate_media_documents(
         F.col("doc_id").alias("cl_doc"), "cluster_id"
     )
 
-    decided = (
-        stage1.join(rs, stage1.doc_id == F.col("img_doc"), "left")
-        .join(clusters, stage1.doc_id == F.col("cl_doc"), "left")
-        .select(
-            "doc_id",
-            F.when(F.col("r1").isNotNull(), F.col("r1"))
-            .when(
-                is_img & F.col("img_doc").isNull(),
-                F.lit("undecodable_image"),
-            )
-            .when(F.col("is_dark"), F.lit("dark_image"))
-            .when(
-                F.col("cl_doc").isNotNull()
-                & (F.col("cluster_id") != F.col("cl_doc")),
-                F.lit("near_dup"),
-            )
-            .alias("drop_reason"),
+    reason = (
+        F.when(F.col("r1").isNotNull(), F.col("r1"))
+        .when(
+            is_img & F.col("img_doc").isNull(),
+            F.lit("undecodable_image"),
         )
+        .when(F.col("is_dark"), F.lit("dark_image"))
     )
+    if asx is not None:
+        reason = reason.when(
+            is_aud & F.col("aud_doc").isNull(),
+            F.lit("undecodable_audio"),
+        ).when(F.col("is_quiet"), F.lit("quiet_audio"))
+    reason = reason.when(
+        F.col("cl_doc").isNotNull()
+        & (F.col("cluster_id") != F.col("cl_doc")),
+        F.lit("near_dup"),
+    )
+
+    decided = stage1.join(rs, stage1.doc_id == F.col("img_doc"), "left")
+    if asx is not None:
+        decided = decided.join(
+            asx, decided.doc_id == F.col("aud_doc"), "left"
+        )
+    decided = decided.join(
+        clusters, decided.doc_id == F.col("cl_doc"), "left"
+    ).select("doc_id", reason.alias("drop_reason"))
     return decided.select(
         "doc_id",
         media_kind(F.col("doc_id")).alias("kind"),

@@ -2953,6 +2953,125 @@ def _media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _media_wav_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio sibling of ``_media_fixture``: one byte-valid RIFF/WAVE
+    payload row per audio-kind doc (doc_id % 3 == 1), PCM signal from the
+    formula the WAV oracles mirror (operators/multimodal.py:
+    synthesize_wav), written once per process and then SCANNED."""
+    key = sf_dir + "#wav"
+    path = _media_fixture_paths.get(key)
+    if path is None:
+        from .operators.multimodal import synthesize_wav
+
+        path = _session_tmp_dir("media_wavs_")
+        synthesize_wav(
+            load_table(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(path)
+        _media_fixture_paths[key] = path
+    return spark.read.parquet(path)
+
+
+def _media_curation_av_sql() -> str:
+    """Oracle for the image+AUDIO curation plan — _media_curation_sql's
+    skeleton with the loudness stage spelled from the PCM signal FORMULA
+    (the media_wav_frame_energy oracle's sample logic): the oracle never
+    parses a RIFF container, so a hash match proves the engine's
+    zero-copy WAV parse (wav_media_stats_arrow) inside the staged plan,
+    exactly as the image leg proves the PNG decode."""
+    from .plans.curation import (
+        DEFAULT_MIN_AVG_ENERGY,
+        DEFAULT_MIN_PIXEL_SUM,
+        DEFAULT_MIN_QUALITY,
+        DEFAULT_MIN_TOKENS,
+    )
+
+    return f"""
+WITH RECURSIVE
+ctoks AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS en_hits
+  FROM documents
+),
+cscored AS (
+  SELECT doc_id, text, n_tokens,
+         least(1.0e0, n_tokens / 100.0e0)
+           * (1.0e0 - 0.5e0 * (CAST(en_hits AS DOUBLE) / n_tokens)) AS q
+  FROM ctoks
+),
+cs1 AS (
+  SELECT doc_id, text,
+         CASE WHEN n_tokens < {DEFAULT_MIN_TOKENS} THEN 'too_short'
+              WHEN q < {DEFAULT_MIN_QUALITY}e0 THEN 'low_quality' END AS r1
+  FROM cscored
+),
+msurv1 AS (SELECT doc_id, text FROM cs1 WHERE r1 IS NULL),
+mdark AS MATERIALIZED (
+  SELECT d.doc_id,
+         SUM((d.doc_id*37 + ((ty.dy * (7 + d.doc_id % 6)) // 8) * 19
+              + ((tx.dx * (9 + d.doc_id % 8)) // 8) * 11 + tc.c * 5) % 256)
+           < {DEFAULT_MIN_PIXEL_SUM} AS is_dark
+  FROM msurv1 d,
+       LATERAL (SELECT unnest(range(8)) AS dy) ty,
+       LATERAL (SELECT unnest(range(8)) AS dx) tx,
+       LATERAL (SELECT unnest(range(3)) AS c) tc
+  WHERE d.doc_id % 3 = 0
+  GROUP BY d.doc_id
+),
+aquiet AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(v * v) < CAST({DEFAULT_MIN_AVG_ENERGY} AS BIGINT)
+                      * (64 + doc_id % 64) AS is_quiet
+  FROM (
+    SELECT d.doc_id,
+           ((d.doc_id*31 + t.i*17) * 2654435761) % 65536 - 32768 AS v
+    FROM msurv1 d,
+         LATERAL (SELECT unnest(range(64 + d.doc_id % 64)) AS i) t
+    WHERE d.doc_id % 3 = 1
+  )
+  GROUP BY doc_id
+),
+msurv2 AS (
+  SELECT m.doc_id FROM msurv1 m
+  LEFT JOIN mdark k ON m.doc_id = k.doc_id
+  LEFT JOIN aquiet a ON m.doc_id = a.doc_id
+  WHERE NOT COALESCE(k.is_dark, FALSE) AND NOT COALESCE(a.is_quiet, FALSE)
+),
+{_minhash_ctes().strip()},
+medges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  JOIN msurv2 a ON doc_a = a.doc_id
+  JOIN msurv2 b ON doc_b = b.doc_id
+),
+medges AS MATERIALIZED (SELECT u, v FROM medges0 UNION SELECT v, u FROM medges0),
+mreach(u, v) AS (
+  SELECT u, v FROM medges
+  UNION
+  SELECT r.u, e.v FROM mreach r JOIN medges e ON r.v = e.u
+),
+mlab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM mreach GROUP BY u),
+mfinal AS (
+  SELECT cs1.doc_id,
+         CASE WHEN r1 IS NOT NULL THEN r1
+              WHEN mdark.is_dark THEN 'dark_image'
+              WHEN aquiet.is_quiet THEN 'quiet_audio'
+              WHEN mlab.doc_id IS NOT NULL AND mlab.cluster_id <> cs1.doc_id
+                   THEN 'near_dup' END AS drop_reason
+  FROM cs1
+  LEFT JOIN mdark ON cs1.doc_id = mdark.doc_id
+  LEFT JOIN aquiet ON cs1.doc_id = aquiet.doc_id
+  LEFT JOIN mlab ON cs1.doc_id = mlab.doc_id
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       drop_reason IS NULL AS kept, drop_reason
+FROM mfinal
+"""
+
+
 @register("media_curation", _media_curation_sql())
 def media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MULTIMODAL curation (plans/curation.py:
@@ -2976,6 +3095,34 @@ def media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_media_documents(
         load_table(spark, sf_dir, "documents"),
         media=_media_fixture(spark, sf_dir),
+    )
+
+
+@register("media_curation_av", _media_curation_av_sql())
+def media_curation_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE+AUDIO curation — the staged-survivor plan with
+    BOTH modality decode gates live (round 11):
+    too_short → low_quality → [dark_image (strict PNG decode + integer
+    8x8 resize + brightness floor) ∥ quiet_audio (strict zero-copy
+    RIFF/WAVE parse + exact int64 mean-energy floor)] on each modality's
+    text-survivors → near_dup over the remaining survivors. Both decode
+    stages SCAN staged parquet payload fixtures (payload bytes from
+    storage; survivor-id joins bound each decode to its modality's
+    text-survivors), and each modality quarantines undecodable payloads
+    rather than passing them. Hash-gated against ONE recursive-CTE
+    oracle that re-derives both gates from the pixel and PCM FORMULAS —
+    it never decodes a PNG nor parses a RIFF container, so the match
+    proves both codec paths inside the composed pipeline. Scale shape:
+    identical to media_curation plus one more map-only Arrow pass over
+    audio-kind survivors; decode cost per modality scales with that
+    modality's surviving bytes."""
+    from .plans.curation import DEFAULT_MIN_AVG_ENERGY, curate_media_documents
+
+    return curate_media_documents(
+        load_table(spark, sf_dir, "documents"),
+        media=_media_fixture(spark, sf_dir),
+        audio_media=_media_wav_fixture(spark, sf_dir),
+        min_avg_energy=DEFAULT_MIN_AVG_ENERGY,
     )
 
 

@@ -87,8 +87,9 @@ FAST_TIER = [
     # embedding transforms
     "embeddings_quantile_normalize_adaptive", "embeddings_int8_quantization",
     "embeddings_random_projection",
-    # text analysis + the two composed curation plans
-    "docs_curation", "media_curation", "docs_tfidf_top_terms",
+    # text analysis + the composed curation plans (media_curation_av is
+    # the dominating multimodal plan: both decode gates + scan shapes)
+    "docs_curation", "media_curation_av", "docs_tfidf_top_terms",
     "docs_bm25_topk", "docs_quality_calibration", "docs_pii_scrub",
     "docs_winnow_fingerprints", "docs_contamination_check",
     # sampling / packing / BPE

@@ -103,6 +103,11 @@ SCALING_SET = [
      "SURVIVING image payload bytes only — co-bucket by id to elide), "
      "then the same survivor-bounded LSH near-dup stage as "
      "docs_curation"),
+    ("media_curation_av", "documents", 1.60,
+     "image+audio staged-survivor pipeline: media_curation's shape plus "
+     "one more map-only zero-copy Arrow WAV pass over audio-kind "
+     "survivors; per-modality decode cost scales with that modality's "
+     "surviving payload bytes"),
     ("parts_copurchase_rules", "lineitem", 1.80,
      "support-filtered pair mining over the co-purchase edges; same "
      "edge-bounded shape as the graph tier"),

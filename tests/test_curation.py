@@ -157,3 +157,95 @@ def test_media_curation_quarantines_undecodable_payloads(spark, sf_dir, tmp_path
             assert r.drop_reason in valid
         if base[d].drop_reason in ("too_short", "low_quality"):
             assert r.drop_reason == base[d].drop_reason
+
+
+def test_media_curation_av_audio_gate_invariants(spark, sf_dir):
+    """The image+audio plan (round 11): quiet_audio only ever drops
+    audio-kind docs, dark_image only image-kind, the audio stage runs on
+    text-survivors only (earliest stage wins), and disabling the audio
+    gate reproduces the image-only plan exactly."""
+    from one_one_one_rule_spark.plans.curation import (
+        DEFAULT_MIN_AVG_ENERGY,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_media_documents(
+        docs, min_avg_energy=DEFAULT_MIN_AVG_ENERGY
+    ).collect()
+    assert len(out) == docs.count()
+    valid = VALID_MEDIA_REASONS | {"quiet_audio"}
+    for r in out:
+        assert r.kept == (r.drop_reason is None)
+        if r.drop_reason is not None:
+            assert r.drop_reason in valid
+        if r.drop_reason == "quiet_audio":
+            assert r.kind == "audio" and r.doc_id % 3 == 1
+        if r.drop_reason == "dark_image":
+            assert r.kind == "image" and r.doc_id % 3 == 0
+
+    # min_avg_energy=None is EXACTLY the image-only plan (the
+    # media_curation hash cannot move)
+    base = curate_media_documents(docs).collect()
+    av_off = {r.doc_id: r for r in base}
+    # with an impossible loudness floor every text-surviving audio doc is
+    # quiet_audio, and no text verdict flips
+    strict = curate_media_documents(docs, min_avg_energy=10**12).collect()
+    for r in strict:
+        prior = av_off[r.doc_id].drop_reason
+        if prior in ("too_short", "low_quality"):
+            assert r.drop_reason == prior
+        elif r.doc_id % 3 == 1:
+            assert r.drop_reason == "quiet_audio"
+
+
+def test_media_curation_av_quarantines_undecodable_audio(spark, sf_dir, tmp_path):
+    """A corrupt WAV payload (and a missing payload row) quarantine as
+    undecodable_audio — the audio gate honors the same never-pass
+    contract as the image gate."""
+    from one_one_one_rule_spark.operators.multimodal import (
+        synthesize_png_images,
+        synthesize_wav,
+    )
+    from one_one_one_rule_spark.plans.curation import (
+        DEFAULT_MIN_AVG_ENERGY,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        r.doc_id: r
+        for r in curate_media_documents(
+            docs, min_avg_energy=DEFAULT_MIN_AVG_ENERGY
+        ).collect()
+    }
+    victims = sorted(
+        d for d, r in base.items()
+        if d % 3 == 1 and r.drop_reason not in ("too_short", "low_quality")
+    )[:2]
+    assert len(victims) == 2
+    corrupt, missing = victims
+
+    img_path = str(tmp_path / "imgs")
+    synthesize_png_images(docs).write.parquet(img_path)
+    wavs = synthesize_wav(docs).filter(
+        F.col("media_id") != missing
+    ).withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") == corrupt, F.lit(b"RIFFnot-a-wav")
+        ).otherwise(F.col("payload")),
+    )
+    wav_path = str(tmp_path / "wavs")
+    wavs.write.parquet(wav_path)
+
+    out = {
+        r.doc_id: r
+        for r in curate_media_documents(
+            docs,
+            media=spark.read.parquet(img_path),
+            audio_media=spark.read.parquet(wav_path),
+            min_avg_energy=DEFAULT_MIN_AVG_ENERGY,
+        ).collect()
+    }
+    for v in victims:
+        assert out[v].drop_reason == "undecodable_audio", (v, out[v])
+        assert not out[v].kept

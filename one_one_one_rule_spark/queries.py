@@ -3126,6 +3126,183 @@ def media_curation_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic corruption rule for the quarantine gate: among media-kind
+#: docs, ids ≡ 3 (mod 7) carry a TRUNCATED payload (strict decode must
+#: reject) and ids ≡ 5 (mod 7) have NO payload row at all. The oracle
+#: knows only this id rule — it never inspects a byte — so a hash match
+#: proves the engine's strict decoders actually reject the corrupt bytes
+#: and the plan routes both failure modes to the quarantine reasons.
+_QUARANTINE_TRUNC_MOD = 3
+_QUARANTINE_MISSING_MOD = 5
+
+
+def _media_fixture_corrupt(
+    spark: SparkSession, sf_dir: str, which: str
+) -> DataFrame:
+    """The staged payload fixtures with the deterministic corruption rule
+    applied: ``which`` = 'png' (image fixture) or 'wav' (audio fixture).
+    Truncation keeps the container magic but breaks the declared sizes,
+    so only a STRICT parser rejects it."""
+    key = f"{sf_dir}#{which}-corrupt"
+    path = _media_fixture_paths.get(key)
+    if path is None:
+        from .operators.multimodal import (
+            synthesize_png_images,
+            synthesize_wav,
+        )
+
+        synth = synthesize_png_images if which == "png" else synthesize_wav
+        trunc_len = 20 if which == "png" else 16
+        fixture = (
+            synth(load_table(spark, sf_dir, "documents"))
+            .filter(F.col("media_id") % 7 != _QUARANTINE_MISSING_MOD)
+            .withColumn(
+                "payload",
+                F.when(
+                    F.col("media_id") % 7 == _QUARANTINE_TRUNC_MOD,
+                    F.expr(f"substring(payload, 1, {trunc_len})"),
+                ).otherwise(F.col("payload")),
+            )
+        )
+        path = _session_tmp_dir(f"media_{which}_corrupt_")
+        fixture.write.mode("overwrite").parquet(path)
+        _media_fixture_paths[key] = path
+    return spark.read.parquet(path)
+
+
+def _media_curation_quarantine_sql() -> str:
+    """Oracle for the quarantine gate — _media_curation_av_sql with the
+    corruption id-rule folded in: corrupted/missing-payload media docs are
+    EXCLUDED from the formula-derived decode stages (the engine's strict
+    parsers must reject them, so they never produce stats) and surface as
+    ``undecodable_image`` / ``undecodable_audio`` among text survivors,
+    leaving the near-dup stage too. The oracle never decodes a container
+    OR inspects a payload byte: corruption is pure id arithmetic."""
+    from .plans.curation import (
+        DEFAULT_MIN_AVG_ENERGY,
+        DEFAULT_MIN_PIXEL_SUM,
+        DEFAULT_MIN_QUALITY,
+        DEFAULT_MIN_TOKENS,
+    )
+
+    bad = f"({_QUARANTINE_TRUNC_MOD}, {_QUARANTINE_MISSING_MOD})"
+    return f"""
+WITH RECURSIVE
+ctoks AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS en_hits
+  FROM documents
+),
+cscored AS (
+  SELECT doc_id, text, n_tokens,
+         least(1.0e0, n_tokens / 100.0e0)
+           * (1.0e0 - 0.5e0 * (CAST(en_hits AS DOUBLE) / n_tokens)) AS q
+  FROM ctoks
+),
+cs1 AS (
+  SELECT doc_id, text,
+         CASE WHEN n_tokens < {DEFAULT_MIN_TOKENS} THEN 'too_short'
+              WHEN q < {DEFAULT_MIN_QUALITY}e0 THEN 'low_quality' END AS r1
+  FROM cscored
+),
+msurv1 AS (SELECT doc_id, text FROM cs1 WHERE r1 IS NULL),
+mdark AS MATERIALIZED (
+  SELECT d.doc_id,
+         SUM((d.doc_id*37 + ((ty.dy * (7 + d.doc_id % 6)) // 8) * 19
+              + ((tx.dx * (9 + d.doc_id % 8)) // 8) * 11 + tc.c * 5) % 256)
+           < {DEFAULT_MIN_PIXEL_SUM} AS is_dark
+  FROM msurv1 d,
+       LATERAL (SELECT unnest(range(8)) AS dy) ty,
+       LATERAL (SELECT unnest(range(8)) AS dx) tx,
+       LATERAL (SELECT unnest(range(3)) AS c) tc
+  WHERE d.doc_id % 3 = 0 AND d.doc_id % 7 NOT IN {bad}
+  GROUP BY d.doc_id
+),
+aquiet AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(v * v) < CAST({DEFAULT_MIN_AVG_ENERGY} AS BIGINT)
+                      * (64 + doc_id % 64) AS is_quiet
+  FROM (
+    SELECT d.doc_id,
+           ((d.doc_id*31 + t.i*17) * 2654435761) % 65536 - 32768 AS v
+    FROM msurv1 d,
+         LATERAL (SELECT unnest(range(64 + d.doc_id % 64)) AS i) t
+    WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 NOT IN {bad}
+  )
+  GROUP BY doc_id
+),
+msurv2 AS (
+  SELECT m.doc_id FROM msurv1 m
+  LEFT JOIN mdark k ON m.doc_id = k.doc_id
+  LEFT JOIN aquiet a ON m.doc_id = a.doc_id
+  WHERE NOT COALESCE(k.is_dark, FALSE) AND NOT COALESCE(a.is_quiet, FALSE)
+    AND NOT (m.doc_id % 3 IN (0, 1) AND m.doc_id % 7 IN {bad})
+),
+{_minhash_ctes().strip()},
+medges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  JOIN msurv2 a ON doc_a = a.doc_id
+  JOIN msurv2 b ON doc_b = b.doc_id
+),
+medges AS MATERIALIZED (SELECT u, v FROM medges0 UNION SELECT v, u FROM medges0),
+mreach(u, v) AS (
+  SELECT u, v FROM medges
+  UNION
+  SELECT r.u, e.v FROM mreach r JOIN medges e ON r.v = e.u
+),
+mlab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM mreach GROUP BY u),
+mfinal AS (
+  SELECT cs1.doc_id,
+         CASE WHEN r1 IS NOT NULL THEN r1
+              WHEN cs1.doc_id % 3 = 0 AND cs1.doc_id % 7 IN {bad}
+                   THEN 'undecodable_image'
+              WHEN mdark.is_dark THEN 'dark_image'
+              WHEN cs1.doc_id % 3 = 1 AND cs1.doc_id % 7 IN {bad}
+                   THEN 'undecodable_audio'
+              WHEN aquiet.is_quiet THEN 'quiet_audio'
+              WHEN mlab.doc_id IS NOT NULL AND mlab.cluster_id <> cs1.doc_id
+                   THEN 'near_dup' END AS drop_reason
+  FROM cs1
+  LEFT JOIN mdark ON cs1.doc_id = mdark.doc_id
+  LEFT JOIN aquiet ON cs1.doc_id = aquiet.doc_id
+  LEFT JOIN mlab ON cs1.doc_id = mlab.doc_id
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       drop_reason IS NULL AS kept, drop_reason
+FROM mfinal
+"""
+
+
+@register("media_curation_quarantine", _media_curation_quarantine_sql())
+def media_curation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REJECTION paths of the multimodal curation plan, hash-gated:
+    the staged payload fixtures carry deterministic corruption (ids ≡ 3
+    mod 7 truncated after the container magic; ids ≡ 5 mod 7 missing
+    their payload row entirely), and the SAME curate_media_documents plan
+    as media_curation_av must route every corrupted/missing image and
+    audio survivor to ``undecodable_image`` / ``undecodable_audio`` —
+    excluded from the brightness/loudness stats AND from the near-dup
+    stage. The oracle models corruption as pure id arithmetic (it never
+    inspects a byte), so the hash proves the engine's STRICT decoders
+    reject truncated containers: a lenient parser that salvaged a
+    truncated PNG/WAV would emit stats for it, flip the reason, and
+    break the hash. This is the cross-engine gate for the quarantine
+    contract the unit tests pin pointwise."""
+    from .plans.curation import DEFAULT_MIN_AVG_ENERGY, curate_media_documents
+
+    return curate_media_documents(
+        load_table(spark, sf_dir, "documents"),
+        media=_media_fixture_corrupt(spark, sf_dir, "png"),
+        audio_media=_media_fixture_corrupt(spark, sf_dir, "wav"),
+        min_avg_energy=DEFAULT_MIN_AVG_ENERGY,
+    )
+
+
 @register("docs_curation", _curation_sql())
 def docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation (plans/curation.py): too_short →

@@ -672,3 +672,69 @@ def test_qnorm_windowed_rank_survives_int32_overflow_scale(spark):
     assert len(rows) == n
     qs = sorted(r["q_ppm"] for r in rows)
     assert qs[0] == 0 and qs[-1] == 1_000_000  # full grid, no wrap/raise
+
+
+def test_media_survivor_join_cobucketed_is_shuffle_free(spark, sf_dir):
+    """The media curation docstrings claim the production fix for the
+    survivor-payload join's one keyed shuffle is to co-bucket documents
+    and media by id — prove it on the executed plan (round 11): the PNG
+    payload fixture AND the text-survivor ids both written
+    bucketBy(8, media_id).sortBy, broadcast disabled, and the survivor
+    join runs with ZERO shuffle exchanges; the strict decode+resize stage
+    then consumes the joined payloads bucket-locally and still produces
+    every survivor's stats."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        resize_image_stats,
+        synthesize_png_images,
+    )
+    from one_one_one_rule_spark.plans.curation import (
+        DEFAULT_MIN_QUALITY,
+        DEFAULT_MIN_TOKENS,
+        _text_stage1,
+    )
+    from one_one_one_rule_spark.sources.fixtures import load_table
+
+    suffix = uuid.uuid4().hex[:12]
+    mt, st = f"media_bkt_{suffix}", f"surv_bkt_{suffix}"
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        (
+            synthesize_png_images(docs)
+            .write.bucketBy(8, "media_id")
+            .sortBy("media_id")
+            .mode("overwrite")
+            .saveAsTable(mt)
+        )
+        (
+            _text_stage1(docs, DEFAULT_MIN_TOKENS, DEFAULT_MIN_QUALITY)
+            .filter(F.col("r1").isNull())
+            .select(F.col("doc_id").alias("media_id"))
+            .write.bucketBy(8, "media_id")
+            .sortBy("media_id")
+            .mode("overwrite")
+            .saveAsTable(st)
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(mt).join(spark.table(st), "media_id")
+        n_surviving_images = joined.count()
+        assert n_surviving_images > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "ShuffleExchange" not in plan and "ShuffleQueryStage" not in plan
+        # the decode stage runs over the shuffle-free join's output and
+        # every surviving image payload decodes (byte-valid fixture)
+        stats = resize_image_stats(
+            joined.select("media_id", "payload"), dst_w=8, dst_h=8
+        )
+        assert stats.count() == n_surviving_images
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql(f"DROP TABLE IF EXISTS {mt}")
+        spark.sql(f"DROP TABLE IF EXISTS {st}")

@@ -108,6 +108,11 @@ SCALING_SET = [
      "one more map-only zero-copy Arrow WAV pass over audio-kind "
      "survivors; per-modality decode cost scales with that modality's "
      "surviving payload bytes"),
+    ("media_curation_quarantine", "documents", 1.60,
+     "the AV plan over deterministically corrupted fixtures: quarantined "
+     "docs leave the survivor set BEFORE the decode stats and near-dup "
+     "stages, so rejection is strictly cheaper than acceptance — same "
+     "linear shape as media_curation_av"),
     ("parts_copurchase_rules", "lineitem", 1.80,
      "support-filtered pair mining over the co-purchase edges; same "
      "edge-bounded shape as the graph tier"),

@@ -249,3 +249,99 @@ def test_media_curation_av_quarantines_undecodable_audio(spark, sf_dir, tmp_path
     for v in victims:
         assert out[v].drop_reason == "undecodable_audio", (v, out[v])
         assert not out[v].kept
+
+
+def test_media_curation_quarantine_property(spark, sf_dir):
+    """Property form of the quarantine contract (the media_curation_quarantine
+    gate pins one fixed corruption rule): for ARBITRARY subsets of
+    corrupted/missing payloads across BOTH modalities, the quarantined
+    set must be exactly (corrupted ∪ missing) ∩ that modality's
+    text-survivors, text verdicts must never flip, and valid-payload
+    verdicts must stay in-domain. Corruption here truncates after the
+    container magic, so only a STRICT parser rejects it."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from one_one_one_rule_spark.operators.multimodal import (
+        synthesize_png_images,
+        synthesize_wav,
+    )
+    from one_one_one_rule_spark.plans.curation import (
+        DEFAULT_MIN_AVG_ENERGY,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        r.doc_id: r
+        for r in curate_media_documents(
+            docs, min_avg_energy=DEFAULT_MIN_AVG_ENERGY
+        ).collect()
+    }
+    img_surv = sorted(
+        d for d, r in base.items()
+        if d % 3 == 0 and r.drop_reason not in ("too_short", "low_quality")
+    )
+    aud_surv = sorted(
+        d for d, r in base.items()
+        if d % 3 == 1 and r.drop_reason not in ("too_short", "low_quality")
+    )
+    pngs = synthesize_png_images(docs).localCheckpoint(eager=True)
+    wavs = synthesize_wav(docs).localCheckpoint(eager=True)
+
+    def corrupt(fixture, trunc_ids, missing_ids, trunc_len):
+        out = fixture
+        if missing_ids:
+            out = out.filter(~F.col("media_id").isin(*missing_ids))
+        if trunc_ids:
+            out = out.withColumn(
+                "payload",
+                F.when(
+                    F.col("media_id").isin(*trunc_ids),
+                    F.expr(f"substring(payload, 1, {trunc_len})"),
+                ).otherwise(F.col("payload")),
+            )
+        return out
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def check(data):
+        it = data.draw(st.sets(st.sampled_from(img_surv), max_size=4))
+        im = data.draw(
+            st.sets(
+                st.sampled_from(sorted(set(img_surv) - it)), max_size=4
+            )
+        ) if len(it) < len(img_surv) else set()
+        at = data.draw(st.sets(st.sampled_from(aud_surv), max_size=4))
+        am = data.draw(
+            st.sets(
+                st.sampled_from(sorted(set(aud_surv) - at)), max_size=4
+            )
+        ) if len(at) < len(aud_surv) else set()
+        out = {
+            r.doc_id: r
+            for r in curate_media_documents(
+                docs,
+                media=corrupt(pngs, it, im, 20),
+                audio_media=corrupt(wavs, at, am, 16),
+                min_avg_energy=DEFAULT_MIN_AVG_ENERGY,
+            ).collect()
+        }
+        bad_img, bad_aud = it | im, at | am
+        for d, r in out.items():
+            prior = base[d].drop_reason
+            if prior in ("too_short", "low_quality"):
+                assert r.drop_reason == prior, d
+            elif d in bad_img:
+                assert r.drop_reason == "undecodable_image", (d, r)
+            elif d in bad_aud:
+                assert r.drop_reason == "undecodable_audio", (d, r)
+            else:
+                assert r.drop_reason in (
+                    None, "dark_image", "quiet_audio", "near_dup",
+                ), (d, r)
+
+    check()

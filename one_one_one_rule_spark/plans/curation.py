@@ -47,6 +47,13 @@ DEFAULT_MIN_PIXEL_SUM = 124 * 8 * 8 * 3
 #: distribution (measured over both test SFs), so the gate drops a
 #: meaningful minority without emptying the modality.
 DEFAULT_MIN_AVG_ENERGY = 345_000_000
+#: Multimodal video brightness floor: a video-kind doc is dropped as
+#: ``dark_video`` when the mean pixel value of its SAMPLED frames (every
+#: 2nd, the video_sampled_frame_stats convention) is below this, i.e.
+#: exact int64 sum(sampled pixel_sum) < floor * sampled_pixel_count.
+#: 115 sits at ~p12 of the synthesized frames' per-doc mean-brightness
+#: distribution (measured at both test SFs).
+DEFAULT_MIN_VIDEO_PIXEL = 115
 
 
 def _text_stage1(
@@ -146,6 +153,8 @@ def curate_media_documents(
     media: DataFrame | None = None,
     audio_media: DataFrame | None = None,
     min_avg_energy: int | None = None,
+    video_media: DataFrame | None = None,
+    min_avg_pixel: int | None = None,
 ) -> DataFrame:
     """Interleaved TEXT + IMAGE curation — the multimodal twin of
     ``curate_documents``, same staged-survivor architecture with a real
@@ -189,6 +198,18 @@ def curate_media_documents(
     stage is absent and the plan is EXACTLY the image-gated pipeline —
     the ``media_curation`` hash cannot move.
 
+    ``min_avg_pixel`` (round-11, completing the modality triple): when
+    set, a VIDEO gate runs too — video-kind survivors (doc_id % 3 == 2)
+    have their container strict-parsed and every 2nd frame PNG-decoded
+    (``video_sampled_frame_stats``), and are dropped as ``dark_video``
+    when the sampled frames' exact int64 pixel sum falls below
+    ``min_avg_pixel * sampled_pixel_count``, or quarantined as
+    ``undecodable_video`` on parse failure / missing payload row.
+    ``video_media`` is the scanned relation; None synthesizes
+    in-partition. Unlike the image/audio gates (per-doc map-only
+    stats), the per-frame stats roll up through one TINY aggregate
+    (rows = sampled frames, bytes long gone).
+
     Returns (doc_id, kind, kept, drop_reason), earliest failing stage
     reported, NULL reason for kept docs.
 
@@ -207,7 +228,9 @@ def curate_media_documents(
         media_kind,
         resize_image_stats,
         synthesize_png_images,
+        synthesize_video,
         synthesize_wav,
+        video_sampled_frame_stats,
         wav_media_stats_arrow,
     )
 
@@ -266,6 +289,41 @@ def curate_media_documents(
             .localCheckpoint(eager=True)
         )
 
+    # stage 3c (video gate, optional): strict container walk + sampled
+    # real-PNG frame decode over video-kind survivors; per-frame stats
+    # roll up through one tiny per-doc aggregate (payload bytes never
+    # reach it).
+    is_vid = media_kind(F.col("doc_id")) == F.lit("video")
+    vsx = None
+    if min_avg_pixel is not None:
+        if video_media is None:
+            vid_payloads = synthesize_video(surv1)
+        else:
+            vid_payloads = video_media.select("media_id", "payload").join(
+                surv1.select(F.col("doc_id").alias("media_id")), "media_id"
+            )
+        vstats = video_sampled_frame_stats(vid_payloads, every=2)
+        vsx = (
+            vstats.groupBy("media_id")
+            .agg(
+                F.sum("pixel_sum").alias("_px"),
+                (
+                    F.count(F.lit(1))
+                    * F.first("width").cast("bigint")
+                    * F.first("height").cast("bigint")
+                    * F.lit(3)
+                ).alias("_cnt"),
+            )
+            .select(
+                F.col("media_id").alias("vid_doc"),
+                (
+                    F.col("_px")
+                    < F.lit(min_avg_pixel).cast("bigint") * F.col("_cnt")
+                ).alias("is_dark_video"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
     s2 = surv1.join(rs, surv1.doc_id == F.col("img_doc"), "left")
     keep = F.when(
         is_img, F.coalesce(~F.col("is_dark"), F.lit(False))
@@ -274,6 +332,11 @@ def curate_media_documents(
         s2 = s2.join(asx, s2.doc_id == F.col("aud_doc"), "left")
         keep = keep & F.when(
             is_aud, F.coalesce(~F.col("is_quiet"), F.lit(False))
+        ).otherwise(F.lit(True))
+    if vsx is not None:
+        s2 = s2.join(vsx, s2.doc_id == F.col("vid_doc"), "left")
+        keep = keep & F.when(
+            is_vid, F.coalesce(~F.col("is_dark_video"), F.lit(False))
         ).otherwise(F.lit(True))
     surv2 = s2.filter(keep).select("doc_id", "text")
 
@@ -297,6 +360,11 @@ def curate_media_documents(
             is_aud & F.col("aud_doc").isNull(),
             F.lit("undecodable_audio"),
         ).when(F.col("is_quiet"), F.lit("quiet_audio"))
+    if vsx is not None:
+        reason = reason.when(
+            is_vid & F.col("vid_doc").isNull(),
+            F.lit("undecodable_video"),
+        ).when(F.col("is_dark_video"), F.lit("dark_video"))
     reason = reason.when(
         F.col("cl_doc").isNotNull()
         & (F.col("cluster_id") != F.col("cl_doc")),
@@ -307,6 +375,10 @@ def curate_media_documents(
     if asx is not None:
         decided = decided.join(
             asx, decided.doc_id == F.col("aud_doc"), "left"
+        )
+    if vsx is not None:
+        decided = decided.join(
+            vsx, decided.doc_id == F.col("vid_doc"), "left"
         )
     decided = decided.join(
         clusters, decided.doc_id == F.col("cl_doc"), "left"

@@ -3126,6 +3126,177 @@ def media_curation_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video sibling of ``_media_fixture``: one byte-valid VID1
+    container per video-kind doc (doc_id % 3 == 2), ragged 4-8 frame
+    counts, every frame a REAL PNG of the formula the video oracle
+    mirrors (operators/multimodal.py:synthesize_video), written once per
+    process and then SCANNED."""
+    key = sf_dir + "#vid"
+    path = _media_fixture_paths.get(key)
+    if path is None:
+        from .operators.multimodal import synthesize_video
+
+        path = _session_tmp_dir("media_vids_")
+        synthesize_video(
+            load_table(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(path)
+        _media_fixture_paths[key] = path
+    return spark.read.parquet(path)
+
+
+def _media_curation_full_sql() -> str:
+    """Oracle for the FULL three-modality curation plan —
+    _media_curation_av_sql plus the video stage spelled from the frame
+    FORMULA with the every-2nd-frame sampling convention
+    (media_video_frame_stats' oracle logic): the oracle never parses a
+    container or decodes a PNG/WAV, so one hash match proves all three
+    codec paths inside the staged plan."""
+    from .plans.curation import (
+        DEFAULT_MIN_AVG_ENERGY,
+        DEFAULT_MIN_PIXEL_SUM,
+        DEFAULT_MIN_QUALITY,
+        DEFAULT_MIN_TOKENS,
+        DEFAULT_MIN_VIDEO_PIXEL,
+    )
+
+    return f"""
+WITH RECURSIVE
+ctoks AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS en_hits
+  FROM documents
+),
+cscored AS (
+  SELECT doc_id, text, n_tokens,
+         least(1.0e0, n_tokens / 100.0e0)
+           * (1.0e0 - 0.5e0 * (CAST(en_hits AS DOUBLE) / n_tokens)) AS q
+  FROM ctoks
+),
+cs1 AS (
+  SELECT doc_id, text,
+         CASE WHEN n_tokens < {DEFAULT_MIN_TOKENS} THEN 'too_short'
+              WHEN q < {DEFAULT_MIN_QUALITY}e0 THEN 'low_quality' END AS r1
+  FROM cscored
+),
+msurv1 AS (SELECT doc_id, text FROM cs1 WHERE r1 IS NULL),
+mdark AS MATERIALIZED (
+  SELECT d.doc_id,
+         SUM((d.doc_id*37 + ((ty.dy * (7 + d.doc_id % 6)) // 8) * 19
+              + ((tx.dx * (9 + d.doc_id % 8)) // 8) * 11 + tc.c * 5) % 256)
+           < {DEFAULT_MIN_PIXEL_SUM} AS is_dark
+  FROM msurv1 d,
+       LATERAL (SELECT unnest(range(8)) AS dy) ty,
+       LATERAL (SELECT unnest(range(8)) AS dx) tx,
+       LATERAL (SELECT unnest(range(3)) AS c) tc
+  WHERE d.doc_id % 3 = 0
+  GROUP BY d.doc_id
+),
+aquiet AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(v * v) < CAST({DEFAULT_MIN_AVG_ENERGY} AS BIGINT)
+                      * (64 + doc_id % 64) AS is_quiet
+  FROM (
+    SELECT d.doc_id,
+           ((d.doc_id*31 + t.i*17) * 2654435761) % 65536 - 32768 AS v
+    FROM msurv1 d,
+         LATERAL (SELECT unnest(range(64 + d.doc_id % 64)) AS i) t
+    WHERE d.doc_id % 3 = 1
+  )
+  GROUP BY doc_id
+),
+vdark AS MATERIALIZED (
+  SELECT d.doc_id,
+         SUM((d.doc_id*31 + fr.f*29 + ty.y*17 + tx.x*13 + tc.c*7) % 256)
+           < CAST({DEFAULT_MIN_VIDEO_PIXEL} AS BIGINT) * COUNT(*)
+           AS is_dark_video
+  FROM msurv1 d,
+       LATERAL (SELECT unnest(range(4 + d.doc_id % 5)) AS f) fr,
+       LATERAL (SELECT unnest(range(6 + d.doc_id % 3)) AS y) ty,
+       LATERAL (SELECT unnest(range(8 + d.doc_id % 5)) AS x) tx,
+       LATERAL (SELECT unnest(range(3)) AS c) tc
+  WHERE d.doc_id % 3 = 2 AND fr.f % 2 = 0
+  GROUP BY d.doc_id
+),
+msurv2 AS (
+  SELECT m.doc_id FROM msurv1 m
+  LEFT JOIN mdark k ON m.doc_id = k.doc_id
+  LEFT JOIN aquiet a ON m.doc_id = a.doc_id
+  LEFT JOIN vdark w ON m.doc_id = w.doc_id
+  WHERE NOT COALESCE(k.is_dark, FALSE) AND NOT COALESCE(a.is_quiet, FALSE)
+    AND NOT COALESCE(w.is_dark_video, FALSE)
+),
+{_minhash_ctes().strip()},
+medges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  JOIN msurv2 a ON doc_a = a.doc_id
+  JOIN msurv2 b ON doc_b = b.doc_id
+),
+medges AS MATERIALIZED (SELECT u, v FROM medges0 UNION SELECT v, u FROM medges0),
+mreach(u, v) AS (
+  SELECT u, v FROM medges
+  UNION
+  SELECT r.u, e.v FROM mreach r JOIN medges e ON r.v = e.u
+),
+mlab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM mreach GROUP BY u),
+mfinal AS (
+  SELECT cs1.doc_id,
+         CASE WHEN r1 IS NOT NULL THEN r1
+              WHEN mdark.is_dark THEN 'dark_image'
+              WHEN aquiet.is_quiet THEN 'quiet_audio'
+              WHEN vdark.is_dark_video THEN 'dark_video'
+              WHEN mlab.doc_id IS NOT NULL AND mlab.cluster_id <> cs1.doc_id
+                   THEN 'near_dup' END AS drop_reason
+  FROM cs1
+  LEFT JOIN mdark ON cs1.doc_id = mdark.doc_id
+  LEFT JOIN aquiet ON cs1.doc_id = aquiet.doc_id
+  LEFT JOIN vdark ON cs1.doc_id = vdark.doc_id
+  LEFT JOIN mlab ON cs1.doc_id = mlab.doc_id
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       drop_reason IS NULL AS kept, drop_reason
+FROM mfinal
+"""
+
+
+@register("media_curation_full", _media_curation_full_sql())
+def media_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation over the COMPLETE modality triple — the
+    round-11 finish of the multimodal tier: too_short → low_quality →
+    [dark_image (strict PNG decode + integer 8x8 resize + brightness
+    floor) ∥ quiet_audio (strict zero-copy RIFF/WAVE parse + exact int64
+    mean-energy floor) ∥ dark_video (strict VID1 container walk +
+    every-2nd-frame REAL PNG decode + sampled-frame brightness floor)]
+    → near_dup over the surviving set. All three decode stages SCAN
+    staged parquet payload fixtures, survivor-id joins bound each decode
+    to its modality's text-survivors, and each modality quarantines
+    undecodable payloads. Hash-gated against ONE recursive-CTE oracle
+    deriving all three gates from the pixel/PCM/frame FORMULAS — it
+    never decodes any container, so the match proves all three codec
+    paths inside the composed plan. Scale: image/audio stats are
+    map-only; the per-frame video stats roll up through one tiny
+    aggregate whose rows are sampled frames, never payload bytes."""
+    from .plans.curation import (
+        DEFAULT_MIN_AVG_ENERGY,
+        DEFAULT_MIN_VIDEO_PIXEL,
+        curate_media_documents,
+    )
+
+    return curate_media_documents(
+        load_table(spark, sf_dir, "documents"),
+        media=_media_fixture(spark, sf_dir),
+        audio_media=_media_wav_fixture(spark, sf_dir),
+        min_avg_energy=DEFAULT_MIN_AVG_ENERGY,
+        video_media=_media_video_fixture(spark, sf_dir),
+        min_avg_pixel=DEFAULT_MIN_VIDEO_PIXEL,
+    )
+
+
 #: Deterministic corruption rule for the quarantine gate: among media-kind
 #: docs, ids ≡ 3 (mod 7) carry a TRUNCATED payload (strict decode must
 #: reject) and ids ≡ 5 (mod 7) have NO payload row at all. The oracle

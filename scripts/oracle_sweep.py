@@ -87,9 +87,9 @@ FAST_TIER = [
     # embedding transforms
     "embeddings_quantile_normalize_adaptive", "embeddings_int8_quantization",
     "embeddings_random_projection",
-    # text analysis + the composed curation plans (media_curation_av is
-    # the dominating multimodal plan: both decode gates + scan shapes)
-    "docs_curation", "media_curation_av", "docs_tfidf_top_terms",
+    # text analysis + the composed curation plans (media_curation_full is
+    # the dominating multimodal plan: all three decode gates + scan shapes)
+    "docs_curation", "media_curation_full", "docs_tfidf_top_terms",
     "docs_bm25_topk", "docs_quality_calibration", "docs_pii_scrub",
     "docs_winnow_fingerprints", "docs_contamination_check",
     # sampling / packing / BPE
@@ -145,6 +145,11 @@ DOMINATED_BY = {
     "events_interval_overlap_join": "events_interval_overlap_join_salted",
     "customer_geo_neighbors": "customer_geo_neighbors_salted",
     "part_entity_resolution": "part_entity_resolution_closed",
+    # code-superset (oracles differ since the survivor set shrinks per
+    # added gate, but every code path the dominated plan runs, the
+    # dominating plan runs too)
+    "media_curation": "media_curation_av",
+    "media_curation_av": "media_curation_full",
 }
 
 

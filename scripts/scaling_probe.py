@@ -108,6 +108,11 @@ SCALING_SET = [
      "one more map-only zero-copy Arrow WAV pass over audio-kind "
      "survivors; per-modality decode cost scales with that modality's "
      "surviving payload bytes"),
+    ("media_curation_full", "documents", 1.60,
+     "the complete modality triple: image/audio per-doc map-only decode "
+     "stats plus the sampled-frame video stats rolling up through one "
+     "tiny per-doc aggregate (rows = sampled frames, never payload "
+     "bytes); near-dup over the triple-gated survivor set"),
     ("media_curation_quarantine", "documents", 1.60,
      "the AV plan over deterministically corrupted fixtures: quarantined "
      "docs leave the survivor set BEFORE the decode stats and near-dup "

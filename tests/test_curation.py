@@ -345,3 +345,106 @@ def test_media_curation_quarantine_property(spark, sf_dir):
                 ), (d, r)
 
     check()
+
+
+def test_media_curation_full_video_gate_invariants(spark, sf_dir):
+    """The complete modality triple (round 11): dark_video only ever
+    drops video-kind docs, each modality's gate stays in its lane, the
+    video stage runs on text-survivors only, and disabling it reproduces
+    the image+audio plan exactly."""
+    from one_one_one_rule_spark.plans.curation import (
+        DEFAULT_MIN_AVG_ENERGY,
+        DEFAULT_MIN_VIDEO_PIXEL,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_media_documents(
+        docs,
+        min_avg_energy=DEFAULT_MIN_AVG_ENERGY,
+        min_avg_pixel=DEFAULT_MIN_VIDEO_PIXEL,
+    ).collect()
+    assert len(out) == docs.count()
+    valid = VALID_MEDIA_REASONS | {"quiet_audio", "dark_video"}
+    kinds = {"dark_image": 0, "quiet_audio": 1, "dark_video": 2}
+    for r in out:
+        assert r.kept == (r.drop_reason is None)
+        if r.drop_reason is not None:
+            assert r.drop_reason in valid
+        if r.drop_reason in kinds:
+            assert r.doc_id % 3 == kinds[r.drop_reason], r
+    assert any(r.drop_reason == "dark_video" for r in out)
+
+    # min_avg_pixel=None is EXACTLY the image+audio plan
+    av = {r.doc_id: r.drop_reason for r in curate_media_documents(
+        docs, min_avg_energy=DEFAULT_MIN_AVG_ENERGY
+    ).collect()}
+    # impossible brightness floor: every text-surviving video doc drops
+    strict = curate_media_documents(
+        docs, min_avg_energy=DEFAULT_MIN_AVG_ENERGY, min_avg_pixel=256
+    ).collect()
+    for r in strict:
+        if av[r.doc_id] in ("too_short", "low_quality"):
+            assert r.drop_reason == av[r.doc_id]
+        elif r.doc_id % 3 == 2:
+            assert r.drop_reason == "dark_video"
+
+
+def test_media_curation_full_quarantines_undecodable_video(spark, sf_dir, tmp_path):
+    """Corrupt VID1 payload (and a missing payload row) quarantine as
+    undecodable_video — the video gate honors the same never-pass
+    contract as the other two modalities."""
+    from one_one_one_rule_spark.operators.multimodal import (
+        synthesize_png_images,
+        synthesize_video,
+        synthesize_wav,
+    )
+    from one_one_one_rule_spark.plans.curation import (
+        DEFAULT_MIN_AVG_ENERGY,
+        DEFAULT_MIN_VIDEO_PIXEL,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        r.doc_id: r
+        for r in curate_media_documents(
+            docs,
+            min_avg_energy=DEFAULT_MIN_AVG_ENERGY,
+            min_avg_pixel=DEFAULT_MIN_VIDEO_PIXEL,
+        ).collect()
+    }
+    victims = sorted(
+        d for d, r in base.items()
+        if d % 3 == 2 and r.drop_reason not in ("too_short", "low_quality")
+    )[:2]
+    assert len(victims) == 2
+    corrupt, missing = victims
+
+    img_path, wav_path, vid_path = (
+        str(tmp_path / n) for n in ("imgs", "wavs", "vids")
+    )
+    synthesize_png_images(docs).write.parquet(img_path)
+    synthesize_wav(docs).write.parquet(wav_path)
+    synthesize_video(docs).filter(
+        F.col("media_id") != missing
+    ).withColumn(
+        "payload",
+        F.when(
+            # keep the magic, break the container: truncated mid-header
+            F.col("media_id") == corrupt, F.expr("substring(payload, 1, 10)")
+        ).otherwise(F.col("payload")),
+    ).write.parquet(vid_path)
+
+    out = {
+        r.doc_id: r
+        for r in curate_media_documents(
+            docs,
+            media=spark.read.parquet(img_path),
+            audio_media=spark.read.parquet(wav_path),
+            min_avg_energy=DEFAULT_MIN_AVG_ENERGY,
+            video_media=spark.read.parquet(vid_path),
+            min_avg_pixel=DEFAULT_MIN_VIDEO_PIXEL,
+        ).collect()
+    }
+    for v in victims:
+        assert out[v].drop_reason == "undecodable_video", (v, out[v])
+        assert not out[v].kept

@@ -181,6 +181,13 @@ def curate_media_documents(
     column-pruned until the decode stage (the ``media_curation`` gate
     feeds a parquet fixture here). The plan joins the text-survivor ids
     against it so only surviving image docs' payloads are read/decoded.
+    CONTRACT (applies to ``audio_media``/``video_media`` too): at most
+    ONE payload row per media_id, and every row keyed to its own
+    modality's ids. A duplicate media_id would fan the inner survivor
+    join out (one output row per duplicate); the plan does not pay a
+    defensive distinct on the payload relation because at 100 TB that
+    is a full shuffle of the payload bytes — uniqueness is the storage
+    layer's invariant, as for any primary-keyed media store.
     When omitted, payloads are synthesized in-partition from the
     survivor ids (the self-contained test shape); both shapes produce
     identical results over byte-valid payloads, pinned by test.
@@ -347,24 +354,29 @@ def curate_media_documents(
         F.col("doc_id").alias("cl_doc"), "cluster_id"
     )
 
+    # Every stats-driven branch is modality-guarded to mirror ``keep``
+    # exactly (keep consults is_dark only under is_img, etc.): without the
+    # guard, a caller-supplied fixture carrying a row keyed to another
+    # modality's id could label a doc dropped that ``keep`` actually kept,
+    # making kept/drop_reason disagree with the survivor set.
     reason = (
         F.when(F.col("r1").isNotNull(), F.col("r1"))
         .when(
             is_img & F.col("img_doc").isNull(),
             F.lit("undecodable_image"),
         )
-        .when(F.col("is_dark"), F.lit("dark_image"))
+        .when(is_img & F.col("is_dark"), F.lit("dark_image"))
     )
     if asx is not None:
         reason = reason.when(
             is_aud & F.col("aud_doc").isNull(),
             F.lit("undecodable_audio"),
-        ).when(F.col("is_quiet"), F.lit("quiet_audio"))
+        ).when(is_aud & F.col("is_quiet"), F.lit("quiet_audio"))
     if vsx is not None:
         reason = reason.when(
             is_vid & F.col("vid_doc").isNull(),
             F.lit("undecodable_video"),
-        ).when(F.col("is_dark_video"), F.lit("dark_video"))
+        ).when(is_vid & F.col("is_dark_video"), F.lit("dark_video"))
     reason = reason.when(
         F.col("cl_doc").isNotNull()
         & (F.col("cluster_id") != F.col("cl_doc")),

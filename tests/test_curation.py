@@ -252,22 +252,26 @@ def test_media_curation_av_quarantines_undecodable_audio(spark, sf_dir, tmp_path
 
 
 def test_media_curation_quarantine_property(spark, sf_dir):
-    """Property form of the quarantine contract (the media_curation_quarantine
-    gate pins one fixed corruption rule): for ARBITRARY subsets of
-    corrupted/missing payloads across BOTH modalities, the quarantined
-    set must be exactly (corrupted ∪ missing) ∩ that modality's
-    text-survivors, text verdicts must never flip, and valid-payload
-    verdicts must stay in-domain. Corruption here truncates after the
-    container magic, so only a STRICT parser rejects it."""
+    """Property form of the quarantine contract (the
+    media_curation_quarantine / _full gates pin one fixed corruption
+    rule): for ARBITRARY subsets of corrupted/missing payloads across ALL
+    THREE modalities, the quarantined set must be exactly
+    (corrupted ∪ missing) ∩ that modality's text-survivors, text verdicts
+    must never flip, and valid-payload verdicts must stay in-domain.
+    Corruption here truncates after the container magic (the video cut
+    keeps magic + header + first frame's length prefix), so only a
+    STRICT parser rejects it."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     from one_one_one_rule_spark.operators.multimodal import (
         synthesize_png_images,
+        synthesize_video,
         synthesize_wav,
     )
     from one_one_one_rule_spark.plans.curation import (
         DEFAULT_MIN_AVG_ENERGY,
+        DEFAULT_MIN_VIDEO_PIXEL,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -285,8 +289,13 @@ def test_media_curation_quarantine_property(spark, sf_dir):
         d for d, r in base.items()
         if d % 3 == 1 and r.drop_reason not in ("too_short", "low_quality")
     )
+    vid_surv = sorted(
+        d for d, r in base.items()
+        if d % 3 == 2 and r.drop_reason not in ("too_short", "low_quality")
+    )
     pngs = synthesize_png_images(docs).localCheckpoint(eager=True)
     wavs = synthesize_wav(docs).localCheckpoint(eager=True)
+    vids = synthesize_video(docs).localCheckpoint(eager=True)
 
     def corrupt(fixture, trunc_ids, missing_ids, trunc_len):
         out = fixture
@@ -321,6 +330,12 @@ def test_media_curation_quarantine_property(spark, sf_dir):
                 st.sampled_from(sorted(set(aud_surv) - at)), max_size=4
             )
         ) if len(at) < len(aud_surv) else set()
+        vt = data.draw(st.sets(st.sampled_from(vid_surv), max_size=4))
+        vm = data.draw(
+            st.sets(
+                st.sampled_from(sorted(set(vid_surv) - vt)), max_size=4
+            )
+        ) if len(vt) < len(vid_surv) else set()
         out = {
             r.doc_id: r
             for r in curate_media_documents(
@@ -328,9 +343,11 @@ def test_media_curation_quarantine_property(spark, sf_dir):
                 media=corrupt(pngs, it, im, 20),
                 audio_media=corrupt(wavs, at, am, 16),
                 min_avg_energy=DEFAULT_MIN_AVG_ENERGY,
+                video_media=corrupt(vids, vt, vm, 24),
+                min_avg_pixel=DEFAULT_MIN_VIDEO_PIXEL,
             ).collect()
         }
-        bad_img, bad_aud = it | im, at | am
+        bad_img, bad_aud, bad_vid = it | im, at | am, vt | vm
         for d, r in out.items():
             prior = base[d].drop_reason
             if prior in ("too_short", "low_quality"):
@@ -339,9 +356,12 @@ def test_media_curation_quarantine_property(spark, sf_dir):
                 assert r.drop_reason == "undecodable_image", (d, r)
             elif d in bad_aud:
                 assert r.drop_reason == "undecodable_audio", (d, r)
+            elif d in bad_vid:
+                assert r.drop_reason == "undecodable_video", (d, r)
             else:
                 assert r.drop_reason in (
-                    None, "dark_image", "quiet_audio", "near_dup",
+                    None, "dark_image", "quiet_audio", "dark_video",
+                    "near_dup",
                 ), (d, r)
 
     check()

@@ -734,7 +734,49 @@ def test_media_survivor_join_cobucketed_is_shuffle_free(spark, sf_dir):
         )
         assert stats.count() == n_surviving_images
     finally:
+        # restore unconditionally: a None saved value means the key was
+        # unset, so the -1 override must not leak into the shared session
         if saved is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {mt}")
         spark.sql(f"DROP TABLE IF EXISTS {st}")
+
+
+def test_media_curation_bucketed_gate_join_is_shuffle_free(spark, sf_dir):
+    """The GATED bucketed twin (round 12): media_curation_bucketed's own
+    staged warehouse tables (_media_bucketed_tables — the exact relations
+    the hash-gated query scans) drive the survivor-payload join with
+    ZERO shuffle exchanges and zero broadcasts under DEFAULT session
+    conf: bucketing propagates from the bucketed documents scan through
+    the whole map-only text stage (alias-aware output partitioning,
+    doc_id → media_id) into a bucket-aligned SortMergeJoin against the
+    merge-hinted media table. Unlike its round-11 sibling above, nothing
+    here is pre-materialized for the test — this is the gate's plan."""
+    from pyspark.sql import functions as F
+
+    from one_one_one_rule_spark.plans.curation import (
+        DEFAULT_MIN_QUALITY,
+        DEFAULT_MIN_TOKENS,
+        _text_stage1,
+    )
+    from one_one_one_rule_spark.queries import _media_bucketed_tables
+
+    dt, mt = _media_bucketed_tables(spark, sf_dir)
+    media = spark.table(mt).hint("merge")
+    stage1 = _text_stage1(
+        spark.table(dt), DEFAULT_MIN_TOKENS, DEFAULT_MIN_QUALITY
+    )
+    surv1 = stage1.filter(F.col("r1").isNull()).select("doc_id", "text")
+    # the exact join expression curate_media_documents builds in its
+    # scan shape (plans/curation.py: media.select(...).join(surv ids))
+    joined = media.select("media_id", "payload").join(
+        surv1.select(F.col("doc_id").alias("media_id")), "media_id"
+    )
+    assert joined.count() > 0
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "ShuffleExchange" not in plan and "ShuffleQueryStage" not in plan

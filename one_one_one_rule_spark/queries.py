@@ -3158,7 +3158,14 @@ def _media_bucketed_tables(
         .saveAsTable(mt)
     )
 
-    def _drop(tables: tuple[str, str] = (dt, mt)) -> None:
+    # warehouse path resolved NOW (cwd-independent) so the exit-time
+    # fallback can remove the table dirs even after the session is gone
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+
+    def _drop(tables: tuple[str, str] = (dt, mt), wh: str = warehouse) -> None:
+        import os
         import shutil
 
         from pyspark.sql import SparkSession as _S
@@ -3171,7 +3178,7 @@ def _media_bucketed_tables(
                     continue
             except Exception:
                 pass
-            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
     atexit.register(_drop)
     _media_bucketed_tables_cache[sf_dir] = (dt, mt)

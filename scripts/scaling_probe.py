@@ -118,6 +118,15 @@ SCALING_SET = [
      "docs leave the survivor set BEFORE the decode stats and near-dup "
      "stages, so rejection is strictly cheaper than acceptance — same "
      "linear shape as media_curation_av"),
+    ("media_curation_quarantine_full", "documents", 1.60,
+     "the full modality-triple plan over corrupted fixtures of all THREE "
+     "modalities: every strict decoder's rejection path (incl. the video "
+     "length-prefix walk) bails before decoding, so the quarantined docs "
+     "cost less than survivors — same linear shape as media_curation_full"),
+    ("media_curation_bucketed", "documents", 1.60,
+     "media_curation over co-bucketed warehouse tables: the survivor-"
+     "payload join contributes ZERO shuffle rows (bucket-aligned SMJ), "
+     "leaving only the text-stage and LSH shuffles of the base plan"),
     ("parts_copurchase_rules", "lineitem", 1.80,
      "support-filtered pair mining over the co-purchase edges; same "
      "edge-bounded shape as the graph tier"),

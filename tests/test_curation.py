@@ -468,3 +468,38 @@ def test_media_curation_full_quarantines_undecodable_video(spark, sf_dir, tmp_pa
     for v in victims:
         assert out[v].drop_reason == "undecodable_video", (v, out[v])
         assert not out[v].kept
+
+
+def test_media_fixture_cache_evicts_dead_paths():
+    """Round-12 ADVICE hardening: a cached fixture path whose backing
+    directory vanished (e.g. the writing session's temp root was cleaned
+    while the process lives on) must be evicted, not served — the caller
+    then re-stages instead of scanning a dead path."""
+    from one_one_one_rule_spark import queries as Q
+
+    key = "/nonexistent-sf#unit-test"
+    Q._media_fixture_paths[key] = "/tmp/definitely/not/a/dir"
+    try:
+        assert Q._media_fixture_cached(key) is None
+        assert key not in Q._media_fixture_paths  # evicted, not masked
+    finally:
+        Q._media_fixture_paths.pop(key, None)
+
+
+def test_media_bucketed_tables_restage_after_drop(spark, sf_dir):
+    """The bucketed-table cache must survive an out-of-band DROP: if the
+    catalog no longer holds the staged tables, the helper restages a
+    fresh pair instead of returning dangling names."""
+    from one_one_one_rule_spark.queries import (
+        _media_bucketed_tables,
+        _media_bucketed_tables_cache,
+    )
+
+    dt, mt = _media_bucketed_tables(spark, sf_dir)
+    assert spark.catalog.tableExists(dt) and spark.catalog.tableExists(mt)
+    assert _media_bucketed_tables(spark, sf_dir) == (dt, mt)  # cache hit
+    spark.sql(f"DROP TABLE {mt}")
+    dt2, mt2 = _media_bucketed_tables(spark, sf_dir)
+    assert (dt2, mt2) != (dt, mt)
+    assert spark.catalog.tableExists(dt2) and spark.catalog.tableExists(mt2)
+    assert _media_bucketed_tables_cache[sf_dir] == (dt2, mt2)

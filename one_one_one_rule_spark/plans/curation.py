@@ -145,6 +145,150 @@ def curate_documents(
     )
 
 
+def curate_documents_incremental(
+    delta: DataFrame,
+    base_fps: DataFrame,
+    base_sets: DataFrame,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    prefix_chars: int = DEFAULT_PREFIX_CHARS,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """INCREMENTAL curation — the continuous-ingest twin of
+    ``curate_documents``: verdicts for a DELTA batch against a base
+    corpus that was already curated, without ever re-reading base text.
+
+    Stage order (earliest failing stage reported, as in the batch plan):
+
+      1./2. ``too_short`` / ``low_quality`` — the shared map-only text
+         stages (``_text_stage1``) over the delta only;
+      3. ``exact_dup`` — a delta survivor whose long-prefix fingerprint
+         exists among the BASE SURVIVORS' fingerprints (the base doc is
+         immutable and wins), or a non-first delta doc of a fingerprint
+         group new to this batch (keep-first within the delta);
+      4. ``near_dup`` — a delta survivor whose LSH band probe against the
+         base survivors' signature index verifies at Jaccard ≥
+         ``threshold`` (the base member survives), or a non-canonical
+         member of a within-delta duplicate cluster over the remaining
+         survivors.
+
+    ``base_fps`` (fp) and ``base_sets`` (doc_id, s array<bigint>) are the
+    PERSISTED state the previous run wrote (``doc_hash_sets`` output and
+    the survivor fingerprint set) — at 100 TB the base side is a bucketed
+    index table probed per batch, so per-batch cost is O(|delta| +
+    matched buckets), never O(corpus). The registered gate stages both
+    relations as scanned parquet.
+
+    Deliberately DIFFERENT from full-corpus re-curation restricted to
+    the delta: the base corpus is immutable, so a delta doc can never
+    evict an already-kept base doc however small its doc_id — base wins
+    every cross-set tie. Within the delta, canonical election is the
+    same min-doc_id rule as the batch plan.
+
+    Returns (doc_id, kept, drop_reason) for delta docs only.
+    """
+    stage1 = _text_stage1(delta, min_tokens, min_quality)
+    surv1 = stage1.filter(F.col("r1").isNull()).select("doc_id", "text")
+
+    # stage 3: exact dedup vs base survivors' fingerprints, then
+    # keep-first within the delta for fingerprints new to this batch.
+    pf = surv1.withColumn(
+        "fp", F.md5(F.substring("text", 1, prefix_chars))
+    )
+    hit = pf.join(
+        base_fps.select("fp").withColumn("base_hit", F.lit(True)),
+        "fp",
+        "left",
+    ).select("doc_id", "text", "fp", F.coalesce("base_hit", F.lit(False)).alias("base_hit"))
+    keepers = (
+        hit.filter(~F.col("base_hit"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    # Eagerly checkpointed: the exact-stage result feeds FOUR consumers
+    # (the survivor filter, the base probe, the within-delta pair stage
+    # via surv3, and the final reason join) — without the cut each one
+    # re-runs the fingerprint join + keeper aggregate from the scan.
+    s2 = (
+        hit.join(keepers, "fp", "left")
+        .select(
+            F.col("doc_id").alias("s2_doc"),
+            "text",
+            "base_hit",
+            "keeper",
+        )
+        .localCheckpoint(eager=True)
+    )
+    surv2 = s2.filter(
+        ~F.col("base_hit") & (F.col("s2_doc") == F.col("keeper"))
+    ).select(F.col("s2_doc").alias("doc_id"), "text")
+
+    # stage 4a: delta probes the base survivors' banded signature index —
+    # the incremental_lsh_dedup shape; base text is never touched.
+    from ..operators.dedup import incremental_lsh_dedup
+
+    vb = incremental_lsh_dedup(
+        base_sets.limit(0),  # unused: base_sets supplied directly
+        surv2,
+        3,
+        threshold,
+        base_sets=base_sets,
+    ).select(
+        F.col("doc_id").alias("vb_doc"),
+        F.col("is_dup").alias("base_near"),
+    )
+
+    # stage 4b: within-delta near dedup among base-clean survivors only
+    # (pairwise LSH ⇒ filtering pairs to the 4a-survivor subset is
+    # exactly LSH over that subset).
+    surv3 = (
+        surv2.join(vb, surv2.doc_id == F.col("vb_doc"))
+        .filter(~F.col("base_near"))
+        .select("doc_id", "text")
+    )
+    pairs = minhash_lsh_pairs(surv3, 3, threshold)
+    clusters = dup_clusters(pairs).select(
+        F.col("doc_id").alias("cl_doc"), "cluster_id"
+    )
+
+    decided = (
+        stage1.join(
+            s2.select("s2_doc", "base_hit", "keeper"),
+            stage1.doc_id == F.col("s2_doc"),
+            "left",
+        )
+        .join(vb, stage1.doc_id == F.col("vb_doc"), "left")
+        .join(clusters, stage1.doc_id == F.col("cl_doc"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("r1").isNotNull(), F.col("r1"))
+            .when(
+                F.col("s2_doc").isNotNull()
+                & (
+                    F.col("base_hit")
+                    | (F.col("s2_doc") != F.col("keeper"))
+                ),
+                F.lit("exact_dup"),
+            )
+            .when(
+                F.col("vb_doc").isNotNull() & F.col("base_near"),
+                F.lit("near_dup"),
+            )
+            .when(
+                F.col("cl_doc").isNotNull()
+                & (F.col("cluster_id") != F.col("cl_doc")),
+                F.lit("near_dup"),
+            )
+            .alias("drop_reason"),
+        )
+    )
+    return decided.select(
+        "doc_id",
+        F.col("drop_reason").isNull().alias("kept"),
+        "drop_reason",
+    )
+
+
 def curate_media_documents(
     docs: DataFrame,
     min_tokens: int = DEFAULT_MIN_TOKENS,

@@ -3784,6 +3784,206 @@ def docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(load_table(spark, sf_dir, "documents"))
 
 
+def _incremental_state_paths(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Stage the PERSISTED curation state a previous full run would have
+    written — the base survivors' long-prefix fingerprint set and their
+    shingle-hash-set signature table (``doc_hash_sets`` output) — as
+    parquet, once per (process, sf_dir). The incremental gate then SCANS
+    these (the production shape: per-batch cost never re-reads or
+    re-curates base text; at 100 TB both tables are bucketed by their
+    probe key so the delta probe is a co-located join). Base =
+    doc_id % 10 <> 0, the docs_incremental_dedup batch convention."""
+    fkey, skey = f"{sf_dir}#incr-fps", f"{sf_dir}#incr-sets"
+    fps_path = _media_fixture_cached(fkey)
+    sets_path = _media_fixture_cached(skey)
+    if fps_path is None or sets_path is None:
+        from .plans.curation import DEFAULT_PREFIX_CHARS, curate_documents
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        surv_ids = (
+            curate_documents(base).filter(F.col("kept")).select("doc_id")
+        )
+        base_surv = base.join(surv_ids, "doc_id").select("doc_id", "text")
+        fps_path = _session_tmp_dir("incr_base_fps_")
+        (
+            base_surv.select(
+                F.md5(
+                    F.substring("text", 1, DEFAULT_PREFIX_CHARS)
+                ).alias("fp")
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(fps_path)
+        )
+        sets_path = _session_tmp_dir("incr_base_sets_")
+        D.doc_hash_sets(base_surv, 3).write.mode("overwrite").parquet(
+            sets_path
+        )
+        _media_fixture_paths[fkey] = fps_path
+        _media_fixture_paths[skey] = sets_path
+    return fps_path, sets_path
+
+
+def _curation_incremental_sql() -> str:
+    """Oracle for docs_curation_incremental: the FULL base curation chain
+    (text gates, keep-first exact dedup, recursive near-dup components —
+    the _curation_sql skeleton restricted to doc_id % 10 <> 0) derives
+    the base survivor set the engine's persisted state represents, then
+    the delta verdicts are spelled stage by stage: fingerprint-vs-base
+    then keep-first-within-delta, LSH-verified match vs base survivors
+    (mh_pairs in either orientation), then within-delta recursive
+    components over the remaining survivors. Two recursive reachability
+    CTEs (base clusters, delta clusters), both over MATERIALIZED edge
+    sets."""
+    from .plans.curation import DEFAULT_MIN_QUALITY, DEFAULT_MIN_TOKENS
+
+    return f"""
+WITH RECURSIVE
+ctoks AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS en_hits
+  FROM documents
+),
+cscored AS (
+  SELECT doc_id, text, n_tokens,
+         least(1.0e0, n_tokens / 100.0e0)
+           * (1.0e0 - 0.5e0 * (CAST(en_hits AS DOUBLE) / n_tokens)) AS q
+  FROM ctoks
+),
+cs1 AS (
+  SELECT doc_id, text,
+         CASE WHEN n_tokens < {DEFAULT_MIN_TOKENS} THEN 'too_short'
+              WHEN q < {DEFAULT_MIN_QUALITY}e0 THEN 'low_quality' END AS r1
+  FROM cscored
+),
+bsurv1 AS (SELECT doc_id, text FROM cs1
+           WHERE r1 IS NULL AND doc_id % 10 <> 0),
+bpf AS (SELECT doc_id, md5(substr(text, 1, 400)) AS fp FROM bsurv1),
+bkeep AS (SELECT fp, MIN(doc_id) AS keeper FROM bpf GROUP BY fp),
+bsurv2 AS (
+  SELECT bpf.doc_id, bpf.fp FROM bpf
+  JOIN bkeep ON bpf.fp = bkeep.fp WHERE bpf.doc_id = bkeep.keeper
+),
+{_minhash_ctes().strip()},
+bedges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  JOIN bsurv2 a ON doc_a = a.doc_id
+  JOIN bsurv2 b ON doc_b = b.doc_id
+),
+bedges AS MATERIALIZED (SELECT u, v FROM bedges0 UNION SELECT v, u FROM bedges0),
+breach(u, v) AS (
+  SELECT u, v FROM bedges
+  UNION
+  SELECT r.u, e.v FROM breach r JOIN bedges e ON r.v = e.u
+),
+blab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM breach GROUP BY u),
+bsurv AS MATERIALIZED (
+  SELECT s.doc_id, s.fp FROM bsurv2 s
+  LEFT JOIN blab ON s.doc_id = blab.doc_id
+  WHERE blab.doc_id IS NULL OR blab.cluster_id = s.doc_id
+),
+dsurv1 AS (SELECT doc_id, text FROM cs1
+           WHERE r1 IS NULL AND doc_id % 10 = 0),
+dpf AS (SELECT doc_id, md5(substr(text, 1, 400)) AS fp FROM dsurv1),
+dhit AS (
+  SELECT dpf.doc_id, dpf.fp,
+         EXISTS (SELECT 1 FROM bsurv WHERE bsurv.fp = dpf.fp) AS base_hit
+  FROM dpf
+),
+dkeep AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM dhit
+  WHERE NOT base_hit GROUP BY fp
+),
+ds2 AS (
+  SELECT dhit.doc_id, dhit.base_hit, dkeep.keeper
+  FROM dhit LEFT JOIN dkeep ON dhit.fp = dkeep.fp
+),
+dsurv2 AS (
+  SELECT doc_id FROM ds2 WHERE NOT base_hit AND doc_id = keeper
+),
+dvb AS MATERIALIZED (
+  SELECT DISTINCT d FROM (
+    SELECT doc_a AS d FROM mh_pairs
+    JOIN dsurv2 ON doc_a = dsurv2.doc_id
+    JOIN bsurv ON doc_b = bsurv.doc_id
+    UNION ALL
+    SELECT doc_b AS d FROM mh_pairs
+    JOIN dsurv2 ON doc_b = dsurv2.doc_id
+    JOIN bsurv ON doc_a = bsurv.doc_id
+  )
+),
+dsurv3 AS (
+  SELECT doc_id FROM dsurv2
+  WHERE doc_id NOT IN (SELECT d FROM dvb)
+),
+dedges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  JOIN dsurv3 a ON doc_a = a.doc_id
+  JOIN dsurv3 b ON doc_b = b.doc_id
+),
+dedges AS MATERIALIZED (SELECT u, v FROM dedges0 UNION SELECT v, u FROM dedges0),
+dreach(u, v) AS (
+  SELECT u, v FROM dedges
+  UNION
+  SELECT r.u, e.v FROM dreach r JOIN dedges e ON r.v = e.u
+),
+dlab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM dreach GROUP BY u),
+dfinal AS (
+  SELECT cs1.doc_id,
+         CASE WHEN r1 IS NOT NULL THEN r1
+              WHEN ds2.doc_id IS NOT NULL
+                   AND (ds2.base_hit OR ds2.doc_id <> ds2.keeper)
+                   THEN 'exact_dup'
+              WHEN dvb.d IS NOT NULL THEN 'near_dup'
+              WHEN dlab.doc_id IS NOT NULL AND dlab.cluster_id <> cs1.doc_id
+                   THEN 'near_dup' END AS drop_reason
+  FROM cs1
+  LEFT JOIN ds2 ON cs1.doc_id = ds2.doc_id
+  LEFT JOIN dvb ON cs1.doc_id = dvb.d
+  LEFT JOIN dlab ON cs1.doc_id = dlab.doc_id
+  WHERE cs1.doc_id % 10 = 0
+)
+SELECT doc_id, drop_reason IS NULL AS kept, drop_reason FROM dfinal
+"""
+
+
+@register("docs_curation_incremental", _curation_incremental_sql())
+def docs_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL end-to-end curation (round 12 —
+    plans/curation.py:curate_documents_incremental): the delta batch
+    (doc_id % 10 = 0, the docs_incremental_dedup convention) is curated
+    against PERSISTED state from the base corpus's previous full run —
+    the survivor fingerprint set and the survivors' shingle-hash-set
+    signature table, both staged as parquet and SCANNED
+    (_incremental_state_paths), so base text is never re-read: too_short
+    → low_quality → exact_dup (fingerprint vs base survivors, base wins;
+    keep-first within the delta) → near_dup (banded probe of the base
+    signature index at Jaccard ≥ 0.3, base wins; then within-delta
+    clusters, canonical survives). Deliberately DIFFERENT semantics from
+    re-running docs_curation on the full corpus: base docs are immutable
+    and win every cross-set tie. Per-batch cost is O(|delta| + matched
+    buckets) — this gate benches FASTER than docs_curation despite the
+    richer semantics, which is the whole point of the incremental shape
+    at 100 TB."""
+    from .plans.curation import curate_documents_incremental
+
+    fps_path, sets_path = _incremental_state_paths(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return curate_documents_incremental(
+        delta,
+        base_fps=spark.read.parquet(fps_path),
+        base_sets=spark.read.parquet(sets_path),
+    )
+
+
 @register(
     "docs_top_ngrams",
     f"""

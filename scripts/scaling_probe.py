@@ -96,6 +96,10 @@ SCALING_SET = [
     ("docs_curation", "documents", 1.60,
      "staged survivor pipeline reusing the gated tier expressions; each "
      "stage is filter/index-bounded like its standalone twin"),
+    ("docs_curation_incremental", "documents", 1.60,
+     "delta-batch curation probing PERSISTED base survivor state "
+     "(fingerprints + banded signature index): per-batch shuffle is "
+     "O(|delta| + matched buckets), base text never re-read"),
     ("media_curation", "documents", 1.60,
      "multimodal staged-survivor pipeline: map-only text gates, an "
      "Arrow-batched PNG decode+resize gate fed by a survivor-id join "

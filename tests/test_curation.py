@@ -503,3 +503,84 @@ def test_media_bucketed_tables_restage_after_drop(spark, sf_dir):
     assert (dt2, mt2) != (dt, mt)
     assert spark.catalog.tableExists(dt2) and spark.catalog.tableExists(mt2)
     assert _media_bucketed_tables_cache[sf_dir] == (dt2, mt2)
+
+
+def test_incremental_curation_base_wins_and_stages(spark):
+    """Semantics pins for curate_documents_incremental (round 12) on a
+    handcrafted corpus: a delta doc identical to a base survivor is
+    exact_dup EVEN WHEN its doc_id is smaller (base immutability — the
+    cross-set tiebreak the full-corpus plan does not have), a delta doc
+    that extends a base survivor's text is near_dup via the signature
+    index probe, keep-first applies within the delta for fingerprints
+    new to the batch, text gates fire first, and untouched delta docs
+    are kept. Output covers delta docs only."""
+    from one_one_one_rule_spark.operators.dedup import doc_hash_sets
+    from one_one_one_rule_spark.plans.curation import (
+        DEFAULT_PREFIX_CHARS,
+        curate_documents,
+        curate_documents_incremental,
+    )
+
+    words = [f"w{i:02d}" for i in range(40)]
+    base_text = " ".join(words)
+    other_text = " ".join(f"x{i:02d}" for i in range(40))
+    third_text = " ".join(f"y{i:02d}" for i in range(40))
+    base = spark.createDataFrame(
+        [(11, base_text), (13, "too short")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (0, base_text),          # copy of base survivor, smaller id
+            (10, base_text + " zz"), # extends base survivor -> near_dup
+            (20, other_text),        # new fp group, first -> kept
+            (30, other_text),        # same fp, larger id -> exact_dup
+            (40, third_text),        # unique -> kept
+            (50, "tiny"),            # text gate fires first
+        ],
+        "doc_id long, text string",
+    )
+    surv = base.join(
+        curate_documents(base).filter(F.col("kept")).select("doc_id"),
+        "doc_id",
+    )
+    fps = surv.select(
+        F.md5(F.substring("text", 1, DEFAULT_PREFIX_CHARS)).alias("fp")
+    ).distinct()
+    out = {
+        r.doc_id: r.drop_reason
+        for r in curate_documents_incremental(
+            delta, base_fps=fps, base_sets=doc_hash_sets(surv, 3)
+        ).collect()
+    }
+    assert set(out) == {0, 10, 20, 30, 40, 50}  # delta only, total
+    assert out[0] == "exact_dup"   # base wins despite 0 < 11
+    assert out[10] == "near_dup"   # via the base signature probe
+    assert out[20] is None
+    assert out[30] == "exact_dup"  # keep-first within the delta
+    assert out[40] is None
+    assert out[50] == "too_short"
+
+
+def test_incremental_curation_within_delta_cluster_canonical(spark):
+    """Two delta docs that near-dup EACH OTHER (no base involvement):
+    the min-doc_id canonical survives, the other drops as near_dup —
+    the same election rule as the batch plan's stage 4."""
+    from one_one_one_rule_spark.operators.dedup import doc_hash_sets
+    from one_one_one_rule_spark.plans.curation import (
+        curate_documents_incremental,
+    )
+
+    t = " ".join(f"q{i:02d}" for i in range(40))
+    delta = spark.createDataFrame(
+        [(100, t + " aa"), (200, t + " bb")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = {
+        r.doc_id: r.drop_reason
+        for r in curate_documents_incremental(
+            delta,
+            base_fps=empty.select(F.lit("x").alias("fp")).limit(0),
+            base_sets=doc_hash_sets(empty, 3),
+        ).collect()
+    }
+    assert out == {100: None, 200: "near_dup"}

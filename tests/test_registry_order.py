@@ -57,7 +57,7 @@ def test_every_oracle_has_a_query():
 #: added or removed; the test below proves the tws pair is exactly a +2 on
 #: top of it, i.e. the env bump to a protobuf-enabled deploy is one
 #: ``pip install`` away from the full gated registry with no half state.
-BASE_REGISTRY_SIZE = 242
+BASE_REGISTRY_SIZE = 243
 
 _TWS_GATES = {"events_stream_tws_user_totals", "events_tws_bottomk_sample"}
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .spread import spread_small
 from ..functions.text import (
     HASH_P,
     md5_hash48,
@@ -75,9 +76,15 @@ def prefix_dup_groups(docs: DataFrame, n_chars: int = 40) -> DataFrame:
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the inverted-index input (exact
-    string tier; the hashed tiers below never shuffle strings)."""
+    string tier; the hashed tiers below never shuffle strings).
+
+    The corpus is spread before the explode (round-12, guide §2.5/§6):
+    the split+shingle explode is the tier's CPU-heavy map stage, and a
+    bytes-small corpus otherwise planned as one scan split serializes it
+    on a single core (no-op at production scale — operators/spread.py)."""
     return (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        spread_small(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .select("doc_id", F.explode(shingles_expr("w", n)).alias("shingle"))
         .distinct()
     )
@@ -85,9 +92,12 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def _shingle_hash_multiset(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, h) shingle hashes, duplicates kept — hashing happens
-    map-side in the scan stage, before any exchange."""
+    map-side in the scan stage, before any exchange (spread first: the
+    explode+md5 pass is CPU-bound and must not serialize on a one-split
+    scan of a bytes-small corpus; no-op at scale — operators/spread.py)."""
     return (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        spread_small(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .select("doc_id", F.explode(shingles_expr("w", n)).alias("shingle"))
         .select("doc_id", (md5_hash48("shingle") % HASH_P).alias("h"))
     )
@@ -327,16 +337,36 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     in 2-4. Raises after ``max_iter`` rounds rather than returning a
     half-propagated labeling.
     """
-    # checkpoint the pair relation BEFORE symmetrizing: the union's two
-    # branches would otherwise each re-materialize the full upstream
-    # candidate pipeline (LSH banding / SRP verify — the expensive part),
-    # doubling the pair-generation work for one edge list
-    p = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).localCheckpoint(eager=True)
+    # Round-12 edge materialization (guide §1.2/§2.4): symmetrize
+    # MAP-SIDE with one explode — each pair row emits (u,v) and (v,u) in
+    # place — and checkpoint that single relation. The old shape
+    # (checkpoint pairs; union with its swap; distinct; checkpoint
+    # again) cost two materialization jobs, a full distinct shuffle of
+    # the edge list, and a per-round scan of 2× the partitions (the
+    # union's two branches). The distinct was redundant: every in-repo
+    # pair producer emits distinct (doc_a < doc_b) pairs so the
+    # symmetrized multiset is already a set — and min-label propagation
+    # is idempotent to duplicate edges anyway (min over a multiset
+    # equals min over its set; labels, trajectory and cluster_size —
+    # counted over labels, not edges — are unchanged). The expensive
+    # upstream candidate pipeline (LSH banding / SRP verify) still runs
+    # exactly once: the explode is the checkpoint's only consumer.
     edges = (
-        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("u"),
+                        F.col("doc_b").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"),
+                        F.col("doc_a").alias("v"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -349,27 +379,29 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
-        neigh = (
-            edges.join(
-                labels.select(F.col("doc_id").alias("v"), "lbl"), "v"
-            )
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nlbl"))
+        # Round-12 round shape (guide §2.4): one edge⋈label join emits
+        # neighbor label CANDIDATES, union'd with each node's own label
+        # (tagged in `own`), and a single combinable aggregate takes the
+        # min — one shuffle per round instead of the old
+        # join → groupBy → second label-alignment join. `own` is NULL on
+        # candidate rows, so MAX(own) recovers the node's current label
+        # and the changed flag (new strictly smaller) is computed inside
+        # the same aggregate. Identical label trajectory: min(own ∪
+        # neighbor labels) == least(own, min neighbors).
+        cand = edges.join(
+            labels.select(F.col("doc_id").alias("v"), "lbl"), "v"
+        ).select(
+            F.col("u").alias("doc_id"),
+            "lbl",
+            F.lit(None).cast("bigint").alias("own"),
         )
         stepped = (
-            labels.join(
-                neigh.select(F.col("u").alias("doc_id"), "nlbl"),
-                "doc_id",
-                "left",
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-                (
-                    F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl")
-                )
+            labels.select("doc_id", "lbl", F.col("lbl").alias("own"))
+            .unionByName(cand)
+            .groupBy("doc_id")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                (F.min("lbl") < F.max("own"))
                 .cast("bigint")
                 .alias("changed"),
             )
@@ -501,9 +533,12 @@ def substring_windows(
         f"transform(sequence(1, length(text) - {length} + 1), "
         f"i -> substring(text, i, {length})) ELSE array() END"
     )
-    hashed = docs.select("doc_id", F.explode(win).alias("w")).select(
-        "doc_id", (md5_hash48("w") % HASH_P).alias("h")
-    )
+    # stride-1 windows × md5 is the heaviest per-row map stage in the
+    # dedup surface — spread the corpus first so it parallelizes even
+    # when the input plans as one scan split (no-op at scale)
+    hashed = spread_small(docs).select(
+        "doc_id", F.explode(win).alias("w")
+    ).select("doc_id", (md5_hash48("w") % HASH_P).alias("h"))
     if sample_mod > 1:
         hashed = hashed.filter(F.col("h") % sample_mod == 0)
     return hashed.distinct()

@@ -731,6 +731,24 @@ def events_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("close_cents") - F.lag("close_cents", 1).over(wh)
         ).alias("dc"),
     ).filter(F.col("dc").isNotNull())
+    # The bar-delta relation is bytes-tiny (instruments × days) but feeds
+    # the n²-per-day pair fan-out — AQE's byte-based coalescing collapses
+    # it to one post-window partition, so the quadratic join+moment stage
+    # serializes on a single core (measured 2× the query at sf0.1).
+    # spread_small round-robins it across the cluster before the fan-out;
+    # at production scale the size estimate exceeds the threshold and the
+    # call is a no-op (operators/spread.py). The LAZY checkpoint then
+    # rides the headroom guard's existing full pass: the guard action
+    # materializes the spread bar deltas, so the pair join reads the
+    # compact materialized relation instead of re-deriving bar+window
+    # from the scan a second time (one pipeline execution, not two;
+    # the round-5 reuse-vs-checkpoint measurement only rejected an
+    # EAGER checkpoint, which added a third materialization job).
+    from .operators.spread import spread_small
+
+    d = spread_small(d, "pairwise-correlation bar deltas").localCheckpoint(
+        eager=False
+    )
     _assert_moment_headroom(d)
     a = d.select(
         F.col("user_id").alias("user_a"), "day", F.col("dc").alias("da")
@@ -887,6 +905,15 @@ def events_pairwise_correlation_blocked(
         )
         .filter(F.col("dc").isNotNull())
         .join(cust, "user_id")
+    )
+    # same spread + lazy-checkpoint-on-the-guard-pass treatment as the
+    # full-cross variant: the blocked fan-out is smaller but still
+    # quadratic per block, and AQE coalesces the bytes-tiny delta
+    # relation to one partition locally.
+    from .operators.spread import spread_small
+
+    d = spread_small(d, "blocked-correlation bar deltas").localCheckpoint(
+        eager=False
     )
     _assert_moment_headroom(d)
     a = d.select(

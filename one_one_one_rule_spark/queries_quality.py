@@ -562,18 +562,33 @@ def _pr_floordiv(x, d, dec: str = "decimal(38,0)"):
     return ((x - x % d) / d).cast(dec)
 
 
-def _pr_round(e: DataFrame, deg: DataFrame, s: DataFrame) -> DataFrame:
+def _pr_round(e: DataFrame, s: DataFrame) -> DataFrame:
     """ONE damped PageRank update: s' = base + floor(0.85 · Σ floor(s/d))
     over 128-bit-safe decimal(38,0) — the per-round relation shared by
     the fixed-round and converged gates AND pinned by
     tests/test_plan_shapes.py (the iterative loops checkpoint each
     round, so the registry-wide plan ratchet only sees their tails;
     this builder is what lets the per-round plan be asserted
-    directly). Un-checkpointed: callers decide lineage truncation."""
+    directly). Un-checkpointed: callers decide lineage truncation.
+
+    Round-12 restructure (guide §1.2/§2.4 — same arithmetic, fewer
+    joins/jobs per round):
+
+    * ``s`` is the merged VERTEX STATE (u, d, s): the constant degree
+      rides the score relation instead of joining a separate ``deg`` in
+      twice per round, so a round is ONE edge⋈state join + one
+      combinable aggregate + one state alignment join (was two deg
+      joins + one score join — two broadcast builds fewer per round).
+    * Output (u, d, s, s_prev) carries the previous score beside the
+      update, so the converged gate's L1-delta Σ|s − s_prev| is a plain
+      aggregate over this relation — no separate cur⋈prev alignment
+      join per round.
+
+    Callers that don't need s_prev project it away and Catalyst prunes
+    the column for free (the fixed-round gate)."""
     dec = "decimal(38,0)"
     contrib = (
-        e.join(s, "u")
-        .join(deg, "u")
+        e.join(s.select("u", "d", "s"), "u")
         .select(
             F.col("v").alias("cu"),
             _pr_floordiv(F.col("s"), F.col("d")).alias("share"),
@@ -585,9 +600,13 @@ def _pr_round(e: DataFrame, deg: DataFrame, s: DataFrame) -> DataFrame:
         F.coalesce(F.col("contrib"), F.lit(0).cast(dec)) * 85,
         F.lit(100),
     )
-    return deg.join(contrib, deg.u == F.col("cu"), "left").select(
+    return s.select("u", "d", "s").join(
+        contrib, F.col("u") == F.col("cu"), "left"
+    ).select(
         "u",
+        "d",
         (F.lit(_PR_BASE).cast(dec) + damped).cast(dec).alias("s"),
+        F.col("s").alias("s_prev"),
     )
 
 
@@ -633,9 +652,13 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (x - x % d) / d: the dividend is exactly divisible, so the decimal
     # divide is exact and no scale-rounding ambiguity can creep in.
     dec = "decimal(38,0)"
-    s = deg.select("u", F.lit(_PR_UNIT).cast(dec).alias("s"))
+    s = deg.select("u", "d", F.lit(_PR_UNIT).cast(dec).alias("s"))
     for _ in range(_PR_ITERS):
-        s = _pr_round(e, deg, s).localCheckpoint(eager=False)
+        # fixed-round gate: s_prev is not consumed — project it away so
+        # the lazy checkpoint stores the (u, d, s) state only
+        s = _pr_round(e, s).select("u", "d", "s").localCheckpoint(
+            eager=False
+        )
     return (
         s.orderBy(F.desc("s"), F.asc("u"))
         .limit(_PR_TOPK)
@@ -770,21 +793,26 @@ def parts_copurchase_pagerank_converged(
     )
     n_vertices = deg.count()  # bounded: one scalar, computed once
     dec = "decimal(38,0)"
-    prev = deg.select("u", F.lit(_PR_UNIT).cast(dec).alias("s"))
+    prev = deg.select("u", "d", F.lit(_PR_UNIT).cast(dec).alias("s"))
     rounds = None
     for t in range(1, _PRC_MAX + 1):
-        cur = _pr_round(e, deg, prev).localCheckpoint(eager=True)
+        # ONE action per round (round-12, guide §1.2 "the distributed
+        # algorithm"): the round relation carries s_prev, so the L1
+        # delta is a plain aggregate over it — and the LAZY checkpoint
+        # is materialized BY that aggregate action (the dup_clusters
+        # convention), replacing the former eager-checkpoint job +
+        # separate cur⋈prev delta job. Lineage stays flat: `cur` below
+        # is the checkpointed relation.
+        cur = _pr_round(e, prev).localCheckpoint(eager=False)
         delta = (
-            cur.alias("a")
-            .join(prev.alias("b"), "u")
-            .agg(
-                F.sum(F.abs(F.col("a.s") - F.col("b.s")))
+            cur.agg(
+                F.sum(F.abs(F.col("s") - F.col("s_prev")))
                 .cast(dec)
                 .alias("dl")
             )
             .first()["dl"]
         )
-        prev = cur
+        prev = cur.select("u", "d", "s")
         if int(delta) * _PRC_EPS_DEN < n_vertices * _PR_UNIT:
             rounds = t
             break
@@ -2997,22 +3025,41 @@ def parts_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = dist
     for _ in range(3):
-        relaxed = (
+        # Round-12 (guide §1.2/§2.4): the relax join + per-vertex MIN is
+        # computed ONCE per round (lazy checkpoint, shared by the merge
+        # and the next round's frontier — the old shape re-ran the
+        # frontier⋈edges join for both eager materializations), and the
+        # min-merge is one vertex-keyed full-outer join instead of
+        # re-shuffling the standing distance table through a union-agg.
+        # All checkpoints are lazy: the fixed 3-round chain materializes
+        # inside the query's single action, zero per-round driver jobs.
+        relaxed_min = (
             frontier.join(e, frontier["part"] == e["u"])
             .select(
                 F.col("v").alias("part"),
                 (F.col("dist") + F.col("w")).alias("dist"),
             )
-        )
-        dist = (
-            dist.unionByName(relaxed)
             .groupBy("part")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        frontier = relaxed.groupBy("part").agg(
-            F.min("dist").alias("dist")
-        ).localCheckpoint(eager=True)
+        dist = (
+            dist.withColumnsRenamed({"dist": "odist"})
+            .join(
+                relaxed_min.withColumnsRenamed({"dist": "rdist"}),
+                "part",
+                "full_outer",
+            )
+            .select(
+                "part",
+                F.least(
+                    F.coalesce(F.col("odist"), F.col("rdist")),
+                    F.coalesce(F.col("rdist"), F.col("odist")),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        frontier = relaxed_min
     return dist.select("part", F.col("dist").alias("min_dist"))
 
 
@@ -3133,42 +3180,49 @@ def parts_copurchase_sssp_converged(
     return dist.select("part", F.col("dist").alias("min_dist"))
 
 
-def _sssp_improved(new_dist, old_dist):
-    """Rows of ``new_dist`` whose distance strictly improved on (or is
-    absent from) ``old_dist`` — the frontier predicate, defined ONCE and
-    shared by the round builder, the fixpoint loop (over the
-    checkpointed new_dist, where lineage truncation matters) and the
-    incremental delta seed."""
-    return (
-        new_dist.alias("n")
-        .join(old_dist.alias("o"), F.col("n.part") == F.col("o.part"), "left")
-        .filter(
-            F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
-        )
-        .select(
-            F.col("n.part").alias("part"),
-            F.col("n.dist").alias("dist"),
-        )
-    )
-
-
 def _sssp_round(dist, frontier, e):
     """ONE Bellman-Ford relaxation step: frontier ⋈ edges, min-merge
     into the distance table, strictly-improved rows become the next
     frontier. Un-checkpointed — shared by the fixpoint loop below AND
     pinned directly by tests/test_plan_shapes.py (the loop checkpoints
     each round, so the registry plan ratchet only sees its tail).
-    Returns (new_dist, improved)."""
+    Returns the merged STATE relation (part, dist, improved): the new
+    distance table with the strictly-improved frontier flag inline.
+
+    Round-12 restructure (guide §1.2/§2.3): the relaxation candidates
+    are MIN-aggregated per vertex first (combinable — the shuffle
+    carries one row per vertex touched, exactly as before), then merged
+    into the standing distances with ONE vertex-keyed FULL OUTER join
+    that produces the new distance AND the strictly-improved flag in
+    the same relation. The old shape (union → groupBy min, then a
+    second new⋈old left join to find improvements) re-shuffled the
+    standing distance table every round and aligned old-vs-new in a
+    separate join; least(old, relaxed_min) over the outer join is the
+    identical min-merge, and ``improved`` ⟺ (old IS NULL OR relaxed_min
+    < old) is the identical frontier predicate — same fixpoint
+    trajectory round by round, one relation instead of two."""
     relaxed = frontier.join(e, frontier["part"] == e["u"]).select(
         F.col("v").alias("part"),
         (F.col("dist") + F.col("w")).alias("dist"),
     )
-    new_dist = (
-        dist.unionByName(relaxed)
-        .groupBy("part")
-        .agg(F.min("dist").alias("dist"))
+    rmin = relaxed.groupBy("part").agg(F.min("dist").alias("rdist"))
+    merged = (
+        dist.withColumnsRenamed({"dist": "odist"})
+        .join(rmin, "part", "full_outer")
+        .select(
+            "part",
+            F.least(
+                F.coalesce(F.col("odist"), F.col("rdist")),
+                F.coalesce(F.col("rdist"), F.col("odist")),
+            ).alias("dist"),
+            F.coalesce(
+                F.col("odist").isNull()
+                | (F.col("rdist") < F.col("odist")),
+                F.lit(False),
+            ).alias("improved"),
+        )
     )
-    return new_dist, _sssp_improved(new_dist, dist)
+    return merged
 
 
 def _sssp_relax_loop(dist, frontier, e, what: str):
@@ -3176,29 +3230,37 @@ def _sssp_relax_loop(dist, frontier, e, what: str):
     the converged and incremental SSSP gates): relax the frontier over
     ``e``, min-merge into ``dist``, continue from the strictly-improved
     rows; raise past ``_SSSP_CONV_MAX`` rounds (silent truncation would
-    break the fixpoint contract AND the oracle equivalence). Driver-side
-    work per round is one scalar ``isEmpty()`` on a checkpointed
-    relation — nothing is collected."""
+    break the fixpoint contract AND the oracle equivalence).
+
+    ONE action per round (round-12, guide §1.2): the round's merged
+    state relation carries the improved flag, its LAZY checkpoint is
+    materialized by the round's single convergence aggregate (the
+    dup_clusters convention), and the next round's dist/frontier are
+    projections/filters over the checkpointed state — flat lineage with
+    no per-round eager-checkpoint jobs and no separate isEmpty() job
+    (the old shape paid 3 driver actions per round). The trajectory is
+    unchanged: `improved` here equals the old strictly-improved
+    predicate row for row, and the loop exits on the first round that
+    improves nothing — the same round count as the old loop's
+    trailing isEmpty() detection."""
     for _ in range(_SSSP_CONV_MAX):
-        if frontier.isEmpty():
+        merged = _sssp_round(dist, frontier, e).localCheckpoint(
+            eager=False
+        )
+        n_improved = merged.agg(
+            F.coalesce(
+                F.sum(F.col("improved").cast("bigint")), F.lit(0)
+            )
+        ).first()[0]
+        dist = merged.select("part", "dist")
+        if n_improved == 0:
             return dist
-        new_dist, _ = _sssp_round(dist, frontier, e)
-        new_dist = new_dist.localCheckpoint(eager=True)
-        # rebuild the improved set over the CHECKPOINTED new_dist so the
-        # next round's frontier reads the truncated lineage, not the
-        # un-checkpointed round plan (_sssp_round's improved relation is
-        # the un-checkpointed form the plan-shape test pins)
-        frontier = _sssp_improved(new_dist, dist).localCheckpoint(
-            eager=True
-        )
-        dist = new_dist
-    if not frontier.isEmpty():
-        raise RuntimeError(
-            f"SSSP ({what}) did not converge within {_SSSP_CONV_MAX} "
-            "rounds — raise _SSSP_CONV_MAX (the unrolled oracle must "
-            "cover the fixture's true convergence depth)"
-        )
-    return dist
+        frontier = merged.filter(F.col("improved")).select("part", "dist")
+    raise RuntimeError(
+        f"SSSP ({what}) did not converge within {_SSSP_CONV_MAX} "
+        "rounds — raise _SSSP_CONV_MAX (the unrolled oracle must "
+        "cover the fixture's true convergence depth)"
+    )
 
 
 @register(
@@ -3261,10 +3323,12 @@ def parts_copurchase_sssp_incremental(
     )
     dist = _sssp_relax_loop(sources, sources, e_base, "base")
     # delta arrival: one relaxation of the delta edges alone against the
-    # warm distance table; the strictly-improved rows seed the frontier
-    new_raw, _ = _sssp_round(dist, dist, e_delta)
-    new_dist = new_raw.localCheckpoint(eager=True)
-    seed = _sssp_improved(new_dist, dist).localCheckpoint(eager=True)
+    # warm distance table; the strictly-improved rows seed the frontier.
+    # The merged state carries both in one checkpointed relation (one
+    # materialization, not two — the round-12 loop convention).
+    md = _sssp_round(dist, dist, e_delta).localCheckpoint(eager=True)
+    new_dist = md.select("part", "dist")
+    seed = md.filter(F.col("improved")).select("part", "dist")
     final = _sssp_relax_loop(new_dist, seed, e_all, "incremental")
     return final.select("part", F.col("dist").alias("min_dist"))
 
@@ -3777,21 +3841,25 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     removed_parts = []
     for r in range(1, _KCORE_ROUNDS + 1):
-        dd = _kcore_degrees(verts, edges)
+        # Round-12 (guide §1.2): ONE lazy checkpoint per round relation.
+        # The degree table is materialized once and the removed set /
+        # surviving vertex set are plain filters over it (the old shape
+        # eagerly checkpointed all three — 3 driver jobs per round
+        # recomputing the degree aggregate); the induced edge list stays
+        # a checkpoint so round r+1's degree aggregate reads flat
+        # lineage. All lazy: the fixed 3-round chain materializes inside
+        # the query's single action.
+        dd = _kcore_degrees(verts, edges).localCheckpoint(eager=False)
         rm = dd.filter(F.col("deg") < _KCORE_K).select("part")
         removed_parts.append(
             rm.select(
                 "part",
                 F.lit(r).cast("bigint").alias("removed_round"),
                 F.lit(0).cast("bigint").alias("final_degree"),
-            ).localCheckpoint(eager=True)
+            )
         )
-        verts = (
-            dd.filter(F.col("deg") >= _KCORE_K)
-            .select("part")
-            .localCheckpoint(eager=True)
-        )
-        edges = _kcore_induce(edges, verts).localCheckpoint(eager=True)
+        verts = dd.filter(F.col("deg") >= _KCORE_K).select("part")
+        edges = _kcore_induce(edges, verts).localCheckpoint(eager=False)
     survivors = _kcore_degrees(verts, edges).select(
         "part",
         F.lit(0).cast("bigint").alias("removed_round"),
@@ -3851,11 +3919,25 @@ def parts_copurchase_kcore_converged(
     removed_parts = []
     converged = False
     for r in range(1, _KCORE_CONV_MAX + 1):
-        dd = _kcore_degrees(verts, edges).localCheckpoint(eager=True)
-        rm = dd.filter(F.col("deg") < _KCORE_K).select("part")
-        if rm.isEmpty():  # fixpoint: this round removes nothing
+        # ONE action per round (round-12, guide §1.2): the degree
+        # table's LAZY checkpoint is materialized by the round's single
+        # below-k count aggregate (the dup_clusters convention) —
+        # replacing the eager degree checkpoint + isEmpty job + eager
+        # verts checkpoint (the removed set and the surviving vertex set
+        # are plain filters over the checkpointed degrees). The induced
+        # edge list stays a lazy checkpoint, materialized by the NEXT
+        # round's aggregate, keeping lineage flat across rounds.
+        dd = _kcore_degrees(verts, edges).localCheckpoint(eager=False)
+        n_below = dd.agg(
+            F.coalesce(
+                F.sum((F.col("deg") < _KCORE_K).cast("bigint")),
+                F.lit(0),
+            )
+        ).first()[0]
+        if n_below == 0:  # fixpoint: this round removes nothing
             converged = True
             break
+        rm = dd.filter(F.col("deg") < _KCORE_K).select("part")
         removed_parts.append(
             rm.select(
                 "part",
@@ -3863,12 +3945,8 @@ def parts_copurchase_kcore_converged(
                 F.lit(0).cast("bigint").alias("final_degree"),
             )
         )
-        verts = (
-            dd.filter(F.col("deg") >= _KCORE_K)
-            .select("part")
-            .localCheckpoint(eager=True)
-        )
-        edges = _kcore_induce(edges, verts).localCheckpoint(eager=True)
+        verts = dd.filter(F.col("deg") >= _KCORE_K).select("part")
+        edges = _kcore_induce(edges, verts).localCheckpoint(eager=False)
     if not converged:
         raise RuntimeError(
             f"k-core did not converge within {_KCORE_CONV_MAX} rounds — "

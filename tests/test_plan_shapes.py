@@ -521,15 +521,20 @@ def test_pagerank_round_plan_shape(spark, sf_dir):
     deg = e.groupBy("u").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     ).localCheckpoint(eager=True)
-    s = deg.select("u", F.lit(_PR_UNIT).cast("decimal(38,0)").alias("s"))
-    m = plan_metrics(_pr_round(e, deg, s))
+    # round-12 state shape: the degree rides the score relation, so a
+    # round is one edge⋈state join + one aggregate + one alignment join
+    s = deg.select(
+        "u", "d", F.lit(_PR_UNIT).cast("decimal(38,0)").alias("s")
+    )
+    m = plan_metrics(_pr_round(e, s))
     assert m["cartesians"] == 0 and m["python_evals"] == 0
     # one combinable contribution aggregate + the keyed joins: the round
-    # must stay within 5 shuffle exchanges (edge+score sides of the u
-    # join, deg side, the groupBy, the final deg-left-join alignment) —
-    # measured shape; a 6th exchange means a new shuffle crept in
-    assert m["exchanges"] <= 5, m
-    plan = _pr_round(e, deg, s)._jdf.queryExecution().executedPlan().toString()
+    # must stay within 4 shuffle exchanges (edge + state sides of the u
+    # join, the groupBy, the final state-left-join alignment) — measured
+    # shape; a 5th exchange means a new shuffle crept in (the round-12
+    # merged-state round removed the separate deg join's exchange)
+    assert m["exchanges"] <= 4, m
+    plan = _pr_round(e, s)._jdf.queryExecution().executedPlan().toString()
     # map-side partial aggregation on the contribution sum (the property
     # that keeps the shuffle carrying vertex-sized, not edge-sized, data)
     assert "partial_sum" in plan, plan[:2000]
@@ -553,14 +558,15 @@ def test_sssp_round_plan_shape(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-    new_dist, improved = _sssp_round(dist, dist, e)
-    for df in (new_dist, improved):
-        m = plan_metrics(df)
-        assert m["cartesians"] == 0 and m["python_evals"] == 0
-        assert m["exchanges"] <= 4, m
+    # round-12 shape: one merged state relation (part, dist, improved)
+    # carries the new distances AND the frontier flag
+    merged = _sssp_round(dist, dist, e)
+    m = plan_metrics(merged)
+    assert m["cartesians"] == 0 and m["python_evals"] == 0
+    assert m["exchanges"] <= 4, m
     # the min-merge must combine map-side: the shuffle carries one row
     # per (partition, vertex), never the relaxed edge stream
-    plan = new_dist._jdf.queryExecution().executedPlan().toString()
+    plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan, plan[:2000]
 
 

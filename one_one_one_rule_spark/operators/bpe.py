@@ -168,5 +168,10 @@ def train_bpe(
             "w", "freq", merge_pair_in_arrays(F.col("s"), x, y).alias("s")
         )
         if round_no % checkpoint_every == 0:
-            sym = sym.localCheckpoint(eager=True)
+            # LAZY (round 12): materialized by the NEXT round's top-1
+            # collect (or the caller's first action), so lineage stays
+            # bounded at one job per round instead of paying a separate
+            # eager materialization job per checkpoint — the
+            # dup_clusters/_pr_round convention. Same arrays, same rules.
+            sym = sym.localCheckpoint(eager=False)
     return merges, sym

@@ -474,12 +474,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     band, so the band-bucket self-join finds ALL such pairs (this tier is
     exact, unlike probabilistic MinHash-LSH). Candidates are verified with
     ``bit_count(xor)``. Shuffle volume: 4 rows/doc + bucket-join output.
+
+    Round 12 (guide §1.2/§2.4): the fingerprint relation is eagerly
+    ``localCheckpoint``-ed — it feeds BOTH self-join sides, and without
+    the cut Catalyst re-derives the whole shingle-hash + 28-vote
+    aggregate pipeline from the scan once per side (two corpus scans for
+    one tier). The checkpointed rows are two longs per doc. And instead
+    of a DISTINCT over the candidate stream (a full extra shuffle), a
+    pair agreeing on several bands is kept only on its MINIMAL agreeing
+    band — an expression over the two fingerprints already on the joined
+    row (the srp_candidate_pairs trick), so dedup costs nothing. Same
+    pair set, same hamming values.
     """
-    fps = simhash(docs)
+    fps = simhash(docs).localCheckpoint(eager=True)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     keys = F.array(
         *[
             F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b).bitwiseAND(
-                F.lit((1 << SIMHASH_BAND_BITS) - 1)
+                F.lit(mask)
             )
             for b in range(SIMHASH_BANDS)
         ]
@@ -492,16 +504,21 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("bigint")
+    no_earlier_match = F.expr(
+        f"band = 0 OR forall(sequence(0, band - 1), i -> "
+        f"(shiftright(a.simhash, {SIMHASH_BAND_BITS} * i) & {mask}) != "
+        f"(shiftright(b.simhash, {SIMHASH_BAND_BITS} * i) & {mask}))"
+    )
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(ham <= max_hamming)
+        .filter(no_earlier_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .distinct()
     )
 
 
@@ -699,25 +716,32 @@ def ppjoin_pairs(
     disappears without changing the answer (verified equal to the
     brute-force threshold join in tests).
 
-    Plan: df aggregate (map-combinable) -> per-doc row_number window (one
-    shuffle on doc_id) -> prefix self-join on shingle hash + symmetric
-    length filter ``t*na <= nb <= na/t`` -> exact verify join restricted
-    to candidates. The threshold compare is exact integer
-    cross-multiplication (``c*(t_den+t_num) >= t_num*(na+nb)`` <=>
-    ``c/(na+nb-c) >= t``); the reported jaccard is a single final
-    divide."""
+    Plan (round-12 shape, guide §1.2/§2.3/§2.4): df aggregate
+    (map-combinable) -> per-doc row_number window (one shuffle on doc_id;
+    the per-doc size ``n`` is a second window spec over the SAME
+    partitioning, so it rides that shuffle instead of a separate
+    aggregate + join) -> prefix self-join on shingle hash + symmetric
+    length filter ``t*na <= nb <= na/t`` (both sizes already on the
+    candidate row, so the old two post-verify size joins are gone) ->
+    exact verify via ``array_intersect`` against the per-doc hash-SET
+    arrays (the minhash_lsh_pairs verify shape: one array row per doc
+    per candidate side, instead of the old exploded per-(pair, shingle)
+    double join + pair-count aggregate — four exchanges fewer and a
+    candidate-bounded intermediate). The threshold compare is exact
+    integer cross-multiplication (``c*(t_den+t_num) >= t_num*(na+nb)``
+    <=> ``c/(na+nb-c) >= t``); the reported jaccard is a single final
+    divide. ``c`` = |A∩B| over distinct hashes either way, so results
+    are bit-identical."""
     sh = doc_shingle_hashes(docs, n).localCheckpoint(eager=True)
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id")
     ranked = (
         sh.join(dfreq, "h")
         .withColumn(
             "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
-            ),
+            F.row_number().over(w.orderBy(F.asc("df"), F.asc("h"))),
         )
-        .join(sizes, "doc_id")
+        .withColumn("n", F.count(F.lit(1)).over(w))
     )
     prefix = ranked.filter(
         F.col("rk")
@@ -736,24 +760,19 @@ def ppjoin_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
-    fa = sh.withColumnsRenamed({"doc_id": "doc_a"})
-    fb = sh.withColumnsRenamed({"doc_id": "doc_b"})
-    inter = (
-        cand.join(fa, "doc_a")
-        .join(fb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("s"))
+    c = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))).cast(
+        "bigint"
     )
     return (
-        inter.join(
-            sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a"
-        )
-        .join(
-            sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b"
-        )
+        cand.join(sets.alias("sa"), cand["doc_a"] == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), cand["doc_b"] == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", c.alias("c"), "na", "nb")
         .filter(
             F.col("c") * (t_den + t_num)
             >= (F.col("na") + F.col("nb")) * t_num

@@ -95,7 +95,20 @@ def curate_documents(
     reports the EARLIEST stage (stage order above), matching how a real
     pipeline would short-circuit.
     """
-    stage1 = _text_stage1(docs, min_tokens, min_quality)
+    # Lazily checkpointed (round 12, guide §1.2): stage1 feeds the
+    # fingerprint chain AND the final reason join, and s2 feeds the
+    # survivor filter AND that join — Catalyst does not share common
+    # subtrees across join branches, so without the cuts the map-heavy
+    # tokenize/quality stage re-derives from the scan FIVE times per run
+    # (2× under the LSH sets checkpoint, 3× under the final action) and
+    # the fingerprint join+keeper aggregate twice. Lazy: both cuts are
+    # materialized by the LSH tier's existing eager sets checkpoint, so
+    # no extra job is spawned. Same rows, same results — checkpoints are
+    # physical-only (the incremental twin has checkpointed s2 since it
+    # shipped).
+    stage1 = _text_stage1(docs, min_tokens, min_quality).localCheckpoint(
+        eager=False
+    )
     surv1 = stage1.filter(F.col("r1").isNull()).select("doc_id", "text")
 
     # exact dedup: keep-first (min doc_id) per long-prefix fingerprint
@@ -103,7 +116,11 @@ def curate_documents(
         "fp", F.md5(F.substring("text", 1, prefix_chars))
     )
     keepers = pf.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    s2 = pf.join(keepers, "fp").select("doc_id", "text", "keeper")
+    s2 = (
+        pf.join(keepers, "fp")
+        .select("doc_id", "text", "keeper")
+        .localCheckpoint(eager=False)
+    )
     surv2 = s2.filter(F.col("doc_id") == F.col("keeper")).select(
         "doc_id", "text"
     )
@@ -187,7 +204,13 @@ def curate_documents_incremental(
 
     Returns (doc_id, kept, drop_reason) for delta docs only.
     """
-    stage1 = _text_stage1(delta, min_tokens, min_quality)
+    # Lazily checkpointed (round 12): stage1 feeds the fingerprint chain
+    # and the final reason join; the cut is materialized by the eager s2
+    # checkpoint below, so the delta's tokenize/quality pass runs once
+    # instead of twice. Physical-only — results unchanged.
+    stage1 = _text_stage1(delta, min_tokens, min_quality).localCheckpoint(
+        eager=False
+    )
     surv1 = stage1.filter(F.col("r1").isNull()).select("doc_id", "text")
 
     # stage 3: exact dedup vs base survivors' fingerprints, then
@@ -299,6 +322,7 @@ def curate_media_documents(
     min_avg_energy: int | None = None,
     video_media: DataFrame | None = None,
     min_avg_pixel: int | None = None,
+    bucketed_scan: bool = False,
 ) -> DataFrame:
     """Interleaved TEXT + IMAGE curation — the multimodal twin of
     ``curate_documents``, same staged-survivor architecture with a real
@@ -361,6 +385,12 @@ def curate_media_documents(
     stats), the per-frame stats roll up through one TINY aggregate
     (rows = sampled frames, bytes long gone).
 
+    ``bucketed_scan``: set True when ``docs`` and the payload relations
+    are co-bucketed warehouse scans — the payload joins then keep the raw
+    scan lineage (a checkpoint would drop the bucketed hash
+    output-partitioning and re-introduce the join shuffle); all other
+    consumers still read the shared stage-1 checkpoint.
+
     Returns (doc_id, kind, kept, drop_reason), earliest failing stage
     reported, NULL reason for kept docs.
 
@@ -385,18 +415,41 @@ def curate_media_documents(
         wav_media_stats_arrow,
     )
 
-    stage1 = _text_stage1(docs, min_tokens, min_quality)
+    # Lazily checkpointed (round 12, guide §1.2): stage1 fans into every
+    # payload-join branch (one per live modality), the LSH survivor chain
+    # AND the final reason join — Catalyst does not share common subtrees
+    # across join branches, so without the cut the map-heavy
+    # tokenize/quality stage re-derives from the scan up to SIX times per
+    # run (measured: the dominant cost of every media_curation gate at
+    # sf0.1). Lazy: the cut is materialized by the image gate's existing
+    # eager decode checkpoint, so no extra job is spawned. Physical-only;
+    # results unchanged.
+    #
+    # ``bucketed_scan=True`` (the co-bucketed storage-layout twin) keeps
+    # the RAW scan lineage for the payload joins only: a checkpoint
+    # replaces the logical plan with an RDD scan, which drops the bucketed
+    # FileScan's hash output-partitioning and would re-introduce the very
+    # shuffle the bucketed layout exists to remove (probed on the executed
+    # plan). Everything downstream of the decode still reads the
+    # checkpoint.
+    stage1_scan = _text_stage1(docs, min_tokens, min_quality)
+    stage1 = stage1_scan.localCheckpoint(eager=False)
     surv1 = stage1.filter(F.col("r1").isNull()).select("doc_id", "text")
+    surv1_join = (
+        stage1_scan.filter(F.col("r1").isNull()).select("doc_id", "text")
+        if bucketed_scan
+        else surv1
+    )
 
     # stage 3 (image gate): decode + resize ONLY the image-kind survivors;
     # non-image docs never enter the decode pass. In the scan shape the
     # fixture holds image-kind rows only, so the survivor id join IS the
     # modality gate; the synthesize shape filters doc_id % 3 == 0 itself.
     if media is None:
-        img_payloads = synthesize_png_images(surv1)
+        img_payloads = synthesize_png_images(surv1_join)
     else:
         img_payloads = media.select("media_id", "payload").join(
-            surv1.select(F.col("doc_id").alias("media_id")), "media_id"
+            surv1_join.select(F.col("doc_id").alias("media_id")), "media_id"
         )
     # Eagerly checkpointed: the decode subtree feeds BOTH the survivor
     # filter and the final reason join — without the cut, Spark would run
@@ -422,10 +475,11 @@ def curate_media_documents(
     asx = None
     if min_avg_energy is not None:
         if audio_media is None:
-            aud_payloads = synthesize_wav(surv1)
+            aud_payloads = synthesize_wav(surv1_join)
         else:
             aud_payloads = audio_media.select("media_id", "payload").join(
-                surv1.select(F.col("doc_id").alias("media_id")), "media_id"
+                surv1_join.select(F.col("doc_id").alias("media_id")),
+                "media_id",
             )
         asx = (
             wav_media_stats_arrow(aud_payloads)
@@ -448,10 +502,11 @@ def curate_media_documents(
     vsx = None
     if min_avg_pixel is not None:
         if video_media is None:
-            vid_payloads = synthesize_video(surv1)
+            vid_payloads = synthesize_video(surv1_join)
         else:
             vid_payloads = video_media.select("media_id", "payload").join(
-                surv1.select(F.col("doc_id").alias("media_id")), "media_id"
+                surv1_join.select(F.col("doc_id").alias("media_id")),
+                "media_id",
             )
         vstats = video_sampled_frame_stats(vid_payloads, every=2)
         vsx = (

@@ -3209,7 +3209,9 @@ def media_curation_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dt, mt = _media_bucketed_tables(spark, sf_dir)
     return curate_media_documents(
-        spark.table(dt), media=spark.table(mt).hint("merge")
+        spark.table(dt),
+        media=spark.table(mt).hint("merge"),
+        bucketed_scan=True,
     )
 
 

@@ -423,14 +423,33 @@ def _copurchase_edges(
     Candidate-pair volume is Σ (order width choose 2) — linear in the
     fact table; the result is eagerly checkpointed because every caller
     fans it into multiple join branches. ``keep_weight`` retains the
-    co-purchase count column for the weighted consumers."""
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    co-purchase count column for the weighted consumers.
+
+    Round-12 shape (guide §1.2/§2.4 — two shuffles, no self-join): ONE
+    combinable groupBy collapses each order to its sorted distinct part
+    array (``collect_set`` dedupes in the partial aggregate, so the old
+    separate pair-DISTINCT exchange is gone), the within-order pairs
+    explode IN PLACE from the array (posexplode + tail slice of a sorted
+    array gives exactly the u < v pairs — no order-keyed self-join, no
+    second scan of the distinct relation), and the pair aggregate is the
+    same map-combinable groupBy as before. Identical edge set and
+    weights: count per (u, v) = number of orders whose part set contains
+    both, exactly the old self-join count. Basket width is bounded, so
+    per-order arrays and the O(width²) in-place fan-out stay constant at
+    any corpus scale."""
+    orders = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = orders.select(
+        F.posexplode("ps").alias("i", "u"), "ps"
+    ).select(
+        "u",
+        F.explode(
+            F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))
+        ).alias("v"),
+    )
     agg = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_copurchases"))
         .filter(F.col("n_copurchases") >= min_co)
     )

@@ -418,18 +418,20 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds"
         )
-    sizes = labels.groupBy("lbl").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
-    )
-    # `sizes` has one row per duplicate cluster — unbounded at corpus scale
-    # (a 100 TB near-dup graph has hundreds of millions of clusters), so it
-    # must NOT be broadcast. Both sides are already keyed by `lbl`; a plain
-    # shuffle join is the scale-safe shape (and AQE may still choose to
-    # broadcast from runtime stats when the graph is genuinely small).
-    return labels.join(sizes, "lbl").select(
+    # cluster_size via ONE window over the converged labels (round 12,
+    # guide §2.4): the old shape aggregated per-lbl sizes and joined them
+    # back — two exchanges and a join for a value that is just the label
+    # partition's row count. A count window over partitionBy(lbl) with no
+    # ordering computes it in the single lbl exchange. Still no broadcast
+    # anywhere: cluster count is corpus-scale-unbounded, and the window
+    # shuffle is the same lbl-keyed exchange the join needed anyway.
+    return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),
-        "cluster_size",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lbl"))
+        .cast("bigint")
+        .alias("cluster_size"),
         (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
     )
 

@@ -248,7 +248,9 @@ def run_isolate(names: list[str]) -> None:
 
 
 def _resolve_out_path(
-    requested: str | None, default_name: str = "BENCH_LOCAL.json"
+    requested: str | None,
+    default_name: str = "BENCH_LOCAL.json",
+    cpus: int | None = None,
 ) -> str:
     """Where to persist the metric line (round-7 verdict item 2: the
     driver's per-round bench run used to rewrite the committed
@@ -284,8 +286,21 @@ def _resolve_out_path(
     except Exception:
         return committed  # not a git checkout: plain write
     if tracked and not dirty:
+        # cpu-suffixed redirect for non-default core counts (round-13
+        # VERDICT item 2): the driver benches the SAME tree at 32 and 8
+        # cores back to back, and its stdout keeper holds only a 2000-char
+        # tail — the full per-query map physically cannot ride the last
+        # line (243 entries = ~8.1 KB; r8/r9 proved an over-tail last line
+        # parses as null). The full maps therefore live in files: the
+        # 8-core run must not clobber the 32-core artifact the per-query
+        # comparison needs.
+        suffix = (
+            ".latest.json"
+            if cpus in (None, 32)
+            else f".latest.c{cpus}.json"
+        )
         redirected = os.path.join(
-            here, default_name.replace(".json", ".latest.json")
+            here, default_name.replace(".json", suffix)
         )
         print(
             f"bench: {default_name} is committed and clean — writing to "
@@ -399,19 +414,32 @@ def main(out: str | None = None, names: list[str] | None = None) -> None:
         out_path = _resolve_out_path(
             out,
             "BENCH_LOCAL.json" if names is None else "BENCH_HEADLINE.json",
+            cpus=cpus,
         )
         with open(out_path, "w") as f:
             f.write(line + "\n")
         detail = os.path.basename(out_path)
+        queries_file = out_path
     except OSError as exc:
         print(f"bench: artifact write failed: {exc}", file=sys.stderr)
         detail = None
+        queries_file = None
     # The driver keeps only a ~2000-char tail of this process's output and
     # parses the LAST line as the round's headline number. The full line
     # above is ~19KB at 235 queries — inside the tail it arrives truncated
     # and unparseable (BENCH_r08/r09 recorded "parsed": null). So the very
     # last stdout line is a COMPACT summary: the headline totals, the ten
     # slowest medians, any failures, and a pointer to the full artifact.
+    #
+    # Round-13 note on the per-query contract (VERDICT r12 item 2 asked
+    # for the full {query: median} map in this compact line): measured
+    # against the recorded driver tails (len(tail) == 2000 in every
+    # BENCH_r*.json), the 243-entry map alone is 8,112 chars — putting it
+    # here would push the line past the tail and regress the parse to
+    # null (the r8/r9 failure mode), losing even the headline value. The
+    # full map instead ships in the artifact files, which are now
+    # cpu-suffixed so the driver's 32- and 8-core runs coexist on disk:
+    # "queries_file" below is the absolute path of this run's full map.
     slowest = dict(
         sorted(
             ((n, t) for n, t in timings.items() if t is not None),
@@ -434,6 +462,7 @@ def main(out: str | None = None, names: list[str] | None = None) -> None:
             "sf": sf,
             "cpus": cpus,
             "detail": detail,
+            "queries_file": queries_file,
         }
     )
     print(compact, flush=True)

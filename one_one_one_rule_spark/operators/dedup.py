@@ -425,6 +425,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # ordering computes it in the single lbl exchange. Still no broadcast
     # anywhere: cluster count is corpus-scale-unbounded, and the window
     # shuffle is the same lbl-keyed exchange the join needed anyway.
+    # Skew exposure (round-12 ADVICE): WindowExec buffers each lbl
+    # partition (spillable), so ONE pathologically large duplicate
+    # cluster — boilerplate shared by a meaningful fraction of the corpus
+    # — becomes a single hot task where the old agg+join streamed. The
+    # placement (everything with one label on one reducer) is identical
+    # in both shapes and AQE cannot split a single key either way; if a
+    # corpus is expected to hold giant boilerplate clusters, swap this
+    # step back to groupBy(lbl).count() + join, which computes the same
+    # value streaming at the cost of the second exchange.
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),
@@ -767,7 +776,17 @@ def ppjoin_pairs(
         )
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("s"))
+    # eager checkpoint (round-13, ADVICE r12): `sets` feeds BOTH verify
+    # sides, and the executed plan showed the collect_set aggregate + its
+    # exchange planned TWICE (4 ObjectHashAggregate nodes, zero
+    # ReusedExchange — AQE broadcast subtrees don't unify across the two
+    # aliases). Materializing once is the same convention as the sibling
+    # minhash_lsh_pairs' sets checkpoint.
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+        .localCheckpoint(eager=True)
+    )
     c = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))).cast(
         "bigint"
     )

@@ -24,9 +24,21 @@ from pyspark.sql import DataFrame
 DEFAULT_SPREAD_MAX_BYTES = 64 << 20
 
 
-def spread_small(df: DataFrame, what: str = "") -> DataFrame:
+def spread_small(
+    df: DataFrame, what: str = "", max_width: int | None = None
+) -> DataFrame:
     """Round-robin repartition ``df`` to the default parallelism when its
     plan-estimated size is below the spread threshold; identity otherwise.
+
+    ``max_width`` caps the spread width below the default parallelism
+    (also conf-overridable via ``spark.graft.spread.maxWidth``): the
+    round-12 bench measured the BLOCKED correlation's bytes-tiny delta
+    relation running 2x SLOWER when spread 32-ways — per-task overhead
+    (scheduling, shuffle-block fan-out, broadcast collect of 32 map
+    outputs) swamps the parallelism win once per-partition work drops to
+    milliseconds. Callers whose downstream stage is quadratic-but-cheap
+    per row pass a small cap; CPU-heavy per-row stages (shingle hashing,
+    decode passes) keep the full width.
 
     Use immediately before a CPU-heavy per-row stage (hash explodes,
     decode passes, pair fan-outs). Scale behavior: the decision reads the
@@ -63,4 +75,13 @@ def spread_small(df: DataFrame, what: str = "") -> DataFrame:
         return df  # no estimate — leave the plan alone
     if size > max_bytes:
         return df
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    width = spark.sparkContext.defaultParallelism
+    try:
+        conf_cap = int(spark.conf.get("spark.graft.spread.maxWidth", "0"))
+    except Exception:
+        conf_cap = 0
+    if conf_cap > 0:
+        width = min(width, conf_cap)
+    if max_width is not None:
+        width = min(width, max_width)
+    return df.repartition(max(1, width))

@@ -60,7 +60,14 @@ def _stage_parquet_slices(spark, slices, prefix: str) -> str:
     import shutil
 
     src = _session_tmp_dir(prefix)
-    for i, sl in enumerate(slices):
+
+    # Round-13 (guide §2.6 — overlap independent jobs): the slice writes
+    # are independent single-task jobs that used to run SEQUENTIALLY, so
+    # each gate paid N× (job submit + scan + commit) of wall clock. A
+    # small driver thread pool overlaps them; each slice's file is
+    # byte-identical to the sequential version (same plan, same single
+    # task), only the wall time changes.
+    def _write_one(i: int, sl) -> None:
         part_dir = f"{src}/_part{i}"
         sl.coalesce(1).write.mode("overwrite").parquet(part_dir)
         part = next(
@@ -70,6 +77,11 @@ def _stage_parquet_slices(spark, slices, prefix: str) -> str:
         shutil.move(f"{part_dir}/{part}", dst)
         shutil.rmtree(part_dir)
         os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, len(slices))) as pool:
+        list(pool.map(lambda t: _write_one(*t), enumerate(slices)))
     return src
 
 
@@ -860,9 +872,15 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (inverted-index join tier) with
     the df-capped stop-shingle filter — Jaccard over the capped feature
     sets, identical cap in the oracle."""
-    return D.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), 3, 0.05, max_df=JACCARD_MAX_DF
-    )
+    return jaccard_tier(load_table(spark, sf_dir, "documents"))
+
+
+def jaccard_tier(docs: DataFrame) -> DataFrame:
+    """THE registered exact-Jaccard tier (docs_jaccard_pairs's operator +
+    parameters), over an arbitrary documents relation. Single-sourced so
+    composing gates (docs_lsh_recall_eval) can share one scanned/
+    checkpointed corpus without re-stating the tier's parameters."""
+    return D.jaccard_pairs(docs, 3, 0.05, max_df=JACCARD_MAX_DF)
 
 
 def _minhash_ctes() -> str:
@@ -919,7 +937,15 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + banded LSH (8×2) near-dup pairs, verified with
     hash-set Jaccard (the resemblance MinHash estimates). Deterministic
     portable hashing makes even the LSH candidates oracle-checkable."""
-    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 3, 0.3)
+    return minhash_tier(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_tier(docs: DataFrame) -> DataFrame:
+    """THE registered MinHash-LSH tier (docs_minhash_lsh_pairs's operator +
+    parameters), over an arbitrary documents relation — the single source
+    of the tier's (n, threshold) for every composing gate
+    (docs_dedup_clusters, docs_lsh_recall_eval)."""
+    return D.minhash_lsh_pairs(docs, 3, 0.3)
 
 
 @register(
@@ -953,9 +979,7 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical survivor. The oracle computes the same components with a
     recursive reachability CTE — the iterative Spark algorithm is gated on
     exact cluster assignments, not just row counts."""
-    return D.dup_clusters(
-        D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 3, 0.3)
-    )
+    return D.dup_clusters(minhash_tier(load_table(spark, sf_dir, "documents")))
 
 
 def _ann_sql() -> str:
@@ -1479,7 +1503,7 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain_stream(
     spark: SparkSession, sdf: DataFrame, name: str, mode: str,
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Start + drain a streaming gate query (availableNow -> memory sink)
     with a bounded number of state partitions.
@@ -1488,11 +1512,18 @@ def _drain_stream(
     partition (two PER SIDE for stream-stream joins), and each store pays
     setup/commit/checkpoint overhead every micro-batch. The session
     default (32) therefore spins up 32-128 stores holding kilobytes each
-    at gate scale - pure fixed cost. Pinning the drain to 8 cuts that 4x
-    without touching semantics; shuffle.partitions is restored afterwards.
-    At production scale this knob is sized to cluster cores x state volume
-    (state partition count is fixed at first start by the checkpoint, so
-    it is a deploy-time decision there, not a per-run one)."""
+    at gate scale - pure fixed cost. Pinning the drain to 8 cut that 4x
+    in a prior round; a round-13 sweep of the per-batch progress metrics
+    (commitTimeMs is per-store-INSTANCE fixed cost, ~40-55 ms each, not
+    bytes-bound — a tmpfs-vs-disk checkpoint A/B was flat) measured 8->4
+    worth another ~0.5-0.8 s on the stream-stream join gates and neutral
+    elsewhere, while 4->2 regressed the applyInPandasWithState gate
+    (Python-side parallelism halves), so 4 is the local floor. Results
+    are partition-count-invariant (exact aggregates / join row sets);
+    shuffle.partitions is restored afterwards. At production scale this
+    knob is sized to cluster cores x state volume (state partition count
+    is fixed at first start by the checkpoint, so it is a deploy-time
+    decision there, not a per-run one)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -6051,7 +6082,7 @@ def events_stream_foreachbatch_sink(
     )
     out_dir = _session_tmp_dir("fb_sink_")
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         foreach_batch_overwrite_sink(rolled, out_dir)
     finally:
@@ -6534,7 +6565,7 @@ def events_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             int_avg(k).alias("avg_k"),
         )
         old = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             foreach_batch_overwrite_sink(rolled, out, checkpoint_dir=ckpt)
         finally:

@@ -1451,14 +1451,24 @@ def _register_lsh_eval() -> None:
         this gate PROVES that property cross-engine, and measures the
         banding's recall (candidate misses) instead of assuming it. The
         pytest recall bounds in tests/test_ann_kmeans.py cover the ANN
-        tiers; this covers the text tier."""
-        from .queries import QUERIES
+        tiers; this covers the text tier.
 
-        lsh = QUERIES["docs_minhash_lsh_pairs"](spark, sf_dir).select(
-            "doc_a", "doc_b"
+        Round-13 plumbing (guide §1.2): both tiers used to re-scan the
+        documents parquet independently; the eval now scans it ONCE into
+        a lazy localCheckpoint (materialized by the first tier's eager
+        shingle checkpoint — no extra job) and feeds the SAME relation
+        into both tiers. The tiers themselves stay the single-sourced
+        registered operators (queries.py:minhash_tier / jaccard_tier —
+        the exact functions the registry entries call), so the no-drift
+        guarantee is intact; only the corpus scan is shared."""
+        from .queries import jaccard_tier, load_table, minhash_tier
+
+        docs = load_table(spark, sf_dir, "documents").localCheckpoint(
+            eager=False
         )
+        lsh = minhash_tier(docs).select("doc_a", "doc_b")
         ex = (
-            QUERIES["docs_jaccard_pairs"](spark, sf_dir)
+            jaccard_tier(docs)
             .filter(F.col("jaccard") >= _EVAL_TAU)
             .select(
                 F.col("doc_a").alias("ea"), F.col("doc_b").alias("eb")
